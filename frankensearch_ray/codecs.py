@@ -1,0 +1,265 @@
+"""Posting-list / position codecs: FOR bitpacking + LEB128 varints + blockmax.
+
+Modeled on the reference compression contract
+(``crates/frankensearch-quill/src/quiver.rs``: blocks of <=128 postings with
+a self-delimiting header, frame-of-reference delta-1 bitpacking, freq_kind
+0 = all-one / 1 = bitpacked freq-1, per-block max-freq/min-fieldnorm
+metadata) re-expressed numpy-vectorized over u64 docids (the reference is
+u32; our docids are ``(partition << 32) | row`` so 64-bit).
+
+Layout (all little-endian):
+
+- posting stream = concatenated blocks; block = ``[kind:u8][count:u8]
+  [payload_len:u16]`` + payload.  kind 1 = FOR:
+  ``first_doc:u64`` + (count>1: ``doc_width:u8`` + bitpacked count-1 values
+  of ``delta-1`` at doc_width bits) + ``freq_kind:u8`` +
+  (freq_kind 1: ``freq_width:u8`` + bitpacked count values of ``tf-1``).
+- blockmax stream = one fixed 16-byte record per block:
+  ``first_doc:u64, byte_offset:u32, max_freq_code:u8, min_fieldnorm_id:u8,
+  pad:u16`` — the impact bound itself is computed at query time from live
+  avgdl (``quiver.rs:1769-1786``; never baked into the build).
+- position stream = one LEB128 varint sequence per posting run:
+  ``count, pos_0, pos_1-pos_0, ...`` (first absolute, then deltas).
+
+Concatenating the encoded streams of docid-disjoint, ordered runs is
+byte-equivalent to encoding the concatenated input only at block
+granularity; we instead concat at the *list* level (each salted bucket is
+its own block sequence), which preserves decode output equality — the Q1
+merge discipline (``PLAN.md:272-291``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+POSTINGS_PER_BLOCK = 128
+BLOCK_KIND_FOR = 1
+
+_BLOCKMAX_DTYPE = np.dtype(
+    [
+        ("first_doc", "<u8"),
+        ("offset", "<u4"),
+        ("max_freq_code", "u1"),
+        ("min_fieldnorm_id", "u1"),
+        ("pad", "<u2"),
+    ]
+)
+assert _BLOCKMAX_DTYPE.itemsize == 16
+
+
+# --- bitpacking ------------------------------------------------------------
+
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack unsigned ints into ``width``-bit little-endian-bit-order codes."""
+    if width == 0 or len(values) == 0:
+        return b""
+    v = values.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(buf: memoryview | bytes, count: int, width: int) -> np.ndarray:
+    """Inverse of :func:`bitpack`; returns uint64 values."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(count * width + 7) // 8)
+    bits = np.unpackbits(raw, bitorder="little")[: count * width]
+    bits = bits.reshape(count, width).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return bits @ weights
+
+
+def _width_for(max_value: int) -> int:
+    return int(max_value).bit_length()
+
+
+# --- vectorized LEB128 -----------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    # byte counts: one 7-bit group per threshold of 128**k
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        mask = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: memoryview | bytes, max_count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    if max_count is not None:
+        ends = ends[:max_count]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    out = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        out[mask] |= (raw[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * k
+        )
+    return out
+
+
+# --- posting blocks --------------------------------------------------------
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, fieldnorm_ids: np.ndarray
+) -> tuple[bytes, bytes]:
+    """Encode one docid-sorted posting list.
+
+    Returns ``(postings_bytes, blockmax_bytes)``.  ``fieldnorm_ids`` are the
+    per-posting doc fieldnorm ids of the indexed field (blockmax metadata).
+    """
+    n = len(docids)
+    assert n > 0
+    docids = docids.astype(np.uint64, copy=False)
+    tfs = tfs.astype(np.uint32, copy=False)
+    fieldnorm_ids = fieldnorm_ids.astype(np.uint8, copy=False)
+
+    chunks: list[bytes] = []
+    bm = np.empty((n + POSTINGS_PER_BLOCK - 1) // POSTINGS_PER_BLOCK, dtype=_BLOCKMAX_DTYPE)
+    offset = 0
+    for bi, start in enumerate(range(0, n, POSTINGS_PER_BLOCK)):
+        d = docids[start : start + POSTINGS_PER_BLOCK]
+        f = tfs[start : start + POSTINGS_PER_BLOCK]
+        fn = fieldnorm_ids[start : start + POSTINGS_PER_BLOCK]
+        count = len(d)
+
+        parts = [int(d[0]).to_bytes(8, "little")]
+        if count > 1:
+            deltas = np.diff(d) - np.uint64(1)
+            w = _width_for(int(deltas.max())) if len(deltas) else 0
+            parts.append(bytes([w]))
+            parts.append(bitpack(deltas, w))
+        if (f == 1).all():
+            parts.append(b"\x00")  # freq_kind 0: all-one
+        else:
+            fm1 = (f - 1).astype(np.uint64)
+            wf = _width_for(int(fm1.max()))
+            parts.append(bytes([1, wf]))
+            parts.append(bitpack(fm1, wf))
+        payload = b"".join(parts)
+        header = bytes([BLOCK_KIND_FOR, count]) + len(payload).to_bytes(2, "little")
+        chunks.append(header + payload)
+
+        bm[bi]["first_doc"] = d[0]
+        bm[bi]["offset"] = offset
+        bm[bi]["max_freq_code"] = min(int(f.max()), 255)
+        bm[bi]["min_fieldnorm_id"] = int(fn.min())
+        bm[bi]["pad"] = 0
+        offset += len(header) + len(payload)
+
+    return b"".join(chunks), bm.tobytes()
+
+
+def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a posting stream -> ``(docids: u64, tfs: u32)``."""
+    view = memoryview(buf)
+    docs: list[np.ndarray] = []
+    tfs: list[np.ndarray] = []
+    pos = 0
+    end = len(view)
+    while pos < end:
+        kind = view[pos]
+        count = view[pos + 1]
+        payload_len = int.from_bytes(view[pos + 2 : pos + 4], "little")
+        payload = view[pos + 4 : pos + 4 + payload_len]
+        assert kind == BLOCK_KIND_FOR, kind
+        first_doc = int.from_bytes(payload[0:8], "little")
+        p = 8
+        d = np.empty(count, dtype=np.uint64)
+        d[0] = first_doc
+        if count > 1:
+            w = payload[p]
+            p += 1
+            nb = ((count - 1) * w + 7) // 8
+            deltas = bitunpack(payload[p : p + nb], count - 1, w)
+            p += nb
+            d[1:] = deltas + np.uint64(1)
+            np.cumsum(d, out=d)
+        freq_kind = payload[p]
+        p += 1
+        if freq_kind == 0:
+            f = np.ones(count, dtype=np.uint32)
+        else:
+            wf = payload[p]
+            p += 1
+            nb = (count * wf + 7) // 8
+            f = (bitunpack(payload[p : p + nb], count, wf) + 1).astype(np.uint32)
+        docs.append(d)
+        tfs.append(f)
+        pos += 4 + payload_len
+    if not docs:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    return np.concatenate(docs), np.concatenate(tfs)
+
+
+def decode_blockmax(buf: bytes | memoryview) -> np.ndarray:
+    """Blockmax records as a structured array (zero-copy view)."""
+    return np.frombuffer(buf, dtype=_BLOCKMAX_DTYPE)
+
+
+def decode_postings_from(
+    postings: bytes | memoryview, byte_offset: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode starting at a blockmax-recorded block offset (skip support)."""
+    return decode_postings(memoryview(postings)[byte_offset:])
+
+
+# --- position streams ------------------------------------------------------
+
+
+def encode_positions(position_lists: list[np.ndarray] | "object") -> bytes:
+    """Encode per-posting position lists into one varint stream.
+
+    Accepts a python list of uint32 arrays/lists, in posting order.  Stream
+    per posting: ``count, pos0, delta...``.
+    """
+    seq_parts: list[np.ndarray] = []
+    for plist in position_lists:
+        arr = np.asarray(plist, dtype=np.uint64)
+        item = np.empty(len(arr) + 1, dtype=np.uint64)
+        item[0] = len(arr)
+        if len(arr):
+            item[1] = arr[0]
+            item[2:] = np.diff(arr)
+        seq_parts.append(item)
+    if not seq_parts:
+        return b""
+    return varint_encode(np.concatenate(seq_parts))
+
+
+def decode_positions(buf: bytes | memoryview, n_postings: int) -> list[np.ndarray]:
+    """Decode the position stream back into per-posting uint32 arrays."""
+    flat = varint_decode(buf)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_postings):
+        cnt = int(flat[i])
+        i += 1
+        vals = np.cumsum(flat[i : i + cnt]).astype(np.uint32)
+        out.append(vals)
+        i += cnt
+    return out

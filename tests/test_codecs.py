@@ -1,0 +1,138 @@
+"""Codec roundtrip + property tests (FOR blocks, varints, blockmax, Q1 concat)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frankensearch_ray import codecs
+
+
+def _random_posting_list(rng, n, base=0):
+    gaps = rng.integers(1, 1000, size=n).astype(np.uint64)
+    docids = base + np.cumsum(gaps)
+    tfs = rng.integers(1, 300, size=n).astype(np.uint32)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    return docids, tfs, norms
+
+
+class TestBitpack:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**33 - 1), min_size=0, max_size=300),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        arr = np.array(values, dtype=np.uint64)
+        width = int(arr.max()).bit_length() if len(arr) else 0
+        packed = codecs.bitpack(arr, width)
+        out = codecs.bitunpack(packed, len(arr), width)
+        assert (out == arr).all()
+
+
+class TestVarint:
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=200
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        arr = np.array(values, dtype=np.uint64)
+        buf = codecs.varint_encode(arr)
+        out = codecs.varint_decode(buf)
+        assert (out == arr).all()
+
+    def test_known_encodings(self):
+        assert codecs.varint_encode(np.array([0], np.uint64)) == b"\x00"
+        assert codecs.varint_encode(np.array([127], np.uint64)) == b"\x7f"
+        assert codecs.varint_encode(np.array([128], np.uint64)) == b"\x80\x01"
+        assert codecs.varint_encode(np.array([300], np.uint64)) == b"\xac\x02"
+
+
+class TestPostings:
+    @pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 1000, 5000])
+    def test_roundtrip_sizes(self, n):
+        rng = np.random.default_rng(n)
+        docids, tfs, norms = _random_posting_list(rng, n)
+        post, bm = codecs.encode_postings(docids, tfs, norms)
+        d2, f2 = codecs.decode_postings(post)
+        assert (d2 == docids).all()
+        assert (f2 == tfs).all()
+        recs = codecs.decode_blockmax(bm)
+        assert len(recs) == (n + 127) // 128
+        assert recs["first_doc"][0] == docids[0]
+
+    def test_all_one_freqs_compact(self):
+        docids = np.arange(1000, dtype=np.uint64) * 7
+        tfs = np.ones(1000, dtype=np.uint32)
+        norms = np.full(1000, 9, dtype=np.uint8)
+        post, _ = codecs.encode_postings(docids, tfs, norms)
+        # dense deltas (delta-1 == 6 -> 3 bits) + all-one freq byte
+        assert len(post) < 1000  # < 1 byte per posting
+
+    def test_blockmax_metadata(self):
+        docids = np.arange(300, dtype=np.uint64)
+        tfs = np.concatenate(
+            [np.full(128, 5), np.full(128, 999), np.full(44, 2)]
+        ).astype(np.uint32)
+        norms = np.concatenate(
+            [np.full(128, 10), np.full(128, 3), np.full(44, 200)]
+        ).astype(np.uint8)
+        _, bm = codecs.encode_postings(docids, tfs, norms)
+        recs = codecs.decode_blockmax(bm)
+        assert list(recs["max_freq_code"]) == [5, 255, 2]  # 999 saturates
+        assert list(recs["min_fieldnorm_id"]) == [10, 3, 200]
+
+    def test_block_offset_skip(self):
+        rng = np.random.default_rng(0)
+        docids, tfs, norms = _random_posting_list(rng, 1000)
+        post, bm = codecs.encode_postings(docids, tfs, norms)
+        recs = codecs.decode_blockmax(bm)
+        # decoding from block 3's offset yields the tail postings
+        off = int(recs["offset"][3])
+        d2, f2 = codecs.decode_postings_from(post, off)
+        assert (d2 == docids[3 * 128 :]).all()
+        assert (f2 == tfs[3 * 128 :]).all()
+
+    def test_q1_bucket_concat_equals_whole(self):
+        """Concat of docid-disjoint ordered bucket lists decodes identically
+        to one list over the union (the Q1 merge discipline)."""
+        rng = np.random.default_rng(3)
+        docids, tfs, norms = _random_posting_list(rng, 700)
+        split = 350
+        p1, _ = codecs.encode_postings(docids[:split], tfs[:split], norms[:split])
+        p2, _ = codecs.encode_postings(docids[split:], tfs[split:], norms[split:])
+        d_cat, f_cat = codecs.decode_postings(p1 + p2)
+        assert (d_cat == docids).all()
+        assert (f_cat == tfs).all()
+
+    def test_huge_docids(self):
+        # (partition << 32) | row layout must survive
+        docids = (np.array([5, 5, 900_000], np.uint64) << np.uint64(32)) | np.array(
+            [1, 2, 7], np.uint64
+        )
+        tfs = np.array([1, 2, 3], np.uint32)
+        norms = np.array([0, 1, 2], np.uint8)
+        post, _ = codecs.encode_postings(docids, tfs, norms)
+        d2, f2 = codecs.decode_postings(post)
+        assert (d2 == docids).all() and (f2 == tfs).all()
+
+
+class TestPositions:
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=100_000), min_size=0, max_size=30
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, lists):
+        lists = [sorted(x) for x in lists]
+        buf = codecs.encode_positions([np.array(x, np.uint32) for x in lists])
+        out = codecs.decode_positions(buf, len(lists))
+        assert [list(o) for o in out] == [list(x) for x in lists]
