@@ -1,0 +1,493 @@
+"""Query engine over the term-partitioned shard layout.
+
+``LocalSearcher`` evaluates the parsed query AST exhaustively and
+vectorized: every posting of every query term is scored with the pinned
+BM25 f32 contract, accumulated per docid in clause order, and top-k is
+selected by the total order (score desc via f32 total_cmp, global docid
+asc) — the reference tie contract (``argus.rs:5240-5508``, ``PLAN.md:316``).
+
+Because docids are partition-disjoint and scoring is per-doc, whole-index
+vectorized evaluation is arithmetically identical to the reference's
+per-segment fan-out + ordered merge (``index.rs:8027-8121``): no cross-
+segment accumulation exists.
+
+Salted head terms read their docid-range buckets in bucket order and
+concatenate (Q1 discipline); ``doc_freq`` is the sum over bucket rows.
+
+Block-max WAND pruning lives in ``wand.py`` and must match this exhaustive
+kernel rank-identically (the reference's own internal differential gate,
+``PLAN.md:513``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..codecs import decode_positions, decode_postings
+from ..contract import bm25
+from ..contract.parser import parse_default
+from ..contract.query_ast import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    All,
+    Boolean,
+    Boost,
+    Empty,
+    Phrase,
+    RangeStr,
+    SetStr,
+    Term,
+)
+from ..schema import FIELD_ORDS, PARTITION_SHIFT, ROW_MASK
+from ..stages.shard import shard_for
+
+_F32_ONE = np.float32(1.0)
+
+
+class _Norms:
+    """Dense fieldnorm lookup across sparse (partition << 32 | row) docids."""
+
+    def __init__(self, doclen_dir: str):
+        tables = []
+        for path in sorted(Path(doclen_dir).glob("part-*.parquet")):
+            tables.append(pq.read_table(path))
+        t = pa.concat_tables(tables)
+        docid = t["docid"].to_numpy()
+        order = np.argsort(docid, kind="stable")
+        self.docids = docid[order]
+        self.norm_content = t["norm_content"].to_numpy()[order]
+        self.norm_title = t["norm_title"].to_numpy()[order]
+        # partition bases for O(log P) row lookup
+        parts = (self.docids >> np.uint64(PARTITION_SHIFT)).astype(np.uint64)
+        change = np.concatenate(([True], parts[1:] != parts[:-1]))
+        self.part_ids = parts[change]
+        self.part_offsets = np.flatnonzero(change).astype(np.int64)
+
+    def rows_for(self, docids: np.ndarray) -> np.ndarray:
+        p = (docids >> np.uint64(PARTITION_SHIFT)).astype(np.uint64)
+        r = (docids & np.uint64(ROW_MASK)).astype(np.int64)
+        pos = np.searchsorted(self.part_ids, p)
+        return self.part_offsets[pos] + r
+
+    def norms(self, field_ord: int, docids: np.ndarray) -> np.ndarray:
+        rows = self.rows_for(docids)
+        arr = self.norm_content if field_ord == 0 else self.norm_title
+        return arr[rows]
+
+    @property
+    def all_docids(self) -> np.ndarray:
+        return self.docids
+
+
+class _ShardCache:
+    """Per-shard term table: parquet -> in-memory dict probe.
+
+    At cluster scale this is the state held by a query actor pool (one
+    reader per shard set, SURVEY §7.3); locally we just cache all shards.
+    """
+
+    def __init__(self, shards_dir: str):
+        self.shards_dir = shards_dir
+        self._tables: dict[int, dict] = {}
+
+    def _load(self, shard_id: int) -> dict:
+        cached = self._tables.get(shard_id)
+        if cached is not None:
+            return cached
+        path = os.path.join(self.shards_dir, f"shard-{shard_id:05d}.parquet")
+        index: dict[tuple[int, str], list[tuple[int, int]]] = {}
+        table = None
+        if os.path.exists(path):
+            table = pq.read_table(path)
+            fields = table["field"].to_numpy()
+            buckets = table["bucket"].to_numpy()
+            terms = table["term"].to_pylist()
+            for i, (f, t, b) in enumerate(zip(fields, terms, buckets)):
+                index.setdefault((int(f), t), []).append((int(b), i))
+        entry = {"table": table, "index": index}
+        self._tables[shard_id] = entry
+        return entry
+
+    def rows(self, shard_id: int, field: int, term: str) -> list[tuple[int, dict]]:
+        entry = self._load(shard_id)
+        out = []
+        table = entry["table"]
+        for bucket, i in entry["index"].get((field, term), []):
+            out.append(
+                (
+                    bucket,
+                    {
+                        "df": table["df"][i].as_py(),
+                        "postings": table["postings"][i].as_py(),
+                        "blockmax": table["blockmax"][i].as_py(),
+                        "positions": table["positions"][i].as_py(),
+                    },
+                )
+            )
+        return out
+
+
+class LocalSearcher:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.num_shards = self.manifest["num_shards"]
+        salt = self.manifest["salt"]
+        self.salted = {(int(f), t) for f, t in salt["salted_terms"]}
+        self.ppb = salt["partitions_per_bucket"]
+        n_parts = len(self.manifest["partitions"])
+        self.max_bucket = (n_parts - 1) // self.ppb if n_parts else 0
+        self.field_stats = self.manifest["field_stats"]
+        self.norms = _Norms(os.path.join(index_dir, "doclen"))
+        self.shards = _ShardCache(os.path.join(index_dir, "shards"))
+        self._idmap_cache: dict[int, pa.Table] = {}
+        self._idmap_paths = {
+            p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
+            for p in self.manifest["partitions"]
+        }
+
+    # --- index access ------------------------------------------------------
+
+    def term_rows(self, field: int, term: str) -> list[tuple[int, dict]]:
+        """All (bucket, row) entries for a term, in bucket order."""
+        if (field, term) in self.salted:
+            buckets = range(self.max_bucket + 1)
+        else:
+            buckets = (0,)
+        rows: list[tuple[int, dict]] = []
+        for b in buckets:
+            sid = shard_for(field, term, b, self.num_shards)
+            for bucket, row in self.shards.rows(sid, field, term):
+                if bucket == b:
+                    rows.append((bucket, row))
+        rows.sort(key=lambda x: x[0])
+        return rows
+
+    def postings(self, field: int, term: str, with_positions: bool = False):
+        """Decode + bucket-concat a term's postings.
+
+        Returns ``(docids u64, tfs u32, df int, positions list|None)``."""
+        rows = self.term_rows(field, term)
+        if not rows:
+            return (
+                np.zeros(0, np.uint64),
+                np.zeros(0, np.uint32),
+                0,
+                [] if with_positions else None,
+            )
+        d_parts, f_parts, pos_parts = [], [], []
+        df = 0
+        for _bucket, row in rows:
+            d, f = decode_postings(row["postings"])
+            d_parts.append(d)
+            f_parts.append(f)
+            df += int(row["df"])
+            if with_positions:
+                pos_parts.extend(decode_positions(row["positions"], len(d)))
+        docids = np.concatenate(d_parts)
+        tfs = np.concatenate(f_parts)
+        return docids, tfs, df, (pos_parts if with_positions else None)
+
+    def field_bm25(self, field_name: str):
+        st = self.field_stats[field_name]
+        n = st["doc_count"]
+        avgdl = (
+            np.float32(st["total_tokens"]) / np.float32(n) if n else np.float32(1.0)
+        )
+        return n, avgdl
+
+    def ids_for(self, docids: np.ndarray) -> list[str]:
+        out = []
+        for docid in docids:
+            p = int(docid) >> PARTITION_SHIFT
+            r = int(docid) & ROW_MASK
+            t = self._idmap_cache.get(p)
+            if t is None:
+                t = pq.read_table(self._idmap_paths[p])
+                self._idmap_cache[p] = t
+            out.append(t["id"][r].as_py())
+        return out
+
+    # --- evaluation --------------------------------------------------------
+
+    def _eval_term_field(self, term: str, field_name: str, boost: float):
+        ford = FIELD_ORDS[field_name]
+        docids, tfs, df, _ = self.postings(ford, term)
+        if len(docids) == 0:
+            return docids, np.zeros(0, np.float32)
+        n, avgdl = self.field_bm25(field_name)
+        w = bm25.term_weight(bm25.idf(min(df, n), n), boost)
+        cache = bm25.compute_tf_cache(avgdl)
+        norms = self.norms.norms(ford, docids)
+        scores = bm25.term_scores(tfs, norms, w, cache)
+        return docids, scores
+
+    @staticmethod
+    def _sum_aligned(parts: list[tuple[np.ndarray, np.ndarray]]):
+        """Union docids; f32-sum scores in the given part order."""
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        if len(parts) == 1:
+            return parts[0]
+        union = parts[0][0]
+        for d, _ in parts[1:]:
+            union = np.union1d(union, d)
+        scores = np.zeros(len(union), dtype=np.float32)
+        for d, s in parts:
+            idx = np.searchsorted(union, d)
+            scores[idx] = scores[idx] + s  # one f32 add per part, in order
+        return union, scores
+
+    def _eval_term(self, node: Term, boost: float):
+        parts = [
+            self._eval_term_field(node.text, f.name, f.boost * boost)
+            if f.name in FIELD_ORDS
+            else self._eval_keyword(node.text, f.name)
+            for f in node.fields
+        ]
+        return self._sum_aligned(parts)
+
+    def _eval_keyword(self, value: str, field_name: str):
+        """Keyword (id) term: idmap equality scan, const score 1.0."""
+        if field_name != "id":
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        matches = []
+        for p in sorted(self._idmap_paths):
+            t = self._idmap_cache.get(p)
+            if t is None:
+                t = pq.read_table(self._idmap_paths[p])
+                self._idmap_cache[p] = t
+            mask = pc.equal(t["id"], value)
+            d = t.filter(mask)["docid"].to_numpy()
+            if len(d):
+                matches.append(d)
+        if not matches:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        d = np.concatenate(matches)
+        return d, np.full(len(d), _F32_ONE, dtype=np.float32)
+
+    def _eval_phrase_field(self, terms: list[str], field_name: str, boost: float, slop: int):
+        ford = FIELD_ORDS[field_name]
+        n, avgdl = self.field_bm25(field_name)
+        per_term = []
+        for term in terms:
+            docids, _tfs, df, positions = self.postings(ford, term, with_positions=True)
+            if len(docids) == 0:
+                return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+            per_term.append((docids, positions, df))
+        # conjunction prefilter
+        cand = per_term[0][0]
+        for d, _, _ in per_term[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+        if len(cand) == 0:
+            return cand, np.zeros(0, np.float32)
+        # position verify: adjacency (slop 0) — freq = match count
+        match_docs = []
+        match_tfs = []
+        idx_per_term = [np.searchsorted(d, cand) for d, _, _ in per_term]
+        for ci, docid in enumerate(cand):
+            base = per_term[0][1][idx_per_term[0][ci]].astype(np.int64)
+            ok = base
+            for ti in range(1, len(per_term)):
+                plist = per_term[ti][1][idx_per_term[ti][ci]].astype(np.int64)
+                ok = ok[np.isin(ok + ti, plist, assume_unique=True)]
+                if len(ok) == 0:
+                    break
+            if len(ok):
+                match_docs.append(docid)
+                match_tfs.append(len(ok))
+        if not match_docs:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        docids = np.array(match_docs, dtype=np.uint64)
+        tfs = np.array(match_tfs, dtype=np.uint32)
+        # idf accumulated left-to-right f32 in phrase-term order
+        idf_total = np.float32(0.0)
+        for _, _, df in per_term:
+            idf_total = idf_total + bm25.idf(min(df, n), n)
+        w = bm25.term_weight(idf_total, boost)
+        cache = bm25.compute_tf_cache(avgdl)
+        norms = self.norms.norms(ford, docids)
+        scores = bm25.term_scores(tfs, norms, w, cache)
+        return docids, scores
+
+    def _eval_phrase(self, node: Phrase, boost: float):
+        parts = [
+            self._eval_phrase_field(node.terms, f.name, f.boost * boost, node.slop)
+            for f in node.fields
+            if f.name in FIELD_ORDS
+        ]
+        return self._sum_aligned(parts)
+
+    def _eval_range_set(self, node, boost: float):
+        """RangeStr/SetStr: keyword id via idmap; text fields via termdict
+        scan.  Constant score 1.0 per match (ConstScorer semantics)."""
+        if node.field == "id":
+            matches = []
+            for p in sorted(self._idmap_paths):
+                t = self._idmap_cache.get(p)
+                if t is None:
+                    t = pq.read_table(self._idmap_paths[p])
+                    self._idmap_cache[p] = t
+                ids = t["id"]
+                if isinstance(node, SetStr):
+                    mask = pc.is_in(ids, value_set=pa.array(node.values))
+                else:
+                    mask = pa.array(np.ones(len(ids), dtype=bool))
+                    if node.lower is not None:
+                        op = pc.greater_equal if node.lower.bound == "Included" else pc.greater
+                        mask = pc.and_(mask, op(ids, node.lower.value))
+                    if node.upper is not None:
+                        op = pc.less_equal if node.upper.bound == "Included" else pc.less
+                        mask = pc.and_(mask, op(ids, node.upper.value))
+                d = t.filter(mask)["docid"].to_numpy()
+                if len(d):
+                    matches.append(d)
+            if not matches:
+                return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+            d = np.concatenate(matches)
+            return d, np.full(len(d), _F32_ONE, dtype=np.float32)
+        # text field: union of postings of matching terms
+        ford = FIELD_ORDS.get(node.field)
+        if ford is None:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        terms = self._terms_matching(ford, node)
+        docs = np.zeros(0, np.uint64)
+        for term in terms:
+            d, _, _, _ = self.postings(ford, term)
+            docs = np.union1d(docs, d) if len(docs) else d
+        return docs.astype(np.uint64), np.full(len(docs), _F32_ONE, dtype=np.float32)
+
+    def _terms_matching(self, ford: int, node) -> list[str]:
+        out = []
+        for sid in range(self.num_shards):
+            entry = self.shards._load(sid)
+            for (f, term) in entry["index"]:
+                if f != ford:
+                    continue
+                if isinstance(node, SetStr):
+                    if term in node.values:
+                        out.append(term)
+                else:
+                    ok = True
+                    if node.lower is not None:
+                        ok &= (
+                            term >= node.lower.value
+                            if node.lower.bound == "Included"
+                            else term > node.lower.value
+                        )
+                    if node.upper is not None:
+                        ok &= (
+                            term <= node.upper.value
+                            if node.upper.bound == "Included"
+                            else term < node.upper.value
+                        )
+                    if ok:
+                        out.append(term)
+        return sorted(set(out))
+
+    def _eval_all(self, boost: float):
+        d = self.norms.all_docids
+        return d, np.full(len(d), _F32_ONE, dtype=np.float32)
+
+    def evaluate(self, node, boost: float = 1.0):
+        """Exhaustive evaluation -> (sorted docids, f32 scores)."""
+        if isinstance(node, Empty):
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        if isinstance(node, All):
+            return self._eval_all(boost)
+        if isinstance(node, Term):
+            return self._eval_term(node, boost)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node, boost)
+        if isinstance(node, Boost):
+            d, s = self.evaluate(node.query, boost)
+            return d, (s * np.float32(node.factor)).astype(np.float32)
+        if isinstance(node, (RangeStr, SetStr)):
+            return self._eval_range_set(node, boost)
+        if isinstance(node, Boolean):
+            return self._eval_boolean(node, boost)
+        raise TypeError(f"unsupported node {type(node)}")
+
+    def _eval_boolean(self, node: Boolean, boost: float):
+        musts, shoulds, nots = [], [], []
+        for c in node.children:
+            if c.occur == MUST:
+                musts.append(self.evaluate(c.query, boost))
+            elif c.occur == SHOULD:
+                shoulds.append(self.evaluate(c.query, boost))
+            elif c.occur == MUST_NOT:
+                # MustNot contributes no score; match set only
+                nots.append(self.evaluate(c.query, 1.0)[0])
+        if musts:
+            base = musts[0][0]
+            for d, _ in musts[1:]:
+                base = base[np.isin(base, d, assume_unique=True)]
+            scores = np.zeros(len(base), dtype=np.float32)
+            # required aggregate first, in clause order
+            for d, s in musts:
+                idx = np.searchsorted(d, base)
+                scores = scores + s[idx]
+            # then optional Should contributions where matching
+            for d, s in shoulds:
+                mask = np.isin(base, d, assume_unique=True)
+                pos = np.searchsorted(d, base[mask])
+                add = np.zeros(len(base), dtype=np.float32)
+                add[mask] = s[pos]
+                scores = scores + add
+        elif shoulds:
+            base, scores = self._sum_aligned(shoulds)
+        else:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        if nots and len(base):
+            excluded = nots[0]
+            for d in nots[1:]:
+                excluded = np.union1d(excluded, d)
+            keep = ~np.isin(base, excluded, assume_unique=True)
+            base, scores = base[keep], scores[keep]
+        return base, scores
+
+    # --- public API --------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        offset: int = 0,
+        count: bool = False,
+    ):
+        """Parse + evaluate + top-k.  Returns dict with ``hits`` (list of
+        ``{id, docid, score, rank}``) and optional exact ``total``."""
+        parsed = parse_default(query)
+        docids, scores = self.evaluate(parsed.query)
+        total = int(len(docids))
+        hits = []
+        if len(docids) and limit > 0:
+            order = np.lexsort((docids, -scores.astype(np.float64)))
+            take = order[offset : offset + limit]
+            win_ids = self.ids_for(docids[take])
+            for rank, (i, ext_id) in enumerate(zip(take, win_ids)):
+                hits.append(
+                    {
+                        "id": ext_id,
+                        "docid": int(docids[i]),
+                        "score": float(scores[i]),
+                        "score_bits": int(
+                            np.float32(scores[i]).view(np.uint32)
+                        ),
+                        "rank": rank,
+                    }
+                )
+        out = {"hits": hits}
+        if count:
+            out["total"] = total
+        return out

@@ -1,0 +1,216 @@
+"""Per-partition tokenization: documents -> long postings table + sidecars.
+
+The Ray-Data-native replacement for the reference ``ColumnarAccumulator``
+(``scribe.rs:2285-2919``): instead of arena-backed SoA buffers we produce one
+Arrow table of ``(field, term, docid, tf, norm, positions)`` rows per input
+partition — the reference's own bet Q2 ("tokenize into flat columns, radix
+partition by term", ``PLAN.md:34``) expressed as data, ready for the
+groupby-shuffle.
+
+Everything here is pure (table in, tables out) and Ray-free so it unit-tests
+without a cluster; ``build.py`` wraps it in ``map_batches`` tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..contract.analyzer import tokenize_column
+from ..contract.fieldnorm import fieldnorm_to_id
+from ..schema import FIELD_CONTENT, FIELD_TITLE, make_docids
+from ..sources.extract import extract_batch
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("field", pa.uint8()),
+        ("term", pa.string()),
+        ("docid", pa.uint64()),
+        ("tf", pa.uint32()),
+        ("norm", pa.uint8()),
+        ("positions", pa.list_(pa.uint32())),
+    ]
+)
+
+DOCLEN_SCHEMA = pa.schema(
+    [
+        ("docid", pa.uint64()),
+        ("norm_content", pa.uint8()),
+        ("norm_title", pa.uint8()),
+        ("len_content", pa.uint32()),
+        ("len_title", pa.uint32()),
+    ]
+)
+
+IDMAP_SCHEMA = pa.schema(
+    [
+        ("docid", pa.uint64()),
+        ("id", pa.string()),
+        ("content_hash", pa.uint64()),
+    ]
+)
+
+
+def content_hashes(texts: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit content hashes (identity / no-op-upsert check,
+    analogous to ``index.rs:10236``; blake2b-8 instead of xxh3)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, v in enumerate(texts):
+        s = v.as_py()
+        b = s.encode("utf-8") if s is not None else b""
+        out[i] = int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def _field_postings(
+    texts: pa.Array, field_ord: int, docids: np.ndarray
+) -> tuple[pa.Table, np.ndarray, int]:
+    """Tokenize one field column -> (postings table, per-doc token counts,
+    total tokens)."""
+    n_docs = len(texts)
+    tokens, doc_idx, positions = tokenize_column(texts)
+    token_counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    total_tokens = int(len(tokens))
+    if total_tokens == 0:
+        empty = POSTINGS_SCHEMA.empty_table()
+        return empty, token_counts, 0
+
+    flat = pa.table(
+        {
+            "doc": pa.array(doc_idx, pa.int64()),
+            "term": tokens,
+            "pos": pa.array(positions, pa.uint32()),
+        }
+    )
+    grouped = flat.group_by(["doc", "term"], use_threads=False).aggregate(
+        [("pos", "list"), ("pos", "count")]
+    )
+    g_doc = grouped["doc"].to_numpy()
+    norm_ids = fieldnorm_to_id(token_counts)
+
+    table = pa.table(
+        {
+            "field": pa.array(
+                np.full(len(grouped), field_ord, dtype=np.uint8), pa.uint8()
+            ),
+            "term": grouped["term"],
+            "docid": pa.array(docids[g_doc], pa.uint64()),
+            "tf": grouped["pos_count"].cast(pa.uint32()),
+            "norm": pa.array(norm_ids[g_doc], pa.uint8()),
+            "positions": grouped["pos_list"].cast(pa.list_(pa.uint32())),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    return table, token_counts, total_tokens
+
+
+def tokenize_partition(
+    table: pa.Table,
+    partition_index: int,
+    *,
+    id_col: str,
+    content_col: str | None = None,
+    html_col: str | None = None,
+    verify_text_col: str | None = None,
+):
+    """Tokenize one input partition.
+
+    Returns dict with ``postings`` / ``doclen`` / ``idmap`` tables and a
+    ``stats`` dict.  ``html_col`` mode extracts (title, text) from canonical
+    HTML (title indexed as the boosted ``title`` field); otherwise
+    ``content_col`` is indexed alone.  ``verify_text_col`` asserts the
+    byte-identical extraction invariant against the given column.
+    """
+    n = len(table)
+    docids = make_docids(partition_index, n)
+    ids = table[id_col]
+    if pa.types.is_integer(ids.type):
+        ids = ids.cast(pa.string())
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+
+    title_arr = None
+    if html_col is not None:
+        title_arr, content_arr = extract_batch(table[html_col])
+        if verify_text_col is not None:
+            expected = table[verify_text_col]
+            if isinstance(expected, pa.ChunkedArray):
+                expected = expected.combine_chunks()
+            eq = pc.equal(content_arr, pc.fill_null(expected, ""))
+            if not pc.all(eq).as_py():
+                bad = pc.indices_nonzero(pc.invert(eq))[0].as_py()
+                raise AssertionError(
+                    f"extract(html) != text at row {bad} "
+                    f"(url={ids[bad].as_py()!r})"
+                )
+    else:
+        content_arr = table[content_col]
+        if isinstance(content_arr, pa.ChunkedArray):
+            content_arr = content_arr.combine_chunks()
+
+    parts = []
+    content_tbl, content_counts, content_total = _field_postings(
+        content_arr, FIELD_CONTENT, docids
+    )
+    parts.append(content_tbl)
+    title_counts = np.zeros(n, dtype=np.int64)
+    title_total = 0
+    if title_arr is not None:
+        title_tbl, title_counts, title_total = _field_postings(
+            title_arr, FIELD_TITLE, docids
+        )
+        parts.append(title_tbl)
+
+    postings = pa.concat_tables(parts)
+    doclen = pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "norm_content": pa.array(fieldnorm_to_id(content_counts), pa.uint8()),
+            "norm_title": pa.array(fieldnorm_to_id(title_counts), pa.uint8()),
+            "len_content": pa.array(content_counts.astype(np.uint32), pa.uint32()),
+            "len_title": pa.array(title_counts.astype(np.uint32), pa.uint32()),
+        },
+        schema=DOCLEN_SCHEMA,
+    )
+    idmap = pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "id": ids,
+            "content_hash": pa.array(content_hashes(content_arr), pa.uint64()),
+        },
+        schema=IDMAP_SCHEMA,
+    )
+    stats = {
+        "partition": partition_index,
+        "rows": n,
+        "content": {"doc_count": n, "total_tokens": content_total},
+        "title": {"doc_count": n, "total_tokens": title_total},
+        "postings_rows": len(postings),
+    }
+    return {"postings": postings, "doclen": doclen, "idmap": idmap, "stats": stats}
+
+
+def df_partials(postings: pa.Table, partition_index: int, min_local_df: int = 1) -> pa.Table:
+    """Per-partition (field, term) document-frequency partials — the tiny
+    combiner output that feeds the salting decision without reshuffling the
+    full postings table."""
+    g = postings.group_by(["field", "term"], use_threads=False).aggregate(
+        [("docid", "count")]
+    )
+    out = pa.table(
+        {
+            "field": g["field"],
+            "term": g["term"],
+            "df": g["docid_count"].cast(pa.uint64()),
+            "partition": pa.array(
+                np.full(len(g), partition_index, dtype=np.uint32), pa.uint32()
+            ),
+        }
+    )
+    if min_local_df > 1:
+        out = out.filter(pc.greater_equal(out["df"], min_local_df))
+    return out

@@ -1,0 +1,193 @@
+"""End-to-end: Ray Data index build + BM25 search vs the exhaustive oracle.
+
+RankExact gate: the engine's top-k must match the oracle's docids AND
+score bits at every rank, for every conformance query, on the t1 corpus
+(120 reference docs + 21 edge cases) — including with aggressive salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from frankensearch_ray.build import BuildConfig, build_index
+from frankensearch_ray.contract.parser import parse_default
+from frankensearch_ray.search.oracle import ExhaustiveOracle
+from frankensearch_ray.search.searcher import LocalSearcher
+from frankensearch_ray.sources import pages
+from frankensearch_ray.sources.extract import extract_scalar
+
+EXTRA_QUERIES = [
+    "rust ownership borrowing",
+    '"error handling"',
+    '"rust"',
+    "rust OR ownership AND borrowing",
+    "title:rust^3",
+    "-deprecated",
+    "rust rust",
+    "src/main.rs",
+    "+rust -python",
+    "auth AND NOT deprecated",
+    "search engine index",
+    "搜索",
+    "error",
+    "the",  # salted head term
+    "the of and",  # all salted
+    '"the rust"',
+    "id:https://corpus.test/test-rust-001",
+    "title:[a TO c}",
+    "nonexistentterm12345",
+    "",
+]
+
+
+def _oracle_docs(paths):
+    docs = []
+    for p, path in enumerate(sorted(paths)):
+        t = pq.read_table(path)
+        for r in range(len(t)):
+            html = t["html"][r].as_py().decode("utf-8")
+            title, text = extract_scalar(html)
+            docid = (p << 32) | r
+            docs.append((docid, t["url"][r].as_py(), title, text))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def t1_index(ray_session, tmp_index_root):
+    paths = pages.tier_t1()
+    index_dir = str(tmp_index_root / "t1_salted")
+    cfg = BuildConfig(
+        id_col="url",
+        html_col="html",
+        verify_text_col="text",
+        num_shards=4,
+        salt_threshold=25,  # aggressive: head terms of the 120-doc corpus salt
+        salt_buckets=2,
+        target_partition_rows=50,
+    )
+    manifest = build_index(paths, index_dir, cfg, resume=False)
+    return index_dir, manifest, paths
+
+
+@pytest.fixture(scope="module")
+def oracle(t1_index):
+    _, _, paths = t1_index
+    return ExhaustiveOracle(_oracle_docs(paths))
+
+
+@pytest.fixture(scope="module")
+def searcher(t1_index):
+    index_dir, _, _ = t1_index
+    return LocalSearcher(index_dir)
+
+
+def _queries(reference_queries):
+    qs = [q["query"] for q in reference_queries]
+    return qs + EXTRA_QUERIES
+
+
+class TestBuild:
+    def test_manifest_shape(self, t1_index):
+        _, manifest, _ = t1_index
+        assert manifest["field_stats"]["content"]["doc_count"] == 141
+        assert len(manifest["partitions"]) == 3
+        assert manifest["partitions"][1]["docid_base"] == 1 << 32
+        assert len(manifest["salt"]["salted_terms"]) > 0  # head terms salted
+        assert manifest["metrics"]["docs_per_sec"] > 0
+
+    def test_stats_match_oracle(self, t1_index, oracle):
+        _, manifest, _ = t1_index
+        for f in ("content", "title"):
+            assert (
+                manifest["field_stats"][f]["total_tokens"]
+                == oracle.stats[f]["total_tokens"]
+            ), f
+
+
+class TestRankExact:
+    def test_all_queries_rank_and_score_identical(
+        self, searcher, oracle, reference_queries
+    ):
+        failures = []
+        for q in _queries(reference_queries):
+            got = searcher.search(q, limit=10)["hits"]
+            parsed = parse_default(q)
+            want = oracle.search(parsed.query, limit=10)["hits"]
+            g = [(h["docid"], h["score_bits"]) for h in got]
+            w = [(h["docid"], h["score_bits"]) for h in want]
+            if g != w:
+                failures.append((q, w[:4], g[:4]))
+        assert not failures, "\n".join(
+            f"{q!r}\n want {w}\n got  {g}" for q, w, g in failures
+        )
+
+    def test_pagination_consistency(self, searcher, oracle):
+        q = "rust ownership"
+        full = searcher.search(q, limit=20)["hits"]
+        page1 = searcher.search(q, limit=5, offset=0)["hits"]
+        page2 = searcher.search(q, limit=5, offset=5)["hits"]
+        assert [h["docid"] for h in page1 + page2] == [
+            h["docid"] for h in full[:10]
+        ]
+        # page-local rank starts at zero (behavior-pagination)
+        assert [h["rank"] for h in page2] == list(range(5))
+
+    def test_count_mode(self, searcher, oracle):
+        q = "rust"
+        res = searcher.search(q, limit=3, count=True)
+        want = oracle.search(parse_default(q).query, limit=3)
+        assert res["total"] == want["total"]
+        assert len(res["hits"]) == 3
+
+    def test_limit_zero(self, searcher):
+        res = searcher.search("rust", limit=0, count=True)
+        assert res["hits"] == [] and res["total"] > 0
+
+
+class TestSaltingDifferential:
+    def test_salted_equals_unsalted(
+        self, ray_session, tmp_index_root, searcher, reference_queries
+    ):
+        paths = pages.tier_t1()
+        plain_dir = str(tmp_index_root / "t1_plain")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            num_shards=3,
+            salt_threshold=10**9,  # salting off
+            target_partition_rows=10_000,  # different partitioning too
+        )
+        build_index(paths, plain_dir, cfg, resume=False)
+        plain = LocalSearcher(plain_dir)
+        for q in ["the", "rust ownership borrowing", '"error handling"', "the of"]:
+            a = [(h["id"], h["score_bits"]) for h in searcher.search(q, 10)["hits"]]
+            b = [(h["id"], h["score_bits"]) for h in plain.search(q, 10)["hits"]]
+            assert a == b, q
+
+
+class TestResume:
+    def test_rebuild_skips_partitions_and_matches(
+        self, ray_session, t1_index, searcher
+    ):
+        index_dir, _, paths = t1_index
+        import time
+
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            verify_text_col="text",
+            num_shards=4,
+            salt_threshold=25,
+            salt_buckets=2,
+            target_partition_rows=50,
+        )
+        t0 = time.time()
+        m2 = build_index(paths, index_dir, cfg, resume=True)
+        assert m2["field_stats"]["content"]["doc_count"] == 141
+        s2 = LocalSearcher(index_dir)
+        q = "rust ownership"
+        assert [h["id"] for h in s2.search(q, 10)["hits"]] == [
+            h["id"] for h in searcher.search(q, 10)["hits"]
+        ]
