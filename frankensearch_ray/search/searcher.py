@@ -464,10 +464,39 @@ class LocalSearcher:
         limit: int = 10,
         offset: int = 0,
         count: bool = False,
+        pruning: bool = True,
     ):
         """Parse + evaluate + top-k.  Returns dict with ``hits`` (list of
-        ``{id, docid, score, rank}``) and optional exact ``total``."""
+        ``{id, docid, score, rank}``) and optional exact ``total``.
+
+        Rank pruning (block-max, ``wand.py``) engages only for top-docs
+        roots without exact counting — the reference gate
+        (``index.rs:7907-7908``); pruned output is bit-identical to the
+        exhaustive kernel.
+        """
         parsed = parse_default(query)
+        if pruning and not count and limit > 0:
+            from .wand import search_pruned
+
+            pruned = search_pruned(self, parsed.query, limit + offset)
+            if pruned is not None:
+                docids, scores = pruned
+                take = np.arange(offset, min(len(docids), offset + limit))
+                hits = []
+                win_ids = self.ids_for(docids[take])
+                for rank, (i, ext_id) in enumerate(zip(take, win_ids)):
+                    hits.append(
+                        {
+                            "id": ext_id,
+                            "docid": int(docids[i]),
+                            "score": float(scores[i]),
+                            "score_bits": int(
+                                np.float32(scores[i]).view(np.uint32)
+                            ),
+                            "rank": rank,
+                        }
+                    )
+                return {"hits": hits}
         docids, scores = self.evaluate(parsed.query)
         total = int(len(docids))
         hits = []

@@ -1,0 +1,235 @@
+"""Rank-safe block-max pruned top-k for Should-union term queries.
+
+A windowed block-max WAND variant in the spirit of the reference's
+``BufferedUnionScorer`` + Block-Max WAND / MaxScore strategies
+(``argus.rs:4057-4300``, ``UNION_HORIZON`` score windows): the docid space
+is swept in segments bounded by posting-block boundaries; a segment whose
+summed per-clause block-max bounds stay strictly below the current
+kth-best score is skipped without decoding.  Segments that survive are
+scored EXACTLY with the same f32 clause-order accumulation as the
+exhaustive kernel, so pruned results are bit-identical to exhaustive —
+the reference's own differential gate (pruned ≡ exhaustive,
+``PLAN.md:513``).
+
+Bounds are computed from the durable (max_freq_code, min_fieldnorm_id)
+pairs against the LIVE avgdl at query time (``quiver.rs:1769-1786``);
+monotonicity of f32 rounding keeps the bound conservative for the f32
+score sums.
+
+Pruning applies when the root is a single Term or a Boolean of only
+Should Term children (the dominant query class); anything else falls back
+to the exhaustive evaluator — mirroring the reference's gating (pruning
+iff top-docs root without exact count, ``index.rs:7907-7908``).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..codecs import decode_blockmax, decode_postings_from
+from ..contract import bm25
+from ..contract.query_ast import SHOULD, Boolean, Term
+from ..schema import FIELD_ORDS
+
+MAX_BATCH_SEGMENTS = 64
+
+
+class _Leaf:
+    """One (field, term) scorer: lazily block-decoded postings + bounds."""
+
+    def __init__(self, searcher, field_name: str, term: str, boost: float):
+        ford = FIELD_ORDS[field_name]
+        self.searcher = searcher
+        self.ford = ford
+        rows = searcher.term_rows(ford, term)
+        n, avgdl = searcher.field_bm25(field_name)
+        self.avgdl = float(avgdl)
+        df = sum(int(r["df"]) for _b, r in rows)
+        self.empty = df == 0
+        if self.empty:
+            self.first_docs = np.zeros(0, np.uint64)
+            self.bounds = np.zeros(0, np.float64)
+            return
+        self.weight = bm25.term_weight(bm25.idf(min(df, n), n), boost)
+        self.tf_cache = bm25.compute_tf_cache(avgdl)
+        # bucket rows concat in docid order: treat the concatenated blockmax
+        # streams as one stream with per-row postings-buffer bookkeeping
+        self.rows = [r for _b, r in rows]
+        bms = [decode_blockmax(r["blockmax"]) for r in self.rows]
+        self.block_row = np.concatenate(
+            [np.full(len(b), i, dtype=np.int32) for i, b in enumerate(bms)]
+        )
+        self.block_offset = np.concatenate([b["offset"] for b in bms])
+        self.first_docs = np.concatenate([b["first_doc"] for b in bms])
+        codes = np.concatenate([b["max_freq_code"] for b in bms])
+        minfn = np.concatenate([b["min_fieldnorm_id"] for b in bms])
+        # vectorized conservative block bound: weight * f/(f+norm(min_fn))
+        freqs = bm25.block_max_frequency_from_code(codes).astype(np.float32)
+        norms = self.tf_cache[minfn.astype(np.int64)]
+        self.bounds = (
+            np.float32(self.weight) * (freqs / (freqs + norms))
+        ).astype(np.float64)
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def n_blocks(self) -> int:
+        return len(self.first_docs)
+
+    def decode_block(self, b: int):
+        got = self._decoded.get(b)
+        if got is not None:
+            return got
+        row = self.rows[self.block_row[b]]
+        buf = row["postings"]
+        off = int(self.block_offset[b])
+        payload_len = int.from_bytes(buf[off + 2 : off + 4], "little")
+        d, f = decode_postings_from(buf[: off + 4 + payload_len], off)
+        self._decoded[b] = (d, f)
+        return d, f
+
+    def postings_in(self, lo: int, hi: int):
+        """Decoded (docids, tfs) within [lo, hi) using block skipping."""
+        if self.empty:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        b0 = int(np.searchsorted(self.first_docs, lo, side="right")) - 1
+        b0 = max(b0, 0)
+        b1 = int(np.searchsorted(self.first_docs, hi, side="left"))
+        ds, fs = [], []
+        for b in range(b0, b1):
+            d, f = self.decode_block(b)
+            i0 = int(np.searchsorted(d, lo))
+            i1 = int(np.searchsorted(d, hi))
+            if i1 > i0:
+                ds.append(d[i0:i1])
+                fs.append(f[i0:i1])
+        if not ds:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        return np.concatenate(ds), np.concatenate(fs)
+
+    def scores_for(self, docids: np.ndarray) -> np.ndarray:
+        """Exact f32 contributions for candidate docids (0 where absent)."""
+        out = np.zeros(len(docids), dtype=np.float32)
+        if self.empty or len(docids) == 0:
+            return out
+        lo, hi = int(docids[0]), int(docids[-1]) + 1
+        d, f = self.postings_in(lo, hi)
+        if len(d) == 0:
+            return out
+        idx = np.searchsorted(docids, d)
+        present = (idx < len(docids)) & (docids[np.minimum(idx, len(docids) - 1)] == d)
+        d, f, idx = d[present], f[present], idx[present]
+        norms = self.searcher.norms.norms(self.ford, d)
+        out[idx] = bm25.term_scores(f, norms, self.weight, self.tf_cache)
+        return out
+
+
+def _extract_union_clauses(searcher, node):
+    """Return clause leaf lists for a pure Should-union of Terms, else None."""
+    if isinstance(node, Term):
+        terms = [node]
+    elif isinstance(node, Boolean):
+        if not node.children or any(c.occur != SHOULD for c in node.children):
+            return None
+        if not all(isinstance(c.query, Term) for c in node.children):
+            return None
+        terms = [c.query for c in node.children]
+    else:
+        return None
+    clauses = []
+    for t in terms:
+        leaves = [
+            _Leaf(searcher, f.name, t.text, f.boost)
+            for f in t.fields
+            if f.name in FIELD_ORDS
+        ]
+        leaves = [l for l in leaves if not l.empty]
+        if leaves:
+            clauses.append(leaves)
+    return clauses
+
+
+def search_pruned(searcher, node, k: int):
+    """Block-max pruned top-k.  Returns ``(docids, scores)`` of the top k by
+    (score desc, docid asc), or ``None`` when the AST shape is unsupported
+    (caller falls back to exhaustive)."""
+    clauses = _extract_union_clauses(searcher, node)
+    if clauses is None:
+        return None
+    leaves = [l for cl in clauses for l in cl]
+    if not leaves:
+        return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+
+    # segment sweep: boundaries at every block first_doc of every leaf
+    events = np.unique(np.concatenate([l.first_docs for l in leaves]))
+    n_seg = len(events)
+    seg_end = np.concatenate((events[1:], [np.iinfo(np.uint64).max])).astype(
+        np.uint64
+    )
+    # per-clause active bound per segment (bounds already conservative f32->f64);
+    # clause bound = f32-sum over its leaves, matching score association
+    ub = np.zeros(n_seg, dtype=np.float64)
+    for cl in clauses:
+        cl_bound = np.zeros(n_seg, dtype=np.float32)
+        for l in cl:
+            idx = np.searchsorted(l.first_docs, events, side="right") - 1
+            active = idx >= 0
+            contrib = np.zeros(n_seg, dtype=np.float32)
+            contrib[active] = l.bounds[idx[active]].astype(np.float32)
+            cl_bound = cl_bound + contrib
+        ub += cl_bound.astype(np.float64)
+
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap; root = worst
+
+    def theta():
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    def push(docids: np.ndarray, scores: np.ndarray):
+        for d, s in zip(docids, scores):
+            item = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    i = 0
+    while i < n_seg:
+        # skip dead segments (strict <, so exact ties are never pruned)
+        if len(heap) >= k and ub[i] < theta():
+            i += 1
+            continue
+        # batch consecutive live segments
+        j = i
+        while (
+            j < n_seg
+            and (j - i) < MAX_BATCH_SEGMENTS
+            and (len(heap) < k or ub[j] >= theta())
+        ):
+            j += 1
+        lo, hi = int(events[i]), int(seg_end[j - 1])
+        if hi <= lo:
+            hi = lo + 1
+        # candidates: union of leaf postings within [lo, hi)
+        cand_parts = [l.postings_in(lo, hi)[0] for l in leaves]
+        cand_parts = [c for c in cand_parts if len(c)]
+        if cand_parts:
+            cand = cand_parts[0]
+            for c in cand_parts[1:]:
+                cand = np.union1d(cand, c)
+            # exact scoring, same association as the exhaustive kernel:
+            # per clause: f32 sum over its field leaves; then clause-order sum
+            total = np.zeros(len(cand), dtype=np.float32)
+            for cl in clauses:
+                cl_score = np.zeros(len(cand), dtype=np.float32)
+                for l in cl:
+                    cl_score = cl_score + l.scores_for(cand)
+                total = total + cl_score
+            push(cand, total)
+        i = j
+
+    if not heap:
+        return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    docids = np.array([-d for _s, d in ranked], dtype=np.uint64)
+    scores = np.array([s for s, _d in ranked], dtype=np.float32)
+    return docids, scores
