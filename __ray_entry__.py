@@ -1,44 +1,296 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract surface for the frankensearch-ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible entry.  Outputs are designed to be
+integer/string-exact so value-hash comparison is robust; the f32 BM25
+ranking contract itself is differentially tested in pytest
+(``tests/test_build_search.py``) where the oracle shares the pinned
+arithmetic.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
+
+# --- shared SQL fragments --------------------------------------------------
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_DOCS_CTE = f"docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
+
+
+def _fieldnorm_values_sql() -> str:
+    from frankensearch_ray.contract.fieldnorm import FIELD_NORMS_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in FIELD_NORMS_TABLE)
+    return f"fnt(v) AS (VALUES {vals})"
+
+
+def _lang_counts_sql() -> str:
+    from frankensearch_ray.pipelines.textstats import LANG_PROFILES
+
+    cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS {lang}"
+        )
+    return ", ".join(cols)
+
+
+# --- entry -----------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents with the
+    full Ray pipeline, then run a BM25 top-10 query through it."""
+    from frankensearch_ray.pipelines.docsearch import searcher_for
+
+    s = searcher_for("/root/testdata/sf0.001")
+    res = s.search("hash merge window", limit=10)
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {"doc_id": int(h["id"]), "rank": h["rank"], "score": h["score"]}
+            for h in res["hits"]
+        ],
+        columns=["doc_id", "rank", "score"],
+    )
+
+
+# --- queries ---------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from frankensearch_ray.pipelines import ann, dedup, docsearch, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # inverted-index build + query engine (SURVEY §2.1-2.9)
+        "term_df": docsearch.term_df,
+        "doc_lengths": docsearch.doc_lengths,
+        "boolean_and": docsearch.boolean_and,
+        "boolean_or_not": docsearch.boolean_or_not,
+        "phrase_match": docsearch.phrase_match,
+        "topk_by_tf": docsearch.topk_by_tf,
+        "bm25_topk": docsearch.bm25_topk,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash": dedup.minhash_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        # similarity search
+        "knn_bruteforce": ann.knn_bruteforce,
+        "knn_ivf": ann.knn_ivf,
+        # text analysis + multimodal plumbing
+        "lang_id": textstats.lang_id,
+        "quality_scores": textstats.quality_scores,
+        "token_stats": textstats.token_stats,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "media_features": textstats.media_features,
+    }
+
+
+# --- oracle SQL ------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS
+    docs = _DOCS_CTE
+    return {
+        "term_df": f"""
+            WITH {docs},
+            t AS (SELECT doc_id, unnest(toks) AS term FROM docs)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM t GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 5
+            ORDER BY term
+        """,
+        "doc_lengths": f"""
+            WITH {docs}
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens
+            FROM docs ORDER BY doc_id
+        """,
+        "boolean_and": f"""
+            WITH {docs}
+            SELECT doc_id FROM docs
+            WHERE list_contains(toks, 'hash') AND list_contains(toks, 'merge')
+            ORDER BY doc_id
+        """,
+        "boolean_or_not": f"""
+            WITH {docs}
+            SELECT doc_id FROM docs
+            WHERE (list_contains(toks, 'spark') OR list_contains(toks, 'window'))
+              AND NOT list_contains(toks, 'sort')
+            ORDER BY doc_id
+        """,
+        "phrase_match": f"""
+            WITH {docs}
+            SELECT doc_id FROM docs
+            WHERE concat(' ', array_to_string(toks, ' '), ' ')
+                  LIKE '% hash table %'
+            ORDER BY doc_id
+        """,
+        "topk_by_tf": f"""
+            WITH {docs},
+            tf AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x = 'table'))::BIGINT AS tf
+              FROM docs
+            )
+            SELECT doc_id, tf,
+                   (row_number() OVER (ORDER BY tf DESC, doc_id) - 1)::BIGINT
+                     AS rank
+            FROM tf WHERE tf > 0
+            ORDER BY rank LIMIT 20
+        """,
+        "bm25_topk": f"""
+            WITH {docs},
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM docs
+            ),
+            dl AS (
+              SELECT doc_id, len(toks) AS raw_dl,
+                     (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM docs
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              WHERE term IN ('hash', 'merge', 'window')
+              GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+                              / (df.df + 0.5)) * 2.2
+                       * tf.tf
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                             / (SELECT n FROM stats))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+                     AS rank
+            FROM scores
+            ORDER BY rank LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS doc_id
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             FOR i IN range(1, len(toks) - 1)]) AS shingle
+              FROM docs WHERE len(toks) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+              FROM docs WHERE len(toks) < 3 AND len(toks) > 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            ok_sh AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(DISTINCT doc_id) <= 1000
+            ),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+              WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   floor(100.0 * i / (sa.sz + sb.sz - i) + 1e-9)::BIGINT
+                     AS jaccard_pct
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     (row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) - 1)
+                       AS rank
+              FROM sims
+            )
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        "lang_id": f"""
+            WITH {docs},
+            c AS (SELECT doc_id, {_lang_counts_sql()} FROM docs)
+            SELECT doc_id,
+                   CASE
+                     WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                     WHEN de > 0 AND de > en AND de >= fr AND de >= es THEN 'de'
+                     WHEN fr > 0 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+                     WHEN es > 0 AND es > en AND es > de AND es > fr THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            WITH {docs}
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_types,
+                   coalesce(list_max(list_transform(toks, x -> length(x))), 0)::BIGINT
+                     AS max_word_len,
+                   len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))::BIGINT
+                     AS digit_tokens
+            FROM docs ORDER BY doc_id
+        """,
+        "token_stats": f"""
+            WITH {docs},
+            t AS (SELECT doc_id, unnest(toks) AS term FROM docs)
+            SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS total_tokens,
+                   count(DISTINCT term)::BIGINT AS distinct_terms
+            FROM t
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   octet_length(text::BLOB)::BIGINT AS n_bytes,
+                   (octet_length(text::BLOB) // 256)::BIGINT AS n_frames
+            FROM documents ORDER BY doc_id
+        """,
+        # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
+        # approximate or non-SQL-expressible: rows-only checks.
+    }

@@ -1,0 +1,202 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``knn_bruteforce``: exact cosine top-k — per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once), per-batch partial top-k, driver
+  merge.  The scale baseline: one pass, no shuffle.
+- ``knn_ivf``: IVF-style scale path — deterministic k-means-lite centroids
+  (seeded, few Lloyd iterations over a sample), assign each vector to its
+  nearest centroid inside ``map_batches``, probe the ``nprobe`` closest
+  centroid buckets only.  Recall vs bruteforce is asserted in pytest.
+
+Similarities are computed in float64 so the DuckDB oracle
+(``list_cosine_similarity``) agrees to rank level on non-tied data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    col = batch["embedding"].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(ids) if len(ids) else 0
+    return ids, flat.reshape(len(ids), dim)
+
+
+class _BruteForceScorer:
+    """Stateless task body: partial cosine top-k per batch vs broadcast
+    queries."""
+
+    def __init__(self, queries_ref, k: int):
+        self.queries_ref = queries_ref
+        self.k = k
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._q is None:
+            q_ids, q = (
+                ray.get(self.queries_ref)
+                if not isinstance(self.queries_ref, tuple)
+                else self.queries_ref
+            )
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            self._q = (q_ids, qn)
+        q_ids, qn = self._q
+        ids, m = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ mn.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for bi in part[qi]:
+                out_q.append(int(q_ids[qi]))
+                out_n.append(int(ids[bi]))
+                out_s.append(float(sims[qi, bi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk(pdf: pd.DataFrame, k: int) -> pa.Table:
+    pdf = pdf.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    pdf = pdf.groupby("query_id", sort=True).head(k)
+    pdf["rank"] = pdf.groupby("query_id").cumcount()
+    out = pdf[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def knn_bruteforce(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10
+) -> pa.Table:
+    """(query_id, neighbor_id, rank): exact cosine top-k per query vector."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    qt = pq.read_table(_emb_path(sf_dir))
+    q_ids_all, qm = _batch_matrix(qt)
+    sel = np.isin(q_ids_all, np.asarray(query_ids))
+    queries = (q_ids_all[sel], qm[sel])
+    queries_ref = ray.put(queries)
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _BruteForceScorer(queries_ref, k), batch_format="pyarrow", batch_size=512
+    )
+    return _merge_topk(partials.to_pandas(), k)
+
+
+def _kmeans_lite(
+    sample: np.ndarray, n_clusters: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def knn_ivf(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF-bucketed approximate cosine top-k (the 100 TB scale path: the
+    matmul only touches ``nprobe / n_clusters`` of the corpus)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    qt = pq.read_table(_emb_path(sf_dir))
+    ids_all, m_all = _batch_matrix(qt)
+    # centroids from a deterministic sample (driver-side; small)
+    cents = _kmeans_lite(m_all[: min(2000, len(m_all))], n_clusters)
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sel = np.isin(ids_all, np.asarray(query_ids))
+    q_ids, qm = ids_all[sel], m_all[sel]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cents_n.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_sets = {int(q): set(map(int, probe[i])) for i, q in enumerate(q_ids)}
+    refs = ray.put((q_ids, qm, cents, probe_sets))
+
+    class IvfScorer:
+        def __init__(self):
+            self._state = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._state is None:
+                q_ids_, qm_, cents_, probes_ = ray.get(refs)
+                qn_ = qm_ / np.linalg.norm(qm_, axis=1, keepdims=True)
+                self._state = (q_ids_, qn_, cents_, probes_)
+            q_ids_, qn_, cents_, probes_ = self._state
+            ids, m = _batch_matrix(batch)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            out_q, out_n, out_s = [], [], []
+            for qi, q in enumerate(q_ids_):
+                mask = np.isin(assign, list(probes_[int(q)]))
+                if not mask.any():
+                    continue
+                sims = qn_[qi] @ mn[mask].T
+                cand_ids = ids[mask]
+                kk = min(k, len(cand_ids))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                for bi in top:
+                    out_q.append(int(q))
+                    out_n.append(int(cand_ids[bi]))
+                    out_s.append(float(sims[bi]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(IvfScorer, batch_format="pyarrow", batch_size=512, concurrency=2)
+    return _merge_topk(partials.to_pandas(), k)

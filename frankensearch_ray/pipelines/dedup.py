@@ -1,0 +1,410 @@
+"""Deduplication pipelines: exact, exact n-gram Jaccard, MinHash-LSH, SimHash.
+
+Training-data-pipeline operators over a documents table, Ray-Data-first:
+
+- exact: vectorized content hash per batch -> ``groupby(hash).min(id)``
+  (hash-partitioned; one surviving doc per identical text);
+- ngram_jaccard: word-shingle explode -> ``groupby(shingle)`` co-occurrence
+  pairs -> exact Jaccard (distributed set-similarity join; stop-shingles
+  above a frequency cap are dropped — the cap is part of the operator
+  contract so the SQL oracle applies the same rule);
+- minhash_lsh: 64 permutations, 16 bands x 4 rows -> band-bucket groupby ->
+  candidate pairs -> exact-Jaccard verification (probabilistic recall;
+  verified precision = 1 by construction);
+- simhash: 64-bit simhash per doc; near-dup pairs blocked on 4 x 16-bit
+  sub-bands (exact recall for hamming distance <= 3 with >= 1 equal band
+  ... guaranteed only for hamming <= 3 when distance spreads over bands;
+  standard pigeonhole blocking).
+
+Scale notes: the shuffles are keyed on hash / shingle / band-bucket; skew
+is bounded by the stop-shingle cap resp. the band width.  Pair explosion
+within one bucket is quadratic per bucket — buckets are capped (dropped
+above ``bucket_cap`` with a log) as real 100 TB dedup jobs do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _doc_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _hash_texts(batch: pa.Table, text_col: str) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    h = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    (t or "").encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for t in texts
+        ],
+        dtype=np.uint64,
+    )
+    return batch.append_column("content_hash", pa.array(h, pa.uint64()))
+
+
+def exact_dedup(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Surviving doc per identical text: (doc_id) = min id of each group."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    ds = ds.map_batches(
+        lambda t: _hash_texts(t, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("content_hash").aggregate(Min(id_col, alias_name="doc_id"))
+    pdf = agg.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"))})
+
+
+def _word_shingles(tokens: list[str], k: int) -> set[str]:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def _shingle_batch(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
+    ids, shingles = [], []
+    for doc_id, text in zip(
+        batch[id_col].to_pylist(), batch[text_col].to_pylist()
+    ):
+        toks = (text or "").split()
+        for s in _word_shingles(toks, k):
+            ids.append(doc_id)
+            shingles.append(s)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(shingles)}
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Exact all-pairs word-k-shingle Jaccard >= threshold.
+
+    Distributed set-similarity join: explode (shingle, doc), drop shingles
+    with df > cap (contractual stop-shingle rule), co-occurrence counts per
+    pair via groupby(shingle) pair expansion, exact Jaccard from
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    shingled = ds.map_batches(
+        lambda t: _shingle_batch(t, id_col, text_col, k), batch_format="pyarrow"
+    ).materialize()
+
+    # |A| per doc
+    sizes_pdf = (
+        shingled.groupby("doc_id").count().to_pandas().set_index("doc_id")
+    )
+    sizes = sizes_pdf["count()"].to_dict()
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].unique())
+        if len(docs) < 2 or len(docs) > shingle_df_cap:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+
+    pair_counts = (
+        shingled.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .to_pandas()
+    )
+    if len(pair_counts) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    inter = pair_counts["count()"].to_numpy(dtype=np.int64)
+    a = pair_counts["a"].to_numpy(dtype=np.int64)
+    b = pair_counts["b"].to_numpy(dtype=np.int64)
+    size_a = np.array([sizes[x] for x in a], dtype=np.int64)
+    size_b = np.array([sizes[x] for x in b], dtype=np.int64)
+    union = size_a + size_b - inter
+    jac = inter / union
+    keep = jac >= threshold
+    # integer-exact output for oracle comparison: jaccard as floor(pct)
+    out = pd.DataFrame(
+        {
+            "doc_a": a[keep],
+            "doc_b": b[keep],
+            "jaccard_pct": np.floor(jac[keep] * 100 + 1e-9).astype(np.int64),
+        }
+    ).sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- MinHash ---------------------------------------------------------------
+
+
+def _minhash_params(n_perm: int, seed: int = 42):
+    # a, b < 2^31 and x reduced mod 2^31 keep a*x + b < 2^63: no uint64
+    # overflow, a genuine universal hash family mod the Mersenne prime
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = (text or "").split()
+    sh = _word_shingles(toks, k)
+    if not sh:
+        return np.zeros(1, dtype=np.uint64)
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for s in sorted(sh)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(text: str, n_perm: int, k: int, params=None) -> np.ndarray:
+    a, b = params if params is not None else _minhash_params(n_perm)
+    x = _shingle_hashes(text, k) % np.uint64(1 << 31)
+    # h_i(x) = (a_i * x + b_i) mod p, minimized over shingles (vectorized)
+    prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+class MinHashBander:
+    """Actor-pool stage: signature + band keys per batch (params built once)."""
+
+    def __init__(self, n_perm: int, bands: int, k: int, text_col: str, id_col: str):
+        self.params = _minhash_params(n_perm)
+        self.n_perm = n_perm
+        self.bands = bands
+        self.rows = n_perm // bands
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            sig = minhash_signature(text, self.n_perm, self.k, self.params)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                ids.append(doc_id)
+                band_ids.append(bi)
+                band_hashes.append(int.from_bytes(h, "little"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.uint64()),
+            }
+        )
+
+
+def minhash_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    bucket_cap: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """MinHash-LSH candidates verified with exact Jaccard >= threshold."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    banded = ds.map_batches(
+        MinHashBander(n_perm, bands, k, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].unique())
+        if len(docs) < 2 or len(docs) > bucket_cap:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    # verify candidates with exact shingle sets (candidate set is small;
+    # at scale this is a broadcast-join of shingle sets per pair partition)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_doc_path(sf_dir), columns=[id_col, text_col])
+    texts = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    rows = []
+    for a_id, b_id in zip(cand["a"].astype(int), cand["b"].astype(int)):
+        sa = _word_shingles((texts[a_id] or "").split(), k)
+        sb = _word_shingles((texts[b_id] or "").split(), k)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            rows.append((a_id, b_id, int(np.floor(jac * 100 + 1e-9))))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in toks:
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+            "little",
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(
+    sf_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int = 500,
+) -> pa.Table:
+    """Near-dup pairs with simhash hamming distance <= max_hamming, blocked
+    on 4 x 16-bit sub-bands (pigeonhole: any pair within distance 3 shares
+    at least one exact band)."""
+    import ray.data as rd
+
+    def add_simhash(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+        ids, bands, keys, sims = [], [], [], []
+        for doc_id, h in zip(batch[id_col].to_pylist(), hs):
+            for b in range(4):
+                ids.append(doc_id)
+                bands.append(b)
+                keys.append((h >> (16 * b)) & 0xFFFF)
+                sims.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "key": pa.array(keys, pa.int64()),
+                "simhash": pa.array(sims, pa.uint64()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    banded = ds.map_batches(add_simhash, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2 or n > bucket_cap:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "ha": pd.Series([], dtype="uint64"),
+                    "hb": pd.Series([], dtype="uint64"),
+                }
+            )
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {"a": ids[ia], "b": ids[ib], "ha": sims[ia], "hb": sims[ib]}
+        )
+
+    cand = (
+        banded.groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    x = cand["ha"].to_numpy(dtype=np.uint64) ^ cand["hb"].to_numpy(dtype=np.uint64)
+    ham = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & 1).astype(np.int64)
+        x >>= 1
+    keep = ham <= max_hamming
+    out = (
+        pd.DataFrame(
+            {
+                "doc_a": cand["a"].to_numpy(dtype=np.int64)[keep],
+                "doc_b": cand["b"].to_numpy(dtype=np.int64)[keep],
+                "hamming": ham[keep],
+            }
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

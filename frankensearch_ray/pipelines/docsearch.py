@@ -1,0 +1,207 @@
+"""Index-backed query pipelines over the driver testdata ``documents`` table.
+
+Each function takes ``sf_dir`` and returns a small Arrow table whose values
+are integer/string-exact so the DuckDB oracle comparison is robust (the f32
+BM25 ranking contract is differentially tested in pytest instead, where the
+oracle shares the pinned arithmetic).
+
+The documents index is built once per ``sf_dir`` by the full Ray build
+pipeline and cached under ``/tmp/fsray_entry``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..build import BuildConfig, build_index
+from ..contract.query_ast import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    Boolean,
+    Clause,
+    Phrase,
+    QueryField,
+    Term,
+)
+from ..schema import FIELD_CONTENT
+from ..search.searcher import LocalSearcher
+
+CACHE_ROOT = os.environ.get("FSRAY_CACHE", "/tmp/fsray_entry")
+
+_SEARCHERS: dict[str, LocalSearcher] = {}
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (or reuse) the inverted index over ``{sf_dir}/documents.parquet``."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = Path(sf_dir).name or "sf"
+    index_dir = os.path.join(CACHE_ROOT, tag, "documents_idx")
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("source_mtime") == os.path.getmtime(src):
+                return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    manifest = build_index([src], index_dir, cfg, resume=False)
+    manifest["source_mtime"] = os.path.getmtime(src)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    _SEARCHERS.pop(index_dir, None)
+    return index_dir
+
+
+def searcher_for(sf_dir: str) -> LocalSearcher:
+    index_dir = documents_index(sf_dir)
+    s = _SEARCHERS.get(index_dir)
+    if s is None:
+        s = LocalSearcher(index_dir)
+        _SEARCHERS[index_dir] = s
+    return s
+
+
+def _content_term(text: str) -> Term:
+    return Term(text, [QueryField("content", 1.0)])
+
+
+def _docids_to_doc_ids(searcher: LocalSearcher, docids: np.ndarray) -> list[int]:
+    return [int(x) for x in searcher.ids_for(docids)]
+
+
+def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
+    """(term, df) for every content term with df >= min_df — exercises the
+    full tokenize -> shuffle -> encode path via the shard files themselves."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    index_dir = documents_index(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "shards"), columns=["field", "term", "df"]
+    )
+    agg = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.array(np.equal(t["field"].to_numpy(), FIELD_CONTENT))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    out = pa.Table.from_pandas(agg.to_pandas())
+    out = out.filter(pa.array(np.greater_equal(out["df"].to_numpy(), min_df)))
+    out = out.sort_by("term")
+    return pa.table(
+        {
+            "term": out["term"].cast(pa.string()),
+            "df": out["df"].cast(pa.int64()),
+        }
+    )
+
+
+def doc_lengths(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens) per document from the doclen sidecars."""
+    index_dir = documents_index(sf_dir)
+    doclen = pq.read_table(
+        os.path.join(index_dir, "doclen"), columns=["docid", "len_content"]
+    )
+    idmap = pq.read_table(
+        os.path.join(index_dir, "idmap"), columns=["docid", "id"]
+    )
+    joined = doclen.join(idmap, keys="docid")
+    doc_id = np.array([int(x) for x in joined["id"].to_pylist()], dtype=np.int64)
+    order = np.argsort(doc_id)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[order]),
+            "n_tokens": pa.array(
+                joined["len_content"].to_numpy().astype(np.int64)[order]
+            ),
+        }
+    )
+
+
+def _match_table(searcher: LocalSearcher, node) -> pa.Table:
+    docids, _scores = searcher.evaluate(node)
+    doc_ids = sorted(_docids_to_doc_ids(searcher, docids))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
+
+
+def boolean_and(sf_dir: str, t1: str = "hash", t2: str = "merge") -> pa.Table:
+    s = searcher_for(sf_dir)
+    node = Boolean(
+        [Clause(MUST, _content_term(t1)), Clause(MUST, _content_term(t2))],
+        operator="AND",
+    )
+    return _match_table(s, node)
+
+
+def boolean_or_not(
+    sf_dir: str, t1: str = "spark", t2: str = "window", t3: str = "sort"
+) -> pa.Table:
+    s = searcher_for(sf_dir)
+    node = Boolean(
+        [
+            Clause(SHOULD, _content_term(t1)),
+            Clause(SHOULD, _content_term(t2)),
+            Clause(MUST_NOT, _content_term(t3)),
+        ]
+    )
+    return _match_table(s, node)
+
+
+def phrase_match(sf_dir: str, w1: str = "hash", w2: str = "table") -> pa.Table:
+    """Docs containing the exact adjacent phrase — exercises positions."""
+    s = searcher_for(sf_dir)
+    node = Phrase([w1, w2], 0, [QueryField("content", 1.0)])
+    return _match_table(s, node)
+
+
+def topk_by_tf(sf_dir: str, term: str = "table", k: int = 20) -> pa.Table:
+    """Top-k docs by term frequency (tie: doc_id asc) — integer-exact
+    ranking through the compressed postings."""
+    s = searcher_for(sf_dir)
+    docids, tfs, _df, _ = s.postings(FIELD_CONTENT, term)
+    doc_ids = np.array(_docids_to_doc_ids(s, docids), dtype=np.int64)
+    order = np.lexsort((doc_ids, -tfs.astype(np.int64)))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[order]),
+            "tf": pa.array(tfs[order].astype(np.int64)),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        }
+    )
+
+
+def bm25_topk(sf_dir: str, query: str = "hash merge window", k: int = 10) -> pa.Table:
+    """BM25 top-k through the engine (f32 contract scoring).  Returned
+    without scores; ordering is checked in pytest against the exhaustive
+    oracle — the SQL oracle for this entry uses a f64 recomputation and is
+    compared on the (doc_id, rank) list."""
+    s = searcher_for(sf_dir)
+    res = s.search(query, limit=k)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["id"]) for h in res["hits"]], pa.int64()),
+            "rank": pa.array([h["rank"] for h in res["hits"]], pa.int64()),
+        }
+    )

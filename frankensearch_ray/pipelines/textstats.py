@@ -1,0 +1,266 @@
+"""Text-analysis + multimodal-plumbing operators over a documents table.
+
+- ``lang_id``: n-gram/stopword-ratio heuristic with a deterministic argmax
+  (fixed language precedence on ties) — SQL-expressible so the oracle is
+  exact;
+- ``quality_scores``: integer-exact per-doc quality components (token
+  count, distinct types, max word length, digit-token count);
+- ``token_stats``: corpus-level totals;
+- ``doc_fingerprint``: 64-bit Rabin-Karp rolling hash over the token
+  stream (deterministic doc identity for shift-tolerant matching);
+- ``media_features``: the multimodal plumbing pattern — treat the payload
+  as an opaque binary column, run a stateful actor-pool "decoder" whose
+  real decode is stubbed (no image/audio libs in this container) but whose
+  schema/batching/actor lifecycle is real.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny, fixed stopword profiles (part of the operator contract; the SQL
+# oracle embeds the same lists)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "with", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "por"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # tie precedence
+
+
+def _doc_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _tokens_of(batch: pa.Table, text_col: str) -> pa.ListArray:
+    """ASCII whitespace/non-alnum tokens, lowercased (matching the SQL
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` oracle)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.ascii_lower(pc.fill_null(col, "")), "[^a-z0-9]+"
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return lists
+
+
+def lang_id(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc_id, lang_pred): stopword-profile argmax, ties -> LANG_ORDER,
+    zero hits -> 'und'."""
+    import ray.data as rd
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        preds = []
+        for row in lists.to_pylist():
+            toks = [t for t in row if t]
+            counts = {
+                lang: sum(t in set(words) for t in toks)
+                for lang, words in LANG_PROFILES.items()
+            }
+            best, best_n = "und", 0
+            for lang in LANG_ORDER:
+                if counts[lang] > best_n:
+                    best, best_n = lang, counts[lang]
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def quality_scores(
+    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, n_tokens, n_types, max_word_len, digit_tokens)."""
+    import ray.data as rd
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        n_tok, n_typ, max_len, digits = [], [], [], []
+        for row in lists.to_pylist():
+            toks = [t for t in row if t]
+            n_tok.append(len(toks))
+            n_typ.append(len(set(toks)))
+            max_len.append(max((len(t) for t in toks), default=0))
+            digits.append(sum(t.isdigit() for t in toks))
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_typ, pa.int64()),
+                "max_word_len": pa.array(max_len, pa.int64()),
+                "digit_tokens": pa.array(digits, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def token_stats(sf_dir: str, text_col: str = "text") -> pa.Table:
+    """Single row: (n_docs, total_tokens, distinct_terms) — combiner-style
+    partial aggregation per batch, tiny final groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        flat = lists.flatten()
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "total_tokens": pa.array([len(flat)], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+    agg = ds.map_batches(partials, batch_format="pyarrow").sum(
+        ["n_docs", "total_tokens"]
+    )
+    # distinct terms: term-keyed exchange (unique is a shuffle)
+    def terms(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        flat = lists.flatten()
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        return pa.table({"term": pc.unique(flat)})
+
+    distinct = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+        .map_batches(terms, batch_format="pyarrow")
+        .unique("term")
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([agg["sum(n_docs)"]], pa.int64()),
+            "total_tokens": pa.array([agg["sum(total_tokens)"]], pa.int64()),
+            "distinct_terms": pa.array([len(distinct)], pa.int64()),
+        }
+    )
+
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MASK = np.uint64((1 << 63) - 1)
+
+
+def doc_fingerprint(
+    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, fingerprint): polynomial rolling hash over token bytes —
+    ``fp = sum(base^i * h(token_i)) & (2^63 - 1)`` with blake2b-8 token
+    hashes.  Deterministic document identity; rows-only oracle."""
+    import hashlib
+
+    import ray.data as rd
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        fps = []
+        for row in lists.to_pylist():
+            toks = [t for t in row if t]
+            acc = np.uint64(0)
+            p = np.uint64(1)
+            for t in toks:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                )
+                acc = (acc + p * h) & _FP_MASK
+                p = (p * _FP_BASE) & _FP_MASK
+            fps.append(int(acc))
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "fingerprint": pa.array(fps, pa.uint64()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    out = ds.map_batches(fp_batch, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+class MediaDecoder:
+    """Actor-pool 'decoder' for opaque binary payloads.
+
+    The Ray plumbing (stateful actor init, Arrow binary batches, typed
+    output schema) is real; the codec itself is a deterministic stub
+    because no image/audio libraries exist in this container.  A real
+    deployment replaces ``_decode_stub`` with e.g. PIL/ffmpeg and keeps
+    everything else.
+    """
+
+    FRAME_BYTES = 256  # stub: one "frame" per 256 payload bytes
+
+    def __init__(self):
+        self.decoded_batches = 0  # stands in for model/codec state
+
+    def _decode_stub(self, payload: bytes) -> dict:
+        if payload is None:
+            payload = b""
+        return {
+            "n_bytes": len(payload),
+            "n_frames": len(payload) // self.FRAME_BYTES,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.decoded_batches += 1
+        payloads = batch["payload"].to_pylist()
+        feats = [self._decode_stub(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+                "n_frames": pa.array([f["n_frames"] for f in feats], pa.int64()),
+            }
+        )
+
+
+def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Multimodal plumbing demo: text bytes as opaque payload -> actor-pool
+    decode -> (doc_id, n_bytes, n_frames)."""
+    import ray.data as rd
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "payload": pc.cast(
+                    pc.fill_null(batch[text_col], ""), pa.binary()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            MediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+        )
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
