@@ -138,11 +138,11 @@ def _extract_union_clauses(searcher, node):
         return None
     clauses = []
     for t in terms:
-        leaves = [
-            _Leaf(searcher, f.name, t.text, f.boost)
-            for f in t.fields
-            if f.name in FIELD_ORDS
-        ]
+        if any(f.name not in FIELD_ORDS for f in t.fields):
+            # keyword (id) fields score outside the postings/blockmax
+            # machinery — bail to the exhaustive kernel
+            return None
+        leaves = [_Leaf(searcher, f.name, t.text, f.boost) for f in t.fields]
         leaves = [l for l in leaves if not l.empty]
         if leaves:
             clauses.append(leaves)
