@@ -1,0 +1,237 @@
+"""Benchmark harness for the frankensearch-ray engine.
+
+Default mode: times every driver pipeline in ``__ray_entry__.queries()``
+over ``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) plus the two
+headline numbers of BASELINE.json — inverted-index build docs/s and BM25
+top-10 queries/s over a synthesized Common-Crawl-style pages corpus —
+and prints ONE JSON line.
+
+``--scaling``: runs the headline build+query job twice in fresh
+subprocesses (``ray.init(num_cpus=8)`` then ``num_cpus=32``) on the same
+input and reports throughput at both plus scaling efficiency
+``(thr_32 / thr_8) / 4`` — the sandbox proxy for the N-vs-4N-node rule.
+
+This script OWNS its Ray session (the only places allowed to besides
+tests/CLI): the driver contract module itself never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("FSRAY_BENCH_PAGES", "100000"))
+N_BENCH_QUERIES = 200
+
+
+def _bench_queries() -> list[str]:
+    """A deterministic mixed workload drawn from the synthetic Zipf vocab."""
+    from frankensearch_ray.sources.pages import _vocab
+
+    vocab, _ = _vocab()
+    qs = []
+    for i in range(N_BENCH_QUERIES):
+        a = vocab[(i * 7) % 500]          # head-ish terms
+        b = vocab[(i * 131 + 17) % 5000]  # mid terms
+        c = vocab[(i * 997 + 3) % 50000]  # tail terms
+        kind = i % 4
+        if kind == 0:
+            qs.append(f"{a} {b}")
+        elif kind == 1:
+            qs.append(f"{a} {b} {c}")
+        elif kind == 2:
+            qs.append(f'"{a} {b}"')
+        else:
+            qs.append(f"{a} AND {b} -{c}")
+    return qs
+
+
+def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
+    """Fresh pages-index build + BM25 query workload; returns metrics."""
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.search.searcher import LocalSearcher
+    from frankensearch_ray.sources import pages
+
+    paths = pages.tier_bench(pages_rows)
+    index_dir = os.path.join(workdir, f"pages_idx_{num_cpus}")
+    cfg = BuildConfig(
+        id_col="url",
+        html_col="html",
+        verify_text_col=None,  # bench: skip the per-row byte-compare
+        num_shards=max(8, num_cpus),
+        salt_threshold=max(1000, pages_rows // 20),
+        salt_buckets=8,
+        target_partition_rows=max(1, pages_rows // 32),
+    )
+    t0 = time.time()
+    manifest = build_index(paths, index_dir, cfg, resume=False)
+    t_build = time.time() - t0
+
+    s = LocalSearcher(index_dir)
+    qs = _bench_queries()
+    t0 = time.time()
+    n_hits = 0
+    for q in qs:
+        n_hits += len(s.search(q, limit=10)["hits"])
+    t_query = time.time() - t0
+    return {
+        "docs": manifest["metrics"]["docs"],
+        "postings": manifest["metrics"]["postings"],
+        "build_sec": t_build,
+        "docs_per_sec": manifest["metrics"]["docs"] / t_build,
+        "postings_per_sec": manifest["metrics"]["postings"] / t_build,
+        "n_queries": len(qs),
+        "query_sec": t_query,
+        "queries_per_sec": len(qs) / t_query,
+        "n_hits": n_hits,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_default() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    # fresh pipeline cache so build cost is measured, not skipped
+    cache = tempfile.mkdtemp(prefix="fsray_bench_cache_")
+    os.environ["FSRAY_CACHE"] = cache
+
+    import __ray_entry__ as entrymod
+    from frankensearch_ray.pipelines import docsearch
+
+    docsearch.CACHE_ROOT = cache
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(SF_DIR)
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            timings[name] = -1.0
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+
+    workdir = tempfile.mkdtemp(prefix="fsray_bench_idx_")
+    try:
+        h = headline(NUM_CPUS, PAGES_ROWS, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(cache, ignore_errors=True)
+    timings["pages_index_build"] = round(h["build_sec"], 4)
+    timings["bm25_query_workload"] = round(h["query_sec"], 4)
+
+    out = {
+        "metric": "driver pipelines + pages index build + BM25 workload wall time",
+        "value": round(sum(t for t in timings.values() if t > 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_rows": PAGES_ROWS,
+        "docs_per_sec": round(h["docs_per_sec"], 1),
+        "queries_per_sec": round(h["queries_per_sec"], 1),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_worker(num_cpus: int, workdir: str) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    h = headline(num_cpus, PAGES_ROWS, workdir)
+    print("WORKER_RESULT " + json.dumps(h))
+    ray.shutdown()
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> None:
+    workdir = tempfile.mkdtemp(prefix="fsray_scaling_")
+    results = {}
+    try:
+        for n in (lo, hi):
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            p = subprocess.run(
+                [sys.executable, __file__, "--_worker", str(n), workdir],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                check=False,
+            )
+            line = next(
+                (
+                    ln
+                    for ln in p.stdout.splitlines()
+                    if ln.startswith("WORKER_RESULT ")
+                ),
+                None,
+            )
+            if line is None:
+                print(p.stdout[-2000:], file=sys.stderr)
+                print(p.stderr[-4000:], file=sys.stderr)
+                raise SystemExit(f"worker num_cpus={n} failed")
+            results[n] = json.loads(line[len("WORKER_RESULT "):])
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    ratio = hi / lo
+    build_eff = (
+        results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+    ) / ratio
+    out = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus (build docs/s)",
+        "value": round(build_eff, 4),
+        "unit": "efficiency",
+        "queries": {
+            f"build_sec_cpus{lo}": round(results[lo]["build_sec"], 3),
+            f"build_sec_cpus{hi}": round(results[hi]["build_sec"], 3),
+            f"docs_per_sec_cpus{lo}": round(results[lo]["docs_per_sec"], 1),
+            f"docs_per_sec_cpus{hi}": round(results[hi]["docs_per_sec"], 1),
+            f"queries_per_sec_cpus{lo}": round(
+                results[lo]["queries_per_sec"], 1
+            ),
+            f"queries_per_sec_cpus{hi}": round(
+                results[hi]["queries_per_sec"], 1
+            ),
+        },
+        "sf": f"pages:{PAGES_ROWS}",
+        "num_cpus": hi,
+        "scaling": {
+            "lo_cpus": lo,
+            "hi_cpus": hi,
+            "build_docs_per_sec": {
+                str(lo): results[lo]["docs_per_sec"],
+                str(hi): results[hi]["docs_per_sec"],
+            },
+            "build_efficiency": round(build_eff, 4),
+        },
+    }
+    print(json.dumps(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("workdir", nargs="?", default=None)
+    args = ap.parse_args()
+    if args._worker is not None:
+        run_worker(args._worker, args.workdir or tempfile.mkdtemp())
+    elif args.scaling:
+        run_scaling()
+    else:
+        run_default()
+
+
+if __name__ == "__main__":
+    main()
