@@ -1,34 +1,52 @@
 """Distributed inverted-index build: the flagship Ray Data pipeline.
 
     plan partitions (parquet footers only, driver-side)
+      └─ sample pass: tokenize a deterministic partition sample
+         → head-term (salted) set estimate, broadcast via ray.put
       └─ from_items(partitions)
       └─ map_batches(tokenize partition)   [stateless tasks]
            · reads its row groups (column-pruned), extracts text from HTML,
-             tokenizes via Arrow kernels, writes per-partition checkpoint
-             artifacts (postings/doclen/idmap/df parquet + stats json)
-           · returns tiny (field, term, df) partials
-      └─ groupby(field, term).sum(df)      [small shuffle over partials]
-           → salted head-term set (df >= salt_threshold), manifest-recorded
-      └─ read_parquet(postings checkpoints)
-      └─ map_batches(assign bucket+shard)  [stateless; broadcast salted set]
-      └─ groupby(shard).map_groups(encode) [THE posting shuffle]
-           → compressed term-partitioned shard parquets
+             tokenizes via Arrow kernels, routes every posting row to its
+             (field, term, bucket) shard and writes per-partition,
+             PER-SHARD checkpoint files (map-side hash partition), plus
+             doclen/idmap parquet + a stats json done-marker
+      └─ from_items(shards)
+      └─ map_batches(encode shard)         [the "reduce" side]
+           · reads exactly its own shard-K files across partitions,
+             sorts (field, term, bucket, docid), FOR-encodes postings +
+             blockmax + positions, writes shards/shard-K.parquet
       └─ manifest.json (lineage, stats, salt routing, metrics) written last
 
-Resume: a partition whose four checkpoint artifacts exist is skipped
-(lineage in the manifest); retries are safe because every stage is
-deterministic per partition (same inputs -> same bytes).
+This is a shuffle expressed as map-side hash partitioning through the
+filesystem — the classic external-shuffle layout (one file per
+(map partition, reduce shard)) — because the exchanged rows are already
+checkpoints we must persist for resume anyway; routing them into S
+sub-files at write time costs one local sort and ZERO extra passes,
+while a `groupby("shard")` sort-shuffle of the same rows pays object
+store materialization plus a global sort whose fixed overhead dominates
+at bench scale.  ``BuildConfig.shuffle_mode="groupby"`` keeps the
+Ray-Data-native `groupby(shard).map_groups(encode)` exchange (identical
+output bytes, property-tested) for deployments where per-file counts
+(n_partitions × n_shards) exceed object-store block counts — at that
+scale raise ``target_partition_rows`` so n_partitions stays bounded.
+
+Resume: a partition whose stats done-marker exists (written last) is
+skipped; retries are safe because every stage is deterministic per
+partition (same inputs -> same bytes).  The salted set is persisted in
+the manifest and reused on resume so routing stays stable.
 
 Scale notes: docids are ``(partition << 32) | row`` leases so no global
-allocator exists (Q1 discipline, ``scribe.rs:77-82``); the df-partials
-aggregation is a combiner-style pre-aggregation so the only full-data
-shuffle is the posting groupby; head terms are salted into docid-range
-buckets to bound per-group skew (SURVEY §7.4).
+allocator exists (Q1 discipline, ``scribe.rs:77-82``); the salted-set
+decision is sample-estimated (SURVEY §7.2 step 4 "df threshold from a
+cheap first-pass sample") — salting is a performance choice, never a
+correctness one (salted ≡ unsalted is a pytest differential); head terms
+are salted into docid-range buckets to bound per-group skew (§7.4).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import asdict, dataclass, field
@@ -56,6 +74,8 @@ class BuildConfig:
     salt_threshold: int = 50_000  # global df above which a term is salted
     salt_buckets: int = 32
     target_partition_rows: int = 250_000
+    shuffle_mode: str = "fs"  # "fs" (map-side hash partition) | "groupby"
+    salt_sample_parts: int = 0  # 0 = auto (all when small, sqrt-ish else)
     input_columns: list[str] = field(default_factory=list)
 
     def needed_columns(self) -> list[str]:
@@ -105,10 +125,9 @@ def plan_partitions(paths: list[str], target_rows: int) -> list[dict]:
 def _part_paths(index_dir: str, pindex: int) -> dict[str, str]:
     p = f"part-{pindex:05d}"
     return {
-        "postings": os.path.join(index_dir, "postings", f"{p}.parquet"),
+        "postings": os.path.join(index_dir, "postings", p),
         "doclen": os.path.join(index_dir, "doclen", f"{p}.parquet"),
         "idmap": os.path.join(index_dir, "idmap", f"{p}.parquet"),
-        "df": os.path.join(index_dir, "df", f"{p}.parquet"),
         "stats": os.path.join(index_dir, "stats", f"{p}.json"),
     }
 
@@ -128,12 +147,115 @@ def _atomic_write_json(obj, path: str) -> None:
     os.replace(tmp, path)
 
 
-class PhaseATokenizer:
-    """Stateless per-partition tokenize-and-checkpoint task body."""
+_PART_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int64()),
+        ("rows", pa.int64()),
+        ("postings_rows", pa.int64()),
+    ]
+)
 
-    def __init__(self, index_dir: str, cfg: BuildConfig):
+
+def _read_part(part: dict, cfg: BuildConfig) -> pa.Table:
+    pf = pq.ParquetFile(part["path"])
+    return pf.read_row_groups(
+        list(range(part["rg_start"], part["rg_end"])),
+        columns=cfg.needed_columns(),
+    )
+
+
+class _SampleDF:
+    """Sample-pass task body: tokenize, return filtered df partials only."""
+
+    def __init__(self, cfg: BuildConfig, local_cut: int):
+        self.cfg = cfg
+        self.local_cut = local_cut
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for part in batch.to_pylist():
+            cfg = self.cfg
+            result = tokenize_partition(
+                _read_part(part, cfg),
+                part["pindex"],
+                id_col=cfg.id_col,
+                content_col=cfg.content_col,
+                html_col=cfg.html_col,
+                verify_text_col=None,  # verification happens in the real pass
+            )
+            out.append(
+                df_partials(
+                    result["postings"], part["pindex"], min_local_df=self.local_cut
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def _sample_salted(parts: list[dict], cfg: BuildConfig) -> list[tuple[int, str]]:
+    """Estimate the head-term set from a deterministic partition sample.
+
+    Exact-complete (pigeonhole: any term with global df >= T has local df
+    >= T/n in some partition) when the sample is every partition; an
+    extrapolated estimate otherwise.  Salting is perf-only either way.
+    """
+    import ray
+    import ray.data as rd
+
+    n_parts = len(parts)
+    if n_parts == 0:
+        return []
+    k = cfg.salt_sample_parts
+    if k <= 0:
+        k = n_parts if n_parts <= 16 else max(8, int(math.isqrt(n_parts)))
+    k = min(k, n_parts)
+    stride = n_parts / k
+    sample = [parts[min(n_parts - 1, int(i * stride))] for i in range(k)]
+    sample_rows = sum(p["rows"] for p in sample)
+    total_rows = sum(p["rows"] for p in parts)
+    scale = total_rows / sample_rows if sample_rows else 1.0
+    # local cut: conservative half of the pigeonhole bound so subset
+    # sampling doesn't miss borderline heads
+    local_cut = max(1, int(cfg.salt_threshold / scale) // (2 * max(1, k)))
+
+    partials = (
+        rd.from_items(sample)
+        .map_batches(_SampleDF(cfg, local_cut), batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    if not partials:
+        return []
+    agg: dict[tuple[int, str], int] = {}
+    for r in partials:
+        key = (int(r["field"]), str(r["term"]))
+        agg[key] = agg.get(key, 0) + int(r["df"])
+    thresh = cfg.salt_threshold / scale
+    return sorted(k_ for k_, v in agg.items() if v >= thresh)
+
+
+class PhaseATokenizer:
+    """Stateless per-partition tokenize-route-and-checkpoint task body.
+
+    In fs shuffle mode each partition's postings are written pre-split by
+    destination shard (map-side hash partition); in groupby mode a single
+    postings file is written and the exchange happens in Ray's shuffle.
+    """
+
+    def __init__(self, index_dir: str, cfg: BuildConfig, salted_ref=None, ppb: int = 1):
         self.index_dir = index_dir
         self.cfg = cfg
+        self.salted_ref = salted_ref
+        self.ppb = ppb
+        self._salted: set | None = None
+
+    def _salted_set(self) -> set:
+        if self._salted is None:
+            import ray
+
+            s = self.salted_ref
+            if s is not None and not isinstance(s, (set, list, tuple)):
+                s = ray.get(s)
+            self._salted = {(int(f), t) for f, t in (s or [])}
+        return self._salted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_tables = []
@@ -141,50 +263,168 @@ class PhaseATokenizer:
             out_tables.append(self._one(row))
         return pa.concat_tables(out_tables)
 
+    def _summary(self, stats: dict) -> pa.Table:
+        return pa.table(
+            {
+                "partition": [stats["partition"]],
+                "rows": [stats["rows"]],
+                "postings_rows": [stats["postings_rows"]],
+            },
+            schema=_PART_SUMMARY_SCHEMA,
+        )
+
     def _one(self, part: dict) -> pa.Table:
         paths = _part_paths(self.index_dir, part["pindex"])
-        if all(os.path.exists(p) for p in paths.values()):
-            return pq.read_table(paths["df"])  # resume: reuse checkpoint
-
-    # deterministic rebuild of this partition (also the retry path)
         cfg = self.cfg
-        pf = pq.ParquetFile(part["path"])
-        table = pf.read_row_groups(
-            list(range(part["rg_start"], part["rg_end"])),
-            columns=cfg.needed_columns(),
-        )
+        if os.path.exists(paths["stats"]):
+            # stats json is the done-marker, written after all artifacts;
+            # a marker from a different shuffle layout forces a rebuild
+            with open(paths["stats"]) as f:
+                stats = json.load(f)
+            if (
+                stats.get("mode") == cfg.shuffle_mode
+                and stats.get("files")
+                and all(
+                    os.path.exists(os.path.join(self.index_dir, rel))
+                    for rel in stats["files"]
+                )
+            ):
+                return self._summary(stats)
+
+        # deterministic rebuild of this partition (also the retry path);
+        # clear BOTH layout variants so a mode switch can't leave stale
+        # postings behind for the other mode's reader to pick up
+        import shutil
+
+        shutil.rmtree(paths["postings"], ignore_errors=True)
+        for stale in (paths["postings"] + ".parquet",
+                      os.path.join(self.index_dir, "df",
+                                   f"part-{part['pindex']:05d}.parquet")):
+            if os.path.exists(stale):
+                os.remove(stale)
         result = tokenize_partition(
-            table,
+            _read_part(part, cfg),
             part["pindex"],
             id_col=cfg.id_col,
             content_col=cfg.content_col,
             html_col=cfg.html_col,
             verify_text_col=cfg.verify_text_col,
         )
-        dfp = df_partials(result["postings"], part["pindex"])
-        _atomic_write_table(
-            result["postings"], paths["postings"], compression="zstd"
-        )
+        files: list[str] = []
+
+        def rel(p: str) -> str:
+            return os.path.relpath(p, self.index_dir)
+
+        if cfg.shuffle_mode == "fs":
+            routed = assign_shards(
+                result["postings"],
+                num_shards=cfg.num_shards,
+                salted=self._salted_set(),
+                partitions_per_bucket=self.ppb,
+            )
+            shard_np = routed["shard"].to_numpy()
+            order = np.argsort(shard_np, kind="stable")
+            routed = routed.take(pa.array(order))
+            shard_np = shard_np[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], shard_np[1:] != shard_np[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [len(shard_np)]))
+            routed = routed.drop_columns(["shard"])
+            for s_i, e_i in zip(bounds, ends):
+                sid = int(shard_np[s_i])
+                path = os.path.join(paths["postings"], f"shard-{sid:05d}.parquet")
+                _atomic_write_table(
+                    routed.slice(s_i, e_i - s_i), path, compression="zstd"
+                )
+                files.append(rel(path))
+        else:
+            path = paths["postings"] + ".parquet"
+            _atomic_write_table(result["postings"], path, compression="zstd")
+            files.append(rel(path))
+            dfp = df_partials(result["postings"], part["pindex"])
+            df_path = os.path.join(
+                self.index_dir, "df", f"part-{part['pindex']:05d}.parquet"
+            )
+            _atomic_write_table(dfp, df_path)
+            files.append(rel(df_path))
+
         _atomic_write_table(result["doclen"], paths["doclen"])
         _atomic_write_table(result["idmap"], paths["idmap"])
-        _atomic_write_table(dfp, paths["df"])
-        _atomic_write_json(result["stats"], paths["stats"])
-        return dfp
+        files.extend([rel(paths["doclen"]), rel(paths["idmap"])])
+        stats = dict(result["stats"])
+        stats["files"] = files
+        stats["mode"] = cfg.shuffle_mode
+        _atomic_write_json(stats, paths["stats"])  # done-marker, last
+        return self._summary(stats)
 
 
-def _compute_salted(df_ds, salt_threshold: int) -> list[tuple[int, str]]:
-    """Global df rollup over the per-partition partials -> head-term set."""
-    from ray.data.aggregate import Sum
+class _EncodeShardFS:
+    """Reduce-side task body (fs mode): encode one shard from its files."""
 
-    agg = df_ds.groupby(["field", "term"]).aggregate(
-        Sum("df", alias_name="df_sum")
+    def __init__(self, index_dir: str, n_parts: int):
+        self.index_dir = index_dir
+        self.n_parts = n_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            out.append(self._one(int(row["shard"])))
+        return pa.concat_tables(out)
+
+    def _one(self, shard_id: int) -> pa.Table:
+        tables = []
+        post_root = os.path.join(self.index_dir, "postings")
+        fname = f"shard-{shard_id:05d}.parquet"
+        for p in range(self.n_parts):
+            path = os.path.join(post_root, f"part-{p:05d}", fname)
+            if os.path.exists(path):
+                tables.append(pq.read_table(path))
+        group = pa.concat_tables(tables) if tables else _empty_postings_table()
+        encoded = encode_shard_table(group)
+        row = write_shard(encoded, os.path.join(self.index_dir, "shards"), shard_id)
+        return pa.table(
+            {k: [row[k]] for k in _SHARD_SUMMARY_SCHEMA.names},
+            schema=_SHARD_SUMMARY_SCHEMA,
+        )
+
+
+def _empty_postings_table() -> pa.Table:
+    from .stages.tokenize import POSTINGS_SCHEMA
+
+    return POSTINGS_SCHEMA.empty_table().append_column(
+        "bucket", pa.array([], pa.uint32())
     )
-    head = agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["df_sum"], salt_threshold)),
+
+
+def _compute_salted_exact(df_ds, salt_threshold: int, n_parts: int) -> list[tuple[int, str]]:
+    """Exact global head-term set from per-partition df partials.
+
+    Two driver-side passes over the (materialized, tiny) partials — no
+    distributed groupby:  pass 1 collects pigeonhole candidates (local df
+    >= ceil(T / n_parts) somewhere); pass 2 sums exact global df for the
+    candidates only.
+    """
+    cut = max(1, -(-salt_threshold // max(1, n_parts)))  # ceil
+    cand_rows = df_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], cut)),
         batch_format="pyarrow",
-    )
-    rows = head.take_all()
-    return sorted((int(r["field"]), str(r["term"])) for r in rows)
+    ).take_all()
+    candidates = {(int(r["field"]), str(r["term"])) for r in cand_rows}
+    if not candidates:
+        return []
+    cand_terms = pa.array(sorted({t for _f, t in candidates}))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=cand_terms))
+
+    rows = df_ds.map_batches(_filter, batch_format="pyarrow").take_all()
+    agg: dict[tuple[int, str], int] = {}
+    for r in rows:
+        key = (int(r["field"]), str(r["term"]))
+        if key in candidates:
+            agg[key] = agg.get(key, 0) + int(r["df"])
+    return sorted(k for k, v in agg.items() if v >= salt_threshold)
 
 
 class _ShardAssigner:
@@ -250,6 +490,16 @@ def build_index(
     cfg = cfg or BuildConfig()
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
+    if resume:
+        mpath = os.path.join(index_dir, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    prior_mode = json.load(f).get("config", {}).get("shuffle_mode")
+                if prior_mode is not None and prior_mode != cfg.shuffle_mode:
+                    resume = False  # layout switch: rebuild from scratch
+            except (json.JSONDecodeError, OSError):
+                resume = False
     if not resume:
         import shutil
 
@@ -259,39 +509,86 @@ def build_index(
     parts = plan_partitions(paths, cfg.target_partition_rows)
     n_parts = len(parts)
     ppb = max(1, -(-n_parts // cfg.salt_buckets))  # ceil
-    items_ds = rd.from_items(parts)
 
-    df_ds = items_ds.map_batches(
-        PhaseATokenizer(index_dir, cfg),
-        batch_size=1,
-        batch_format="pyarrow",
-    )
-    # materialize the (small) df partials once: feeds both the salting
-    # decision and nothing else; postings stay on disk as checkpoints
-    df_ds = df_ds.materialize()
-    salted = _compute_salted(df_ds, cfg.salt_threshold)
-    t_phase_a = time.time()
+    prior_salted: list | None = None
+    if resume:
+        mpath = os.path.join(index_dir, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    prior = json.load(f)
+                if prior.get("config", {}).get("shuffle_mode", "fs") == cfg.shuffle_mode:
+                    prior_salted = [
+                        (int(f), t) for f, t in prior["salt"]["salted_terms"]
+                    ]
+            except (json.JSONDecodeError, OSError, KeyError):
+                pass
 
-    salted_ref = ray.put(salted)
-    posts = rd.read_parquet(os.path.join(index_dir, "postings"))
-    posts = posts.map_batches(
-        _ShardAssigner(cfg.num_shards, salted_ref, ppb),
-        batch_format="pyarrow",
-    )
-    from functools import partial
-
-    shard_rows = (
-        posts.groupby("shard")
-        .map_groups(
-            partial(
-                _encode_shard_group,
-                shards_dir=os.path.join(index_dir, "shards"),
-            ),
+    if cfg.shuffle_mode == "fs":
+        # salted set BEFORE phase A: routing is baked into the checkpoint
+        # files, so resume must reuse the persisted set
+        salted = (
+            prior_salted
+            if prior_salted is not None
+            else _sample_salted(parts, cfg)
+        )
+        t_salt = time.time()
+        salted_ref = ray.put(salted)
+        part_summaries = (
+            rd.from_items(parts)
+            .map_batches(
+                PhaseATokenizer(index_dir, cfg, salted_ref, ppb),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        t_phase_a = time.time()
+        shard_rows = (
+            rd.from_items([{"shard": s} for s in range(cfg.num_shards)])
+            .map_batches(
+                _EncodeShardFS(index_dir, n_parts),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        t_phase_b = time.time()
+    else:
+        df_ds = rd.from_items(parts).map_batches(
+            PhaseATokenizer(index_dir, cfg),
+            batch_size=1,
             batch_format="pyarrow",
         )
-        .take_all()
-    )
-    t_phase_b = time.time()
+        df_ds.take_all()  # drive phase A to completion (checkpoints on disk)
+        dfp = rd.read_parquet(os.path.join(index_dir, "df")).materialize()
+        salted = (
+            prior_salted
+            if prior_salted is not None
+            else _compute_salted_exact(dfp, cfg.salt_threshold, n_parts)
+        )
+        t_salt = t_phase_a = time.time()
+
+        salted_ref = ray.put(salted)
+        posts = rd.read_parquet(os.path.join(index_dir, "postings"))
+        posts = posts.map_batches(
+            _ShardAssigner(cfg.num_shards, salted_ref, ppb),
+            batch_format="pyarrow",
+        )
+        from functools import partial
+
+        shard_rows = (
+            posts.groupby("shard")
+            .map_groups(
+                partial(
+                    _encode_shard_group,
+                    shards_dir=os.path.join(index_dir, "shards"),
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        t_phase_b = time.time()
 
     # stats rollup from the per-partition stats jsons (driver-side, tiny)
     field_stats = {
@@ -329,7 +626,7 @@ def build_index(
         key=lambda r: r["index"],
     )
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "engine": "frankensearch-ray",
         "config": asdict(cfg),
         "num_shards": cfg.num_shards,
@@ -346,6 +643,7 @@ def build_index(
             "docs": n_docs,
             "postings": total_postings,
             "elapsed_sec": elapsed,
+            "salt_sec": t_salt - t0,
             "phase_a_sec": t_phase_a - t0,
             "phase_b_sec": t_phase_b - t_phase_a,
             "docs_per_sec": n_docs / elapsed if elapsed else None,

@@ -167,6 +167,31 @@ class TestSaltingDifferential:
             assert a == b, q
 
 
+class TestShuffleModeDifferential:
+    def test_groupby_equals_fs(
+        self, ray_session, tmp_index_root, searcher, reference_queries
+    ):
+        """The Ray groupby sort-shuffle exchange and the map-side fs hash
+        partition must produce rank/score-identical indexes."""
+        paths = pages.tier_t1()
+        gb_dir = str(tmp_index_root / "t1_groupby")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            num_shards=4,
+            salt_threshold=25,
+            salt_buckets=2,
+            target_partition_rows=50,
+            shuffle_mode="groupby",
+        )
+        build_index(paths, gb_dir, cfg, resume=False)
+        gb = LocalSearcher(gb_dir)
+        for q in ["the", "rust ownership borrowing", '"error handling"', "error"]:
+            a = [(h["id"], h["score_bits"]) for h in searcher.search(q, 10)["hits"]]
+            b = [(h["id"], h["score_bits"]) for h in gb.search(q, 10)["hits"]]
+            assert a == b, q
+
+
 class TestResume:
     def test_rebuild_skips_partitions_and_matches(
         self, ray_session, t1_index, searcher
