@@ -237,18 +237,44 @@ def encode_positions(position_lists: list[np.ndarray] | "object") -> bytes:
     Accepts a python list of uint32 arrays/lists, in posting order.  Stream
     per posting: ``count, pos0, delta...``.
     """
-    seq_parts: list[np.ndarray] = []
-    for plist in position_lists:
-        arr = np.asarray(plist, dtype=np.uint64)
-        item = np.empty(len(arr) + 1, dtype=np.uint64)
-        item[0] = len(arr)
-        if len(arr):
-            item[1] = arr[0]
-            item[2:] = np.diff(arr)
-        seq_parts.append(item)
-    if not seq_parts:
+    arrs = [np.asarray(p, dtype=np.uint64) for p in position_lists]
+    if not arrs:
         return b""
-    return varint_encode(np.concatenate(seq_parts))
+    values = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum([len(a) for a in arrs], out=offsets[1:])
+    return encode_positions_flat(values, offsets)
+
+
+def encode_positions_flat(values: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Vectorized ``encode_positions`` over one flattened list column slice.
+
+    ``values`` is the concatenation of the per-posting position lists
+    (uint64-castable), ``offsets`` the n+1 list boundaries (absolute values
+    allowed — only differences are used).  Same byte output as
+    ``encode_positions``.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets).astype(np.uint64)
+    n_lists = len(counts)
+    if n_lists == 0:
+        return b""
+    values = np.asarray(values, dtype=np.uint64)
+    n_vals = len(values)
+    out = np.empty(n_lists + n_vals, dtype=np.uint64)
+    rel = (offsets[:-1] - offsets[0]).astype(np.int64)
+    count_pos = rel + np.arange(n_lists, dtype=np.int64)
+    out[count_pos] = counts
+    if n_vals:
+        dv = np.empty(n_vals, dtype=np.uint64)
+        dv[0] = values[0]
+        np.subtract(values[1:], values[:-1], out=dv[1:])
+        starts = rel[counts > 0]
+        dv[starts] = values[starts]  # absolute first position per posting
+        mask = np.ones(len(out), dtype=bool)
+        mask[count_pos] = False
+        out[mask] = dv
+    return varint_encode(out)
 
 
 def decode_positions(buf: bytes | memoryview, n_postings: int) -> list[np.ndarray]:

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codecs import encode_positions, encode_postings
+from ..codecs import encode_positions_flat, encode_postings
 
 SHARD_SCHEMA = pa.schema(
     [
@@ -82,14 +82,17 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
     post_bufs: list[bytes] = []
     bm_bufs: list[bytes] = []
     pos_bufs: list[bytes] = []
+    pos_values_u64 = pos_values.astype(np.uint64, copy=False)
     for s, e in zip(starts, ends):
         p, b = encode_postings(docid[s:e], tf[s:e], norm[s:e])
         post_bufs.append(p)
         bm_bufs.append(b)
-        plists = [
-            pos_values[pos_offsets[i] : pos_offsets[i + 1]] for i in range(s, e)
-        ]
-        pos_bufs.append(encode_positions(plists))
+        pos_bufs.append(
+            encode_positions_flat(
+                pos_values_u64[pos_offsets[s] : pos_offsets[e]],
+                pos_offsets[s : e + 1],
+            )
+        )
 
     return pa.table(
         {
