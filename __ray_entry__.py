@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": docsearch.phrase_match,
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
+        "search_snippets": docsearch.search_snippets,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,

@@ -192,6 +192,25 @@ def topk_by_tf(sf_dir: str, term: str = "table", k: int = 20) -> pa.Table:
     )
 
 
+def search_snippets(
+    sf_dir: str, query: str = "hash merge window", k: int = 10
+) -> pa.Table:
+    """BM25 top-k with highlighted content snippets (reference
+    ``search_with_snippets``; kernel ``snippet.rs``) — non-SQL-expressible,
+    rows-only driver check; semantics pinned in ``tests/test_snippet.py``."""
+    s = searcher_for(sf_dir)
+    res = s.search(query, limit=k, snippets=True)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["id"]) for h in res["hits"]], pa.int64()),
+            "rank": pa.array([h["rank"] for h in res["hits"]], pa.int64()),
+            "snippet": pa.array(
+                [h["snippet"] or "" for h in res["hits"]], pa.string()
+            ),
+        }
+    )
+
+
 def bm25_topk(sf_dir: str, query: str = "hash merge window", k: int = 10) -> pa.Table:
     """BM25 top-k through the engine (f32 contract scoring).  Returned
     without scores; ordering is checked in pytest against the exhaustive

@@ -456,6 +456,72 @@ class LocalSearcher:
             base, scores = base[keep], scores[keep]
         return base, scores
 
+    # --- snippets ----------------------------------------------------------
+
+    def _source_text(self, docid: int) -> str:
+        """Hydrate a winner's content text from the canonical source parquet
+        (two-phase materialization, ``index.rs:7997-8013``): docid -> manifest
+        partition lineage -> row-group-pruned read of one row."""
+        p = int(docid) >> PARTITION_SHIFT
+        r = int(docid) & ROW_MASK
+        entry = self.manifest["partitions"][p]
+        assert entry["index"] == p, "manifest partitions must be docid-ordered"
+        src = entry["source"]
+        cfg = self.manifest["config"]
+        pf = pq.ParquetFile(src["path"])
+        # locate the row group holding partition-relative row r
+        rg = src["rg_start"]
+        while rg < src["rg_end"]:
+            n = pf.metadata.row_group(rg).num_rows
+            if r < n:
+                break
+            r -= n
+            rg += 1
+        col = cfg.get("html_col") or cfg.get("content_col")
+        t = pf.read_row_groups([rg], columns=[col])
+        raw = t[col][r].as_py()
+        if cfg.get("html_col"):
+            from ..sources.extract import extract_scalar
+
+            html = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+            _title, text = extract_scalar(html)
+            return text
+        return raw or ""
+
+    def _query_terms_df(self, node) -> dict[str, int]:
+        """Analyzed content-field terms of a query AST with snapshot df."""
+        terms: set[str] = set()
+
+        def walk(n):
+            if isinstance(n, Term):
+                if any(f.name in FIELD_ORDS for f in n.fields):
+                    terms.add(n.text)
+            elif isinstance(n, Phrase):
+                terms.update(n.terms)
+            elif isinstance(n, Boolean):
+                for c in n.children:
+                    if c.occur != MUST_NOT:
+                        walk(c.query)
+            elif isinstance(n, Boost):
+                walk(n.query)
+
+        walk(node)
+        out: dict[str, int] = {}
+        ford = FIELD_ORDS["content"]
+        for t in terms:
+            df = sum(int(row["df"]) for _b, row in self.term_rows(ford, t))
+            out[t] = df
+        return out
+
+    def snippets_for(self, query: str, hits: list[dict], max_chars: int = 200):
+        """Highlighted snippet per hit (``None`` where no term occurs in the
+        content field) — driver-side over the tiny winner set."""
+        from .snippet import SnippetGenerator
+
+        parsed = parse_default(query)
+        gen = SnippetGenerator(self._query_terms_df(parsed.query), max_chars)
+        return [gen.snippet(self._source_text(h["docid"])) for h in hits]
+
     # --- public API --------------------------------------------------------
 
     def search(
@@ -465,6 +531,7 @@ class LocalSearcher:
         offset: int = 0,
         count: bool = False,
         pruning: bool = True,
+        snippets: bool = False,
     ):
         """Parse + evaluate + top-k.  Returns dict with ``hits`` (list of
         ``{id, docid, score, rank}``) and optional exact ``total``.
@@ -496,6 +563,9 @@ class LocalSearcher:
                             "rank": rank,
                         }
                     )
+                if snippets:
+                    for h, s in zip(hits, self.snippets_for(query, hits)):
+                        h["snippet"] = s
                 return {"hits": hits}
         docids, scores = self.evaluate(parsed.query)
         total = int(len(docids))
@@ -516,6 +586,9 @@ class LocalSearcher:
                         "rank": rank,
                     }
                 )
+        if snippets:
+            for h, s in zip(hits, self.snippets_for(query, hits)):
+                h["snippet"] = s
         out = {"hits": hits}
         if count:
             out["total"] = total
