@@ -59,17 +59,32 @@ def _warm_workers(num_cpus: int) -> None:
 
     A long-lived cluster's workers are warm; the scaling rule measures
     steady-state throughput, not Python import storms on first task."""
-    import ray.data as rd
+    import ray
 
-    def _w(batch):
-        import frankensearch_ray.stages.tokenize  # noqa: F401
-        import frankensearch_ray.stages.encode  # noqa: F401
+    @ray.remote(num_cpus=1)
+    def _w():
+        import time as t
 
-        return batch
+        import pyarrow as pa
 
-    rd.from_items(list(range(num_cpus * 2))).map_batches(
-        _w, batch_size=1, batch_format="pyarrow"
-    ).take_all()
+        from frankensearch_ray.sources.extract import render_page
+        from frankensearch_ray.stages.encode import encode_shard_table
+        from frankensearch_ray.stages.shard import assign_shards
+        from frankensearch_ray.stages.tokenize import tokenize_partition
+
+        # execute the real task body once: lazy kernel init (RE2 compile,
+        # unicode tables, acero) is per-process and would otherwise be
+        # charged to the first timed task on every worker
+        html = [render_page(f"t {i}", "alpha beta gamma " * 20).encode() for i in range(32)]
+        tbl = pa.table({"url": [f"u{i}" for i in range(32)], "html": pa.array(html, pa.binary())})
+        r = tokenize_partition(tbl, 0, id_col="url", html_col="html", verify_text_col=None)
+        routed = assign_shards(r["postings"], num_shards=4, salted=set(), partitions_per_bucket=1)
+        encode_shard_table(routed)
+        t.sleep(1.0)  # hold the slot so every worker actually spawns
+        return os.getpid()
+
+    pids = ray.get([_w.remote() for _ in range(num_cpus)])
+    return len(set(pids))
 
 
 def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
@@ -98,13 +113,16 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
     manifest = build_index(paths, index_dir, cfg, resume=False)
     t_build = time.time() - t0
 
-    s = LocalSearcher(index_dir)
+    from frankensearch_ray.search.pool import SearcherPool
+
+    pool = SearcherPool(index_dir, size=max(2, num_cpus - 2))
     qs = _bench_queries()
+    pool.search_many(qs[:8], limit=10)  # warm replica shard caches
     t0 = time.time()
-    n_hits = 0
-    for q in qs:
-        n_hits += len(s.search(q, limit=10)["hits"])
+    results = pool.search_many(qs, limit=10)
     t_query = time.time() - t0
+    n_hits = sum(len(r["hits"]) for r in results)
+    pool.shutdown()
     return {
         "docs": manifest["metrics"]["docs"],
         "postings": manifest["metrics"]["postings"],
@@ -177,6 +195,9 @@ def run_worker(num_cpus: int, workdir: str) -> None:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> None:
+    global PAGES_ROWS
+    PAGES_ROWS = int(os.environ.get("FSRAY_SCALING_PAGES", "400000"))
+    os.environ["FSRAY_BENCH_PAGES"] = str(PAGES_ROWS)  # workers inherit
     workdir = tempfile.mkdtemp(prefix="fsray_scaling_")
     results = {}
     try:
@@ -211,6 +232,9 @@ def run_scaling(lo: int = 8, hi: int = 32) -> None:
     build_eff = (
         results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     ) / ratio
+    query_eff = (
+        results[hi]["queries_per_sec"] / results[lo]["queries_per_sec"]
+    ) / ratio
     out = {
         "metric": f"scaling efficiency {lo}->{hi} cpus (build docs/s)",
         "value": round(build_eff, 4),
@@ -237,6 +261,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> None:
                 str(hi): results[hi]["docs_per_sec"],
             },
             "build_efficiency": round(build_eff, 4),
+            "query_efficiency": round(query_eff, 4),
         },
     }
     print(json.dumps(out))

@@ -147,6 +147,12 @@ class LocalSearcher:
         n_parts = len(self.manifest["partitions"])
         self.max_bucket = (n_parts - 1) // self.ppb if n_parts else 0
         self.field_stats = self.manifest["field_stats"]
+        # tombstones: manifest-level dead docids (snapshot = shards ⊕
+        # tombstones, keeper.rs:929); BM25 stats stay sealed per reference
+        self.tombstones = np.array(
+            sorted(int(d) for d in self.manifest.get("tombstones", [])),
+            dtype=np.uint64,
+        )
         self.norms = _Norms(os.path.join(index_dir, "doclen"))
         self.shards = _ShardCache(os.path.join(index_dir, "shards"))
         self._idmap_cache: dict[int, pa.Table] = {}
@@ -196,6 +202,20 @@ class LocalSearcher:
         docids = np.concatenate(d_parts)
         tfs = np.concatenate(f_parts)
         return docids, tfs, df, (pos_parts if with_positions else None)
+
+    def doc_count(self) -> int:
+        """O(1) live doc count: manifest stats − tombstones
+        (``index.rs:9793``, ``stats.rs:45-51``)."""
+        return int(self.field_stats["content"]["doc_count"]) - len(self.tombstones)
+
+    def live_mask(self, docids: np.ndarray) -> np.ndarray:
+        """Boolean mask of non-tombstoned docids."""
+        if len(self.tombstones) == 0 or len(docids) == 0:
+            return np.ones(len(docids), dtype=bool)
+        idx = np.minimum(
+            np.searchsorted(self.tombstones, docids), len(self.tombstones) - 1
+        )
+        return self.tombstones[idx] != docids
 
     def field_bm25(self, field_name: str):
         st = self.field_stats[field_name]
@@ -568,6 +588,8 @@ class LocalSearcher:
                         h["snippet"] = s
                 return {"hits": hits}
         docids, scores = self.evaluate(parsed.query)
+        live = self.live_mask(docids)
+        docids, scores = docids[live], scores[live]
         total = int(len(docids))
         hits = []
         if len(docids) and limit > 0:

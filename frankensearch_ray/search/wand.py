@@ -216,6 +216,8 @@ def search_pruned(searcher, node, k: int):
             cand = cand_parts[0]
             for c in cand_parts[1:]:
                 cand = np.union1d(cand, c)
+            cand = cand[searcher.live_mask(cand)]  # tombstone filter
+        if cand_parts and len(cand):
             # exact scoring, same association as the exhaustive kernel:
             # per clause: f32 sum over its field leaves; then clause-order sum
             total = np.zeros(len(cand), dtype=np.float32)

@@ -1,0 +1,387 @@
+"""Incremental index maintenance: append / upsert / delete / compact.
+
+Reference semantics (``quill/src/index.rs``, ``keeper.rs``):
+
+- **append** (`index_documents` on new rows): new docids come from fresh
+  leases — here, new partitions appended after the existing plan so all
+  prior docids are stable (Q1 discipline); shards are re-encoded from the
+  union of partition checkpoint files (merge = concat of docid-disjoint
+  lists, ``PLAN.md:272-291``).
+- **delete**: tombstones live in the MANIFEST, not the segments
+  (``keeper.rs:929``; ``PLAN.md:418-420``); a snapshot = shards ⊕
+  tombstones.  BM25 field stats stay sealed (manifest rollup of at-seal
+  stats, ``argus.rs:1279``) — tombstones filter results and ``doc_count``
+  only, exactly like the reference until compaction rewrites.
+- **upsert** (`upsert_documents`, ``index.rs:9798-9821``): delete-by-id
+  then add — the old docid is tombstoned (found via the idmap probe, the
+  IDHASH analogue), the new revision gets a new docid.  A row whose
+  ``content_hash`` matches the live row is a **no-op** and allocates
+  nothing (``index.rs:10236``, ``quiver.rs:5824``).
+- **duplicate-id admission**: one batch must not contain the same id
+  twice (``index.rs:4985-5004``) — rejected with ``ValueError``.
+- **compact**: when tombstone density warrants it (reference default 20%,
+  ``config.rs:29``), rewrite partition checkpoints dropping dead rows
+  while PRESERVING live docids (Q1-OB4, ``PLAN.md:289``), reseal stats,
+  re-encode shards, clear tombstones.
+
+Tombstones are stored in the manifest as sorted docid lists per partition
+(small at test scale; the layout maps 1:1 onto a per-partition bitmap
+parquet at 10^12 scale — same read path, different container).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..build import (
+    MANIFEST_NAME,
+    BuildConfig,
+    PhaseATokenizer,
+    _atomic_write_json,
+    _atomic_write_table,
+    _EncodeShardFS,
+    _part_paths,
+    load_manifest,
+)
+from ..schema import PARTITION_SHIFT
+
+
+def _manifest_tombstones(manifest: dict) -> np.ndarray:
+    ts = manifest.get("tombstones", [])
+    return np.array(sorted(int(d) for d in ts), dtype=np.uint64)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    _atomic_write_json(manifest, os.path.join(index_dir, MANIFEST_NAME))
+
+
+def _probe_ids(index_dir: str, manifest: dict, ids: list[str]) -> dict[str, tuple[int, int]]:
+    """id -> (docid, content_hash) over live rows (the IDHASH probe,
+    newest-partition-first so re-added ids resolve to their latest row)."""
+    want = set(ids)
+    tomb = set(int(x) for x in manifest.get("tombstones", []))
+    out: dict[str, tuple[int, int]] = {}
+    for part in sorted(manifest["partitions"], key=lambda p: -p["index"]):
+        if not want:
+            break
+        path = os.path.join(index_dir, "idmap", f"part-{part['index']:05d}.parquet")
+        t = pq.read_table(path)
+        mask = pc.is_in(t["id"], value_set=pa.array(sorted(want)))
+        hit = t.filter(mask)
+        for i in range(len(hit)):
+            docid = int(hit["docid"][i].as_py())
+            ext = hit["id"][i].as_py()
+            if docid in tomb or ext not in want:
+                continue
+            out[ext] = (docid, int(hit["content_hash"][i].as_py()))
+            want.discard(ext)
+    return out
+
+
+def _reencode_shards(index_dir: str, cfg: BuildConfig, n_parts: int) -> list[dict]:
+    import ray.data as rd
+
+    return (
+        rd.from_items([{"shard": s} for s in range(cfg.num_shards)])
+        .map_batches(
+            _EncodeShardFS(index_dir, n_parts),
+            batch_size=1,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+
+
+def _rollup_and_publish(index_dir: str, manifest: dict, cfg: BuildConfig) -> dict:
+    """Recompute field stats + shard entries from partition stats, bump
+    generation, write the manifest last (the two-slot publish analogue)."""
+    field_stats = {
+        "content": {"doc_count": 0, "total_tokens": 0},
+        "title": {"doc_count": 0, "total_tokens": 0},
+    }
+    total_postings = 0
+    for part in manifest["partitions"]:
+        with open(_part_paths(index_dir, part["index"])["stats"]) as f:
+            s = json.load(f)
+        for fname in ("content", "title"):
+            field_stats[fname]["doc_count"] += s[fname]["doc_count"]
+            field_stats[fname]["total_tokens"] += s[fname]["total_tokens"]
+        total_postings += s["postings_rows"]
+    shard_rows = _reencode_shards(index_dir, cfg, len(manifest["partitions"]))
+    manifest["field_stats"] = field_stats
+    manifest["shards"] = sorted(
+        (dict(r) for r in shard_rows if r.get("index") is not None),
+        key=lambda r: r["index"],
+    )
+    manifest["metrics"]["postings"] = total_postings
+    manifest["metrics"]["docs"] = field_stats["content"]["doc_count"]
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def _cfg_of(manifest: dict) -> BuildConfig:
+    if manifest.get("config", {}).get("shuffle_mode", "fs") != "fs":
+        raise NotImplementedError(
+            "incremental maintenance requires the fs shuffle layout; "
+            "rebuild with shuffle_mode='fs'"
+        )
+    known = {f.name for f in BuildConfig.__dataclass_fields__.values()}
+    return BuildConfig(**{k: v for k, v in manifest["config"].items() if k in known})
+
+
+def _tokenize_new_partitions(
+    index_dir: str, manifest: dict, parts: list[dict], cfg: BuildConfig
+) -> None:
+    import ray
+    import ray.data as rd
+
+    salted = [(int(f), t) for f, t in manifest["salt"]["salted_terms"]]
+    ppb = manifest["salt"]["partitions_per_bucket"]
+    salted_ref = ray.put(salted)
+    rd.from_items(parts).map_batches(
+        PhaseATokenizer(index_dir, cfg, salted_ref, ppb),
+        batch_size=1,
+        batch_format="pyarrow",
+    ).take_all()
+
+
+def append_table(index_dir: str, table: pa.Table, source_name: str | None = None) -> dict:
+    """Append a batch of documents (one new partition) to a built index.
+
+    ``table`` must carry the configured id/content columns.  Returns the
+    updated manifest.  Duplicate ids WITHIN the batch are rejected; ids
+    already live in the index are rejected too (the reference bulk
+    admission rule — use :func:`upsert_table` for replace semantics).
+    """
+    manifest = load_manifest(index_dir)
+    cfg = _cfg_of(manifest)
+    id_col = cfg.id_col
+
+    ids = table[id_col].to_pylist()
+    if len(set(ids)) != len(ids):
+        raise ValueError("append batch contains duplicate ids")
+    live = _probe_ids(index_dir, manifest, ids)
+    if live:
+        raise ValueError(
+            f"append batch contains {len(live)} already-live ids "
+            f"(e.g. {next(iter(live))!r}); use upsert_table"
+        )
+    return _append_rows(index_dir, manifest, cfg, table, source_name)
+
+
+def _append_rows(
+    index_dir: str,
+    manifest: dict,
+    cfg: BuildConfig,
+    table: pa.Table,
+    source_name: str | None,
+) -> dict:
+    if cfg.verify_text_col and cfg.verify_text_col not in table.column_names:
+        # extraction verification only applies when the batch carries the
+        # expected-text column; appended batches usually don't
+        from dataclasses import replace
+
+        cfg = replace(cfg, verify_text_col=None)
+    pindex = 1 + max((p["index"] for p in manifest["partitions"]), default=-1)
+    src_dir = os.path.join(index_dir, "appended")
+    src_path = os.path.join(src_dir, f"part-{pindex:05d}.parquet")
+    _atomic_write_table(table, src_path)
+
+    part = {
+        "pindex": pindex,
+        "path": src_path,
+        "rg_start": 0,
+        "rg_end": pq.ParquetFile(src_path).metadata.num_row_groups,
+        "rows": len(table),
+    }
+    _tokenize_new_partitions(index_dir, manifest, [part], cfg)
+    manifest["partitions"].append(
+        {
+            "index": pindex,
+            "rows": len(table),
+            "docid_base": pindex << PARTITION_SHIFT,
+            "source": {
+                "path": src_path,
+                "rg_start": 0,
+                "rg_end": part["rg_end"],
+                "name": source_name,
+            },
+            "status": "done",
+        }
+    )
+    return _rollup_and_publish(index_dir, manifest, cfg)
+
+
+def delete_documents(index_dir: str, ids: list[str]) -> dict:
+    """Tombstone the given external ids in the next manifest generation.
+
+    Unknown ids are ignored (reference delete is idempotent)."""
+    manifest = load_manifest(index_dir)
+    live = _probe_ids(index_dir, manifest, ids)
+    tomb = set(int(x) for x in manifest.get("tombstones", []))
+    tomb.update(docid for docid, _h in live.values())
+    manifest["tombstones"] = sorted(tomb)
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def upsert_table(index_dir: str, table: pa.Table) -> dict:
+    """Delete-by-id then add, with content-hash no-op detection.
+
+    Rows whose content hash equals the live row's are skipped entirely
+    (no new docid, no tombstone).  Returns the updated manifest."""
+    from ..stages.tokenize import content_hashes
+
+    manifest = load_manifest(index_dir)
+    manifest.setdefault("tombstones", [])
+    cfg = _cfg_of(manifest)
+    id_col = cfg.id_col
+
+    ids = table[id_col].to_pylist()
+    if len(set(ids)) != len(ids):
+        raise ValueError("upsert batch contains duplicate ids")
+
+    if cfg.html_col:
+        from ..sources.extract import extract_batch
+
+        _titles, content = extract_batch(table[cfg.html_col])
+    else:
+        content = table[cfg.content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+    hashes = content_hashes(content)
+
+    live = _probe_ids(index_dir, manifest, ids)
+    keep_rows = []
+    tombstone_docids = []
+    for i, ext in enumerate(ids):
+        hit = live.get(ext)
+        if hit is not None:
+            old_docid, old_hash = hit
+            if old_hash == int(hashes[i]):
+                continue  # no-op upsert: identical content
+            tombstone_docids.append(old_docid)
+        keep_rows.append(i)
+
+    if tombstone_docids:
+        tomb = set(int(x) for x in manifest.get("tombstones", []))
+        tomb.update(tombstone_docids)
+        manifest["tombstones"] = sorted(tomb)
+
+    if not keep_rows:
+        manifest["generation"] = int(manifest.get("generation", 0)) + 1
+        _write_manifest(index_dir, manifest)
+        return manifest
+
+    new_table = table.take(pa.array(keep_rows, pa.int64()))
+    return _append_rows(index_dir, manifest, cfg, new_table, "upsert")
+
+
+def compact(index_dir: str, min_tombstone_ratio: float = 0.0) -> dict:
+    """Rewrite partitions containing tombstoned rows, preserving live
+    docids (Q1-OB4); reseal stats; re-encode shards; clear tombstones.
+
+    ``min_tombstone_ratio``: skip compaction below this dead/total ratio
+    (the reference triggers at 20%, ``config.rs:29``)."""
+    manifest = load_manifest(index_dir)
+    cfg = _cfg_of(manifest)
+    tomb = _manifest_tombstones(manifest)
+    n_docs = sum(p["rows"] for p in manifest["partitions"])
+    if len(tomb) == 0 or (n_docs and len(tomb) / n_docs < min_tombstone_ratio):
+        return manifest
+
+    t0 = time.time()
+    dead_parts = sorted(set(int(d >> np.uint64(PARTITION_SHIFT)) for d in tomb))
+    for pidx in dead_parts:
+        _compact_partition(index_dir, manifest, cfg, pidx, tomb)
+    manifest["tombstones"] = []
+    manifest["metrics"]["last_compaction_sec"] = time.time() - t0
+    return _rollup_and_publish(index_dir, manifest, cfg)
+
+
+def _compact_partition(
+    index_dir: str, manifest: dict, cfg: BuildConfig, pidx: int, tomb: np.ndarray
+) -> None:
+    """Filter one partition's checkpoint artifacts in place (docids kept)."""
+    paths = _part_paths(index_dir, pidx)
+
+    def live_mask(docids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(tomb, docids)
+        idx = np.minimum(idx, len(tomb) - 1)
+        return tomb[idx] != docids
+
+    files: list[str] = []
+
+    def rel(p: str) -> str:
+        return os.path.relpath(p, index_dir)
+
+    # postings splits (fs layout) or single file (groupby layout)
+    post_dir = paths["postings"]
+    post_files = (
+        sorted(
+            os.path.join(post_dir, f)
+            for f in os.listdir(post_dir)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(post_dir)
+        else [post_dir + ".parquet"]
+    )
+    postings_rows = 0
+    token_totals = {"content": 0, "title": 0}
+    for f in post_files:
+        t = pq.read_table(f)
+        keep = live_mask(t["docid"].to_numpy())
+        t2 = t.filter(pa.array(keep))
+        postings_rows += len(t2)
+        fields = t2["field"].to_numpy()
+        tfs = t2["tf"].to_numpy().astype(np.int64)
+        token_totals["content"] += int(tfs[fields == 0].sum())
+        token_totals["title"] += int(tfs[fields == 1].sum())
+        _atomic_write_table(t2, f, compression="zstd")
+        files.append(rel(f))
+
+    doclen = pq.read_table(paths["doclen"])
+    keep_doc = live_mask(doclen["docid"].to_numpy())
+    # doclen/idmap keep dead rows' docid SLOTS out but rows are positional
+    # lookups by (docid & mask) — so dead rows must keep their position.
+    # We zero their lengths instead of dropping (norm id 0 = hole sentinel,
+    # ``quiver.rs`` DOCLEN hole semantics).
+    z = pa.array(np.where(keep_doc, doclen["norm_content"].to_numpy(), 0), pa.uint8())
+    zt = pa.array(np.where(keep_doc, doclen["norm_title"].to_numpy(), 0), pa.uint8())
+    lc = pa.array(
+        np.where(keep_doc, doclen["len_content"].to_numpy(), 0), pa.uint32()
+    )
+    lt = pa.array(np.where(keep_doc, doclen["len_title"].to_numpy(), 0), pa.uint32())
+    doclen2 = pa.table(
+        {
+            "docid": doclen["docid"],
+            "norm_content": z,
+            "norm_title": zt,
+            "len_content": lc,
+            "len_title": lt,
+        },
+        schema=doclen.schema,
+    )
+    _atomic_write_table(doclen2, paths["doclen"])
+    files.append(rel(paths["doclen"]))
+    files.append(rel(paths["idmap"]))  # idmap rows stay (positional)
+
+    with open(paths["stats"]) as f:
+        stats = json.load(f)
+    live_count = int(keep_doc.sum())
+    stats["content"] = {"doc_count": live_count, "total_tokens": token_totals["content"]}
+    stats["title"] = {"doc_count": live_count, "total_tokens": token_totals["title"]}
+    stats["postings_rows"] = postings_rows
+    stats["files"] = files + [
+        f for f in stats.get("files", []) if f.startswith("df/")
+    ]
+    _atomic_write_json(stats, paths["stats"])

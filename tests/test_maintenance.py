@@ -1,0 +1,162 @@
+"""Incremental maintenance: append / upsert / delete / compact.
+
+Mirrors the reference behavior pins (upsert visibility
+``lexical/src/lib.rs:2928-2993``, delete/doc-count ``lib.rs:4733-4798``,
+duplicate-id admission ``index.rs:4985-5004``, content-hash no-op
+``index.rs:10236``, compaction docid preservation Q1-OB4) and the
+metamorphic law upsert ≡ delete + add (``PLAN.md:519``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from frankensearch_ray.build import BuildConfig, build_index
+from frankensearch_ray.search.searcher import LocalSearcher
+from frankensearch_ray.sources.extract import render_page
+from frankensearch_ray.state import maintenance as mnt
+
+BASE_DOCS = [
+    ("d1", "alpha beta gamma delta"),
+    ("d2", "alpha epsilon zeta"),
+    ("d3", "beta unique3 topic words"),
+    ("d4", "gamma filler text content"),
+    ("d5", "delta something else entirely"),
+]
+
+
+def _pages_table(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array(
+                [render_page(f"title {r[0]}", r[1]).encode() for r in rows],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+@pytest.fixture()
+def small_index(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(_pages_table(BASE_DOCS), src)
+    d = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        id_col="url",
+        html_col="html",
+        verify_text_col=None,
+        num_shards=2,
+        salt_threshold=10**9,
+        target_partition_rows=3,
+    )
+    build_index([str(src)], d, cfg, resume=False)
+    return d
+
+
+def _hit_ids(d, q, **kw):
+    return [h["id"] for h in LocalSearcher(d).search(q, limit=10, **kw)["hits"]]
+
+
+class TestAppend:
+    def test_append_visible_and_stats_grow(self, small_index):
+        d = small_index
+        before = LocalSearcher(d)
+        n0 = before.field_stats["content"]["doc_count"]
+        mnt.append_table(d, _pages_table([("d6", "alpha omega fresh")]))
+        after = LocalSearcher(d)
+        assert after.field_stats["content"]["doc_count"] == n0 + 1
+        assert "d6" in _hit_ids(d, "omega")
+        # existing docids unchanged: d1 still hits with same docid
+        a = [h for h in after.search("unique3", 5)["hits"]]
+        b = [h for h in before.search("unique3", 5)["hits"]]
+        assert [x["docid"] for x in a] == [x["docid"] for x in b]
+
+    def test_append_duplicate_in_batch_rejected(self, small_index):
+        with pytest.raises(ValueError, match="duplicate"):
+            mnt.append_table(
+                small_index, _pages_table([("x1", "a"), ("x1", "b")])
+            )
+
+    def test_append_live_id_rejected(self, small_index):
+        with pytest.raises(ValueError, match="already-live"):
+            mnt.append_table(small_index, _pages_table([("d1", "changed")]))
+
+
+class TestDeleteUpsert:
+    def test_delete_hides_doc_and_doc_count(self, small_index):
+        d = small_index
+        assert "d3" in _hit_ids(d, "unique3")
+        mnt.delete_documents(d, ["d3"])
+        s = LocalSearcher(d)
+        assert "d3" not in [h["id"] for h in s.search("unique3", 10)["hits"]]
+        assert s.doc_count() == len(BASE_DOCS) - 1
+        # count mode excludes tombstones
+        assert s.search("unique3", limit=10, count=True)["total"] == 0
+
+    def test_delete_unknown_id_idempotent(self, small_index):
+        m = mnt.delete_documents(small_index, ["nope"])
+        assert m["tombstones"] == []
+
+    def test_upsert_replaces_content(self, small_index):
+        d = small_index
+        mnt.upsert_table(d, _pages_table([("d2", "replaced totally newword")]))
+        assert "d2" in _hit_ids(d, "newword")
+        assert "d2" not in _hit_ids(d, "epsilon")
+        # the live row resolves to the NEW docid on a second probe
+        mnt.upsert_table(d, _pages_table([("d2", "thirdversion")]))
+        assert "d2" in _hit_ids(d, "thirdversion")
+        assert "d2" not in _hit_ids(d, "newword")
+
+    def test_upsert_noop_same_content(self, small_index):
+        d = small_index
+        m0 = mnt.upsert_table(d, _pages_table([BASE_DOCS[0]]))
+        assert m0["tombstones"] == []
+        assert len(m0["partitions"]) == 1  # no new partition allocated
+
+    def test_upsert_equals_delete_plus_add(self, small_index, tmp_path):
+        # metamorphic law (PLAN.md:519) on result id sets
+        import pyarrow.parquet as pq
+
+        d2 = str(tmp_path / "idx2")
+        src = tmp_path / "src.parquet"
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            verify_text_col=None,
+            num_shards=2,
+            salt_threshold=10**9,
+            target_partition_rows=3,
+        )
+        pq.write_table(_pages_table(BASE_DOCS), src)
+        build_index([str(src)], d2, cfg, resume=False)
+
+        mnt.upsert_table(small_index, _pages_table([("d4", "swapped corpus line")]))
+        mnt.delete_documents(d2, ["d4"])
+        mnt.append_table(d2, _pages_table([("d4", "swapped corpus line")]))
+        for q in ("swapped", "gamma", "alpha beta"):
+            assert _hit_ids(small_index, q) == _hit_ids(d2, q), q
+
+
+class TestCompaction:
+    def test_compact_preserves_results_and_clears_tombstones(self, small_index):
+        d = small_index
+        mnt.delete_documents(d, ["d1", "d4"])
+        want = {q: _hit_ids(d, q) for q in ("alpha", "beta", "unique3", "delta")}
+        m = mnt.compact(d)
+        assert m["tombstones"] == []
+        assert m["field_stats"]["content"]["doc_count"] == 3
+        got = {q: _hit_ids(d, q) for q in want}
+        assert got == want
+        # docids preserved for survivors (Q1-OB4)
+        s = LocalSearcher(d)
+        assert [h["id"] for h in s.search("unique3", 5)["hits"]] == ["d3"]
+
+    def test_compact_below_ratio_is_noop(self, small_index):
+        d = small_index
+        mnt.delete_documents(d, ["d1"])
+        m = mnt.compact(d, min_tombstone_ratio=0.5)
+        assert len(m["tombstones"]) == 1
