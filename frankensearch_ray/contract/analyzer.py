@@ -181,10 +181,116 @@ def tokenize_column(texts: pa.Array):
     return tokens, doc_idx, positions
 
 
-# --- CASS helpers (secondary analyzer family; fixture-pinned) --------------
+# --- CASS analyzer family (fixture-pinned) ---------------------------------
 
 CASS_MAX_TOKEN_BYTES = 256  # scribe.rs:794 — inclusive (256 kept, 257 dropped)
 CASS_MAX_EDGE_NGRAM_CHARS = 20
+
+# exact CJK ranges of the incumbent CASS tokenizer (scribe.rs:820-833);
+# broadening would change durable term bytes
+_CASS_CJK_RANGES = (
+    (0x4E00, 0x9FFF),
+    (0x3400, 0x4DBF),
+    (0x3040, 0x309F),
+    (0x30A0, 0x30FF),
+    (0xAC00, 0xD7AF),
+    (0x3100, 0x312F),
+    (0x3300, 0x33FF),
+    (0xF900, 0xFAFF),
+    (0x20000, 0x2A6DF),
+)
+
+
+def _is_cass_cjk(ch: str) -> bool:
+    o = ord(ch)
+    return any(lo <= o <= hi for lo, hi in _CASS_CJK_RANGES)
+
+
+def _is_ascii_alnum(ch: str) -> bool:
+    o = ord(ch)
+    return (48 <= o <= 57) or (65 <= o <= 90) or (97 <= o <= 122)
+
+
+def analyze_cass_scalar(text: str, *, hyphen_decompose: bool = True):
+    """The CASS analyzer pipelines (``scribe.rs:799-998``).
+
+    ``hyphen_decompose=True`` is ``CassHyphenNormalize``
+    (tokenize -> hyphen decompose -> CJK bigrams -> lowercase+limit);
+    ``False`` is ``CassPrefixNormalize`` (no hyphen decomposition).
+
+    Yields ``(token, position, byte_from, byte_to)``.  Compound hyphen
+    alternatives and CJK bigrams share their run's position AND the run's
+    byte offsets, exactly like the reference emitters.
+    """
+    out: list[tuple[str, int, int, int]] = []
+    # operate on byte offsets over the utf-8 encoding via char scan
+    chars = list(text)
+    byte_off = [0]
+    for c in chars:
+        byte_off.append(byte_off[-1] + len(c.encode("utf-8")))
+    n = len(chars)
+    position = 0
+    i = 0
+
+    def emit(src: str, pos: int, b_from: int, b_to: int):
+        if len(src.encode("utf-8")) > CASS_MAX_TOKEN_BYTES:
+            return
+        # make_ascii_lowercase: ASCII-only lowering
+        lowered = "".join(
+            c.lower() if "A" <= c <= "Z" else c for c in src
+        )
+        out.append((lowered, pos, b_from, b_to))
+
+    while i < n:
+        ch = chars[i]
+        if _is_ascii_alnum(ch):
+            # ascii run with interior single hyphens joined
+            j = i
+            end = i
+            last_alnum = False
+            while j < n:
+                c = chars[j]
+                if _is_ascii_alnum(c):
+                    j += 1
+                    end = j
+                    last_alnum = True
+                    continue
+                if (
+                    c == "-"
+                    and last_alnum
+                    and j + 1 < n
+                    and _is_ascii_alnum(chars[j + 1])
+                ):
+                    j += 1
+                    end = j
+                    last_alnum = False
+                    continue
+                break
+            src = "".join(chars[i:end])
+            b_from, b_to = byte_off[i], byte_off[end]
+            emit(src, position, b_from, b_to)
+            if hyphen_decompose and "-" in src:
+                for part in src.split("-"):
+                    if part:
+                        emit(part, position, b_from, b_to)
+            position += 1
+            i = end
+        elif _is_cass_cjk(ch):
+            j = i + 1
+            while j < n and _is_cass_cjk(chars[j]):
+                j += 1
+            src = "".join(chars[i:j])
+            b_from, b_to = byte_off[i], byte_off[j]
+            if len(src) == 1:
+                emit(src, position, b_from, b_to)
+            else:
+                for k in range(len(src) - 1):
+                    emit(src[k : k + 2], position, b_from, b_to)
+            position += 1
+            i = j
+        else:
+            i += 1
+    return out
 
 
 def generate_edge_ngrams(text: str) -> str:

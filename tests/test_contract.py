@@ -183,6 +183,42 @@ class TestAnalyzer:
             expected = [(t[0], t[1]) for t in an.analyze_admitted_scalar(text)]
             assert got.get(i, []) == expected, f"row {i}: {text[:60]!r}"
 
+    def test_cass_fixture_cases(self, language_contract):
+        for case in language_contract["analyzer_cases"]:
+            if case["analyzer"] not in ("hyphen_normalize", "prefix_normalize"):
+                continue
+            decompose = case["analyzer"] == "hyphen_normalize"
+            if "generated_input" in case:
+                gen = case["generated_input"]
+                text = gen["repeat"] * gen["count"]
+                got = an.analyze_cass_scalar(text, hyphen_decompose=decompose)
+                if case.get("expected_tokens") == []:
+                    assert got == [], case["id"]
+                else:
+                    assert len(got) == case["expected_token_count"], case["id"]
+                    tok = got[0][0]
+                    assert len(tok.encode()) == case["expected_token_bytes"]
+                    assert tok == case["expected_token_repeat"] * len(tok)
+                continue
+            got = an.analyze_cass_scalar(case["input"], hyphen_decompose=decompose)
+            expected = case["expected_tokens"]
+            assert len(got) == len(expected), case["id"]
+            for g, e in zip(got, expected):
+                assert g[0] == e["text"], case["id"]
+                assert g[1] == e["position"], case["id"]
+                assert g[2] == e["offset_from"], case["id"]
+                assert g[3] == e["offset_to"], case["id"]
+
+    def test_cass_edge_shapes(self):
+        # double hyphen breaks the run; trailing hyphen excluded
+        got = an.analyze_cass_scalar("ab--cd ef-")
+        assert [(t[0], t[1]) for t in got] == [("ab", 0), ("cd", 1), ("ef", 2)]
+        # mixed ascii + cjk runs tokenize independently
+        got = an.analyze_cass_scalar("abc東京def")
+        assert [t[0] for t in got] == ["abc", "東京", "def"]
+        # greek is neither ascii-alnum nor cass-cjk: skipped entirely
+        assert an.analyze_cass_scalar("αβγ") == []
+
     def test_helper_cases(self, language_contract):
         for case in language_contract["helper_cases"]:
             h = case["helper"]
