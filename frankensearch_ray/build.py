@@ -164,8 +164,12 @@ def _read_part(part: dict, cfg: BuildConfig) -> pa.Table:
     )
 
 
+SALT_SAMPLE_ROWS_PER_PART = 4096
+
+
 class _SampleDF:
-    """Sample-pass task body: tokenize, return filtered df partials only."""
+    """Sample-pass task body: tokenize a capped row slice, return filtered
+    df partials only (estimate feed — salting is perf-only)."""
 
     def __init__(self, cfg: BuildConfig, local_cut: int):
         self.cfg = cfg
@@ -176,7 +180,7 @@ class _SampleDF:
         for part in batch.to_pylist():
             cfg = self.cfg
             result = tokenize_partition(
-                _read_part(part, cfg),
+                _read_part(part, cfg).slice(0, SALT_SAMPLE_ROWS_PER_PART),
                 part["pindex"],
                 id_col=cfg.id_col,
                 content_col=cfg.content_col,
@@ -210,7 +214,7 @@ def _sample_salted(parts: list[dict], cfg: BuildConfig) -> list[tuple[int, str]]
     k = min(k, n_parts)
     stride = n_parts / k
     sample = [parts[min(n_parts - 1, int(i * stride))] for i in range(k)]
-    sample_rows = sum(p["rows"] for p in sample)
+    sample_rows = sum(min(p["rows"], SALT_SAMPLE_ROWS_PER_PART) for p in sample)
     total_rows = sum(p["rows"] for p in parts)
     scale = total_rows / sample_rows if sample_rows else 1.0
     # local cut: conservative half of the pigeonhole bound so subset
@@ -330,14 +334,23 @@ class PhaseATokenizer:
                 np.concatenate(([True], shard_np[1:] != shard_np[:-1]))
             )
             ends = np.concatenate((bounds[1:], [len(shard_np)]))
-            routed = routed.drop_columns(["shard"])
+            # ONE file per partition, ONE row group per destination shard:
+            # the row-group footer stats of the `shard` column ARE the
+            # exchange's partition index (map-side hash partition without
+            # a per-(partition, shard) file explosion)
+            path = paths["postings"] + ".parquet"
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            writer = pq.ParquetWriter(tmp, routed.schema, compression="zstd")
             for s_i, e_i in zip(bounds, ends):
-                sid = int(shard_np[s_i])
-                path = os.path.join(paths["postings"], f"shard-{sid:05d}.parquet")
-                _atomic_write_table(
-                    routed.slice(s_i, e_i - s_i), path, compression="zstd"
+                writer.write_table(
+                    routed.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
                 )
-                files.append(rel(path))
+            if len(bounds) == 0:
+                writer.write_table(routed)  # keep an empty-but-valid file
+            writer.close()
+            os.replace(tmp, path)
+            files.append(rel(path))
         else:
             path = paths["postings"] + ".parquet"
             _atomic_write_table(result["postings"], path, compression="zstd")
@@ -375,12 +388,22 @@ class _EncodeShardFS:
     def _one(self, shard_id: int) -> pa.Table:
         tables = []
         post_root = os.path.join(self.index_dir, "postings")
-        fname = f"shard-{shard_id:05d}.parquet"
         for p in range(self.n_parts):
-            path = os.path.join(post_root, f"part-{p:05d}", fname)
-            if os.path.exists(path):
-                tables.append(pq.read_table(path))
-        group = pa.concat_tables(tables) if tables else _empty_postings_table()
+            path = os.path.join(post_root, f"part-{p:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            pf = pq.ParquetFile(path)
+            meta = pf.metadata
+            shard_col = pf.schema_arrow.get_field_index("shard")
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(shard_col).statistics
+                if st is not None and st.min == shard_id:
+                    tables.append(pf.read_row_group(g))
+        group = (
+            pa.concat_tables(tables).drop_columns(["shard"])
+            if tables
+            else _empty_postings_table()
+        )
         encoded = encode_shard_table(group)
         row = write_shard(encoded, os.path.join(self.index_dir, "shards"), shard_id)
         return pa.table(

@@ -277,15 +277,51 @@ def encode_positions_flat(values: np.ndarray, offsets: np.ndarray) -> bytes:
     return varint_encode(out)
 
 
-def decode_positions(buf: bytes | memoryview, n_postings: int) -> list[np.ndarray]:
-    """Decode the position stream back into per-posting uint32 arrays."""
-    flat = varint_decode(buf)
-    out: list[np.ndarray] = []
+def position_bounds(flat: np.ndarray, n_postings: int) -> np.ndarray:
+    """Start index of each posting's [count, deltas...] segment in ``flat``."""
+    bounds = np.empty(n_postings + 1, dtype=np.int64)
     i = 0
-    for _ in range(n_postings):
-        cnt = int(flat[i])
-        i += 1
-        vals = np.cumsum(flat[i : i + cnt]).astype(np.uint32)
-        out.append(vals)
-        i += cnt
+    fl = flat.tolist()  # python ints: ~10x faster sequential walk
+    for k in range(n_postings):
+        bounds[k] = i
+        i += 1 + int(fl[i])
+    bounds[n_postings] = i
+    return bounds
+
+
+def decode_positions(buf: bytes | memoryview, n_postings: int) -> list[np.ndarray]:
+    """Decode the position stream back into per-posting uint32 arrays.
+
+    One global prefix-sum over the delta stream (count slots zeroed, each
+    segment's base subtracted) replaces a per-posting cumsum."""
+    flat = varint_decode(buf)
+    if n_postings == 0:
+        return []
+    bounds = position_bounds(flat, n_postings)
+    work = flat.astype(np.int64, copy=True)
+    work[bounds[:-1]] = 0  # count slots contribute nothing
+    csum = np.cumsum(work)
+    base = np.zeros(len(work), dtype=np.int64)
+    seg_base = csum[bounds[:-1]]  # cumsum value at each count slot
+    out: list[np.ndarray] = []
+    for k in range(n_postings):
+        s, e = int(bounds[k]) + 1, int(bounds[k + 1])
+        out.append((csum[s:e] - seg_base[k]).astype(np.uint32))
+    return out
+
+
+def decode_positions_subset(
+    buf: bytes | memoryview, n_postings: int, wanted: np.ndarray
+) -> list[np.ndarray]:
+    """Decode only the position lists at posting indices ``wanted``.
+
+    The varint stream is decoded once (vectorized); per-posting cumsum is
+    materialized only for the requested indices — the phrase evaluator's
+    candidate set, typically orders of magnitude smaller than df."""
+    flat = varint_decode(buf)
+    bounds = position_bounds(flat, n_postings)
+    out: list[np.ndarray] = []
+    for k in wanted:
+        s, e = int(bounds[k]) + 1, int(bounds[k + 1])
+        out.append(np.cumsum(flat[s:e]).astype(np.uint32))
     return out

@@ -129,6 +129,36 @@ class RangeStr:
 
 
 @dataclass
+class RangeI64:
+    """Numeric range over an indexed i64 fast field (CASS created_at)."""
+
+    field: str
+    lower: Optional[dict]  # {"value": int, "bound": "Included"|"Excluded"}
+    upper: Optional[dict]
+    matched_score: float = 1.0
+
+    def to_json(self):
+        out: dict = {"type": "RangeI64", "field": self.field}
+        if self.lower is not None:
+            out["lower"] = dict(self.lower)
+        if self.upper is not None:
+            out["upper"] = dict(self.upper)
+        out["matched_score"] = self.matched_score
+        return out
+
+
+@dataclass
+class GlobQuery:
+    """Regex-lowered wildcard term over the CASS regex fields."""
+
+    fields: list[str]
+    pattern: str  # lowercased raw pattern
+
+    def to_json(self):
+        return {"type": "GlobQuery", "fields": list(self.fields), "pattern": self.pattern}
+
+
+@dataclass
 class SetStr:
     field: str
     values: list[str]

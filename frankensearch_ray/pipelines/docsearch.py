@@ -94,9 +94,12 @@ def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
     from ray.data.aggregate import Sum
 
     index_dir = documents_index(sf_dir)
-    ds = rd.read_parquet(
-        os.path.join(index_dir, "shards"), columns=["field", "term", "df"]
+    import glob as _glob
+
+    shard_files = sorted(
+        _glob.glob(os.path.join(index_dir, "shards", "shard-*.parquet"))
     )
+    ds = rd.read_parquet(shard_files, columns=["field", "term", "df"])
     agg = (
         ds.map_batches(
             lambda t: t.filter(

@@ -52,6 +52,16 @@ from ..stages.shard import shard_for
 _F32_ONE = np.float32(1.0)
 
 
+def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in SORTED-unique ``b`` via binary search —
+    O((|a|+|b|) log) without np.isin's per-call sort."""
+    if len(b) == 0 or len(a) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b, a)
+    np.minimum(idx, len(b) - 1, out=idx)
+    return b[idx] == a
+
+
 class _Norms:
     """Dense fieldnorm lookup across sparse (partition << 32 | row) docids."""
 
@@ -88,51 +98,120 @@ class _Norms:
 
 
 class _ShardCache:
-    """Per-shard term table: parquet -> in-memory dict probe.
+    """Per-shard term probe via row-group pruning, not full materialization.
 
-    At cluster scale this is the state held by a query actor pool (one
-    reader per shard set, SURVEY §7.3); locally we just cache all shards.
+    Shards are written (field, term, bucket)-sorted with 2048-row groups
+    and a sidecar listing each row group's first key.  A term probe
+    binary-searches the sidecar and reads ONLY the covering row group(s),
+    so a reader's memory is bounded by its query mix, not shard size —
+    the property that lets query replicas scale (SURVEY §7.3).  Decoded
+    row groups are LRU-cached.
     """
+
+    _RG_CACHE_MAX = 256
 
     def __init__(self, shards_dir: str):
         self.shards_dir = shards_dir
-        self._tables: dict[int, dict] = {}
+        self._entries: dict[int, dict | None] = {}
+        self._rg_cache: dict[tuple[int, int], pa.Table] = {}
 
-    def _load(self, shard_id: int) -> dict:
-        cached = self._tables.get(shard_id)
-        if cached is not None:
-            return cached
+    def _load(self, shard_id: int) -> dict | None:
+        if shard_id in self._entries:
+            return self._entries[shard_id]
         path = os.path.join(self.shards_dir, f"shard-{shard_id:05d}.parquet")
-        index: dict[tuple[int, str], list[tuple[int, int]]] = {}
-        table = None
-        if os.path.exists(path):
-            table = pq.read_table(path)
-            fields = table["field"].to_numpy()
-            buckets = table["bucket"].to_numpy()
-            terms = table["term"].to_pylist()
-            for i, (f, t, b) in enumerate(zip(fields, terms, buckets)):
-                index.setdefault((int(f), t), []).append((int(b), i))
-        entry = {"table": table, "index": index}
-        self._tables[shard_id] = entry
+        if not os.path.exists(path):
+            self._entries[shard_id] = None
+            return None
+        pf = pq.ParquetFile(path)
+        keys_path = os.path.join(
+            self.shards_dir, f"_keys-{shard_id:05d}.parquet"
+        )
+        if os.path.exists(keys_path):
+            kt = pq.read_table(keys_path)
+        else:  # legacy shard without sidecar: one cheap key-columns scan
+            kt_full = pq.read_table(path, columns=["field", "term", "bucket"])
+            starts = []
+            row = 0
+            for g in range(pf.metadata.num_row_groups):
+                starts.append(row)
+                row += pf.metadata.row_group(g).num_rows
+            kt = kt_full.take(pa.array(starts))
+        keys = list(
+            zip(
+                kt["field"].to_pylist(),
+                kt["term"].to_pylist(),
+                kt["bucket"].to_pylist(),
+            )
+        )
+        entry = {"pf": pf, "keys": keys}
+        self._entries[shard_id] = entry
         return entry
+
+    def _row_group(self, shard_id: int, entry: dict, g: int) -> pa.Table:
+        key = (shard_id, g)
+        t = self._rg_cache.get(key)
+        if t is None:
+            t = entry["pf"].read_row_group(g)
+            if len(self._rg_cache) >= self._RG_CACHE_MAX:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = t
+        return t
+
+    def _candidate_groups(self, entry: dict, field: int, term: str) -> range:
+        import bisect
+
+        keys = entry["keys"]
+        lo = bisect.bisect_right(keys, (field, term, -1)) - 1
+        lo = max(lo, 0)
+        hi = bisect.bisect_right(keys, (field, term, float("inf")))
+        return range(lo, max(hi, lo + 1))
 
     def rows(self, shard_id: int, field: int, term: str) -> list[tuple[int, dict]]:
         entry = self._load(shard_id)
+        if entry is None or not entry["keys"]:
+            return []
         out = []
-        table = entry["table"]
-        for bucket, i in entry["index"].get((field, term), []):
-            out.append(
-                (
-                    bucket,
-                    {
-                        "df": table["df"][i].as_py(),
-                        "postings": table["postings"][i].as_py(),
-                        "blockmax": table["blockmax"][i].as_py(),
-                        "positions": table["positions"][i].as_py(),
-                    },
+        for g in self._candidate_groups(entry, field, term):
+            t = self._row_group(shard_id, entry, g)
+            # rows are (field, term, bucket)-sorted: binary-search the run
+            # and SLICE (zero-copy) — never filter the blob columns
+            fields = t["field"].to_numpy()
+            f_lo = int(np.searchsorted(fields, field, side="left"))
+            f_hi = int(np.searchsorted(fields, field, side="right"))
+            if f_hi <= f_lo:
+                continue
+            terms = t["term"].combine_chunks()
+            eq = pc.equal(
+                terms.slice(f_lo, f_hi - f_lo), term
+            ).to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(eq):
+                row = f_lo + int(i)
+                out.append(
+                    (
+                        int(t["bucket"][row].as_py()),
+                        {
+                            "df": t["df"][row].as_py(),
+                            "postings": t["postings"][row].as_py(),
+                            "blockmax": t["blockmax"][row].as_py(),
+                            "positions": t["positions"][row].as_py(),
+                        },
+                    )
                 )
-            )
         return out
+
+    def iter_terms(self, shard_id: int, field: int):
+        """Stream (term, bucket) pairs of one field (range/set scans only)."""
+        entry = self._load(shard_id)
+        if entry is None:
+            return
+        pf = entry["pf"]
+        for g in range(pf.metadata.num_row_groups):
+            t = pf.read_row_group(g, columns=["field", "term"])
+            mask = np.equal(t["field"].to_numpy(), field)
+            if not mask.any():
+                continue
+            for term in t.filter(pa.array(mask))["term"].to_pylist():
+                yield term
 
 
 class LocalSearcher:
@@ -155,6 +234,9 @@ class LocalSearcher:
         )
         self.norms = _Norms(os.path.join(index_dir, "doclen"))
         self.shards = _ShardCache(os.path.join(index_dir, "shards"))
+        self._bm_cache: dict[tuple[int, str], dict | None] = {}
+        self._post_cache: dict[tuple[int, str], tuple] = {}
+        self._pos_cache: dict[tuple[int, str], list] = {}
         self._idmap_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
@@ -181,7 +263,12 @@ class LocalSearcher:
     def postings(self, field: int, term: str, with_positions: bool = False):
         """Decode + bucket-concat a term's postings.
 
-        Returns ``(docids u64, tfs u32, df int, positions list|None)``."""
+        Returns ``(docids u64, tfs u32, df int, positions list|None)``.
+        The position-free variant is LRU-cached per (field, term)."""
+        if not with_positions:
+            got = self._post_cache.get((field, term))
+            if got is not None:
+                return got
         rows = self.term_rows(field, term)
         if not rows:
             return (
@@ -201,7 +288,44 @@ class LocalSearcher:
                 pos_parts.extend(decode_positions(row["positions"], len(d)))
         docids = np.concatenate(d_parts)
         tfs = np.concatenate(f_parts)
-        return docids, tfs, df, (pos_parts if with_positions else None)
+        result = (docids, tfs, df, (pos_parts if with_positions else None))
+        if not with_positions:
+            if len(self._post_cache) >= 2048:
+                self._post_cache.pop(next(iter(self._post_cache)))
+            self._post_cache[(field, term)] = result
+        return result
+
+    def blockmax_entry(self, field: int, term: str) -> dict | None:
+        """Cached decoded blockmax stream + posting-block bookkeeping for one
+        (field, term) — shared across queries so pruning setup is O(1) warm."""
+        from ..codecs import decode_blockmax
+
+        key = (field, term)
+        got = self._bm_cache.get(key)
+        if got is not None or key in self._bm_cache:
+            return got
+        rows = [r for _b, r in self.term_rows(field, term)]
+        df = sum(int(r["df"]) for r in rows)
+        if df == 0:
+            entry = None
+        else:
+            bms = [decode_blockmax(r["blockmax"]) for r in rows]
+            entry = {
+                "rows": rows,
+                "df": df,
+                "block_row": np.concatenate(
+                    [np.full(len(b), i, dtype=np.int32) for i, b in enumerate(bms)]
+                ),
+                "block_offset": np.concatenate([b["offset"] for b in bms]),
+                "first_docs": np.concatenate([b["first_doc"] for b in bms]),
+                "codes": np.concatenate([b["max_freq_code"] for b in bms]),
+                "minfn": np.concatenate([b["min_fieldnorm_id"] for b in bms]),
+                "decoded": {},
+            }
+        if len(self._bm_cache) >= 4096:
+            self._bm_cache.pop(next(iter(self._bm_cache)))
+        self._bm_cache[key] = entry
+        return entry
 
     def doc_count(self) -> int:
         """O(1) live doc count: manifest stats − tombstones
@@ -296,31 +420,61 @@ class LocalSearcher:
         d = np.concatenate(matches)
         return d, np.full(len(d), _F32_ONE, dtype=np.float32)
 
+    def _pos_entry(self, field: int, term: str) -> list:
+        """Per-row (docids, flat varints, segment bounds) — decoded once."""
+        from ..codecs import position_bounds, varint_decode
+
+        key = (field, term)
+        e = self._pos_cache.get(key)
+        if e is None:
+            e = []
+            for _b, row in self.term_rows(field, term):
+                d, _f = decode_postings(row["postings"])
+                flat = varint_decode(row["positions"])
+                e.append((d, flat, position_bounds(flat, len(d))))
+            if len(self._pos_cache) >= 256:
+                self._pos_cache.pop(next(iter(self._pos_cache)))
+            self._pos_cache[key] = e
+        return e
+
+    def positions_for(
+        self, field: int, term: str, wanted: np.ndarray
+    ) -> dict[int, np.ndarray]:
+        """Decode positions ONLY for the wanted docids (candidate subset)."""
+        out: dict[int, np.ndarray] = {}
+        for d, flat, bounds in self._pos_entry(field, term):
+            idx = np.searchsorted(d, wanted)
+            valid = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == wanted)
+            for docid, k in zip(wanted[valid], idx[valid]):
+                s, e2 = int(bounds[k]) + 1, int(bounds[k + 1])
+                out[int(docid)] = np.cumsum(flat[s:e2]).astype(np.uint32)
+        return out
+
     def _eval_phrase_field(self, terms: list[str], field_name: str, boost: float, slop: int):
         ford = FIELD_ORDS[field_name]
         n, avgdl = self.field_bm25(field_name)
         per_term = []
         for term in terms:
-            docids, _tfs, df, positions = self.postings(ford, term, with_positions=True)
+            docids, _tfs, df, _ = self.postings(ford, term)
             if len(docids) == 0:
                 return np.zeros(0, np.uint64), np.zeros(0, np.float32)
-            per_term.append((docids, positions, df))
+            per_term.append((docids, df))
         # conjunction prefilter
         cand = per_term[0][0]
-        for d, _, _ in per_term[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
+        for d, _ in per_term[1:]:
+            cand = cand[_isin_sorted(cand, d)]
         if len(cand) == 0:
             return cand, np.zeros(0, np.float32)
-        # position verify: adjacency (slop 0) — freq = match count
+        # position verify on candidates only: adjacency (slop 0) — freq =
+        # match count; positions are subset-decoded (candidates ≪ df)
+        pos_maps = [self.positions_for(ford, t, cand) for t in terms]
         match_docs = []
         match_tfs = []
-        idx_per_term = [np.searchsorted(d, cand) for d, _, _ in per_term]
-        for ci, docid in enumerate(cand):
-            base = per_term[0][1][idx_per_term[0][ci]].astype(np.int64)
-            ok = base
-            for ti in range(1, len(per_term)):
-                plist = per_term[ti][1][idx_per_term[ti][ci]].astype(np.int64)
-                ok = ok[np.isin(ok + ti, plist, assume_unique=True)]
+        for docid in cand:
+            ok = pos_maps[0][int(docid)].astype(np.int64)
+            for ti in range(1, len(pos_maps)):
+                plist = pos_maps[ti][int(docid)].astype(np.int64)
+                ok = ok[_isin_sorted(ok + ti, plist)]
                 if len(ok) == 0:
                     break
             if len(ok):
@@ -332,7 +486,7 @@ class LocalSearcher:
         tfs = np.array(match_tfs, dtype=np.uint32)
         # idf accumulated left-to-right f32 in phrase-term order
         idf_total = np.float32(0.0)
-        for _, _, df in per_term:
+        for _, df in per_term:
             idf_total = idf_total + bm25.idf(min(df, n), n)
         w = bm25.term_weight(idf_total, boost)
         cache = bm25.compute_tf_cache(avgdl)
@@ -390,10 +544,7 @@ class LocalSearcher:
     def _terms_matching(self, ford: int, node) -> list[str]:
         out = []
         for sid in range(self.num_shards):
-            entry = self.shards._load(sid)
-            for (f, term) in entry["index"]:
-                if f != ford:
-                    continue
+            for term in self.shards.iter_terms(sid, ford):
                 if isinstance(node, SetStr):
                     if term in node.values:
                         out.append(term)
@@ -451,7 +602,7 @@ class LocalSearcher:
         if musts:
             base = musts[0][0]
             for d, _ in musts[1:]:
-                base = base[np.isin(base, d, assume_unique=True)]
+                base = base[_isin_sorted(base, d)]
             scores = np.zeros(len(base), dtype=np.float32)
             # required aggregate first, in clause order
             for d, s in musts:
@@ -459,7 +610,7 @@ class LocalSearcher:
                 scores = scores + s[idx]
             # then optional Should contributions where matching
             for d, s in shoulds:
-                mask = np.isin(base, d, assume_unique=True)
+                mask = _isin_sorted(base, d)
                 pos = np.searchsorted(d, base[mask])
                 add = np.zeros(len(base), dtype=np.float32)
                 add[mask] = s[pos]
@@ -472,7 +623,7 @@ class LocalSearcher:
             excluded = nots[0]
             for d in nots[1:]:
                 excluded = np.union1d(excluded, d)
-            keep = ~np.isin(base, excluded, assume_unique=True)
+            keep = ~_isin_sorted(base, excluded)
             base, scores = base[keep], scores[keep]
         return base, scores
 

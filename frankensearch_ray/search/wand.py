@@ -43,35 +43,32 @@ class _Leaf:
         ford = FIELD_ORDS[field_name]
         self.searcher = searcher
         self.ford = ford
-        rows = searcher.term_rows(ford, term)
         n, avgdl = searcher.field_bm25(field_name)
         self.avgdl = float(avgdl)
-        df = sum(int(r["df"]) for _b, r in rows)
-        self.empty = df == 0
+        # blockmax decode + bucket-concat bookkeeping is snapshot-constant:
+        # cached on the searcher and shared across queries
+        entry = searcher.blockmax_entry(ford, term)
+        self.empty = entry is None
         if self.empty:
             self.first_docs = np.zeros(0, np.uint64)
             self.bounds = np.zeros(0, np.float64)
             return
+        df = entry["df"]
         self.weight = bm25.term_weight(bm25.idf(min(df, n), n), boost)
         self.tf_cache = bm25.compute_tf_cache(avgdl)
-        # bucket rows concat in docid order: treat the concatenated blockmax
-        # streams as one stream with per-row postings-buffer bookkeeping
-        self.rows = [r for _b, r in rows]
-        bms = [decode_blockmax(r["blockmax"]) for r in self.rows]
-        self.block_row = np.concatenate(
-            [np.full(len(b), i, dtype=np.int32) for i, b in enumerate(bms)]
-        )
-        self.block_offset = np.concatenate([b["offset"] for b in bms])
-        self.first_docs = np.concatenate([b["first_doc"] for b in bms])
-        codes = np.concatenate([b["max_freq_code"] for b in bms])
-        minfn = np.concatenate([b["min_fieldnorm_id"] for b in bms])
+        self.rows = entry["rows"]
+        self.block_row = entry["block_row"]
+        self.block_offset = entry["block_offset"]
+        self.first_docs = entry["first_docs"]
         # vectorized conservative block bound: weight * f/(f+norm(min_fn))
-        freqs = bm25.block_max_frequency_from_code(codes).astype(np.float32)
-        norms = self.tf_cache[minfn.astype(np.int64)]
+        freqs = bm25.block_max_frequency_from_code(entry["codes"]).astype(
+            np.float32
+        )
+        norms = self.tf_cache[entry["minfn"].astype(np.int64)]
         self.bounds = (
             np.float32(self.weight) * (freqs / (freqs + norms))
         ).astype(np.float64)
-        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._decoded = entry["decoded"]  # shared decoded-block cache
 
     def n_blocks(self) -> int:
         return len(self.first_docs)
@@ -185,8 +182,15 @@ def search_pruned(searcher, node, k: int):
         return heap[0][0] if len(heap) >= k else -np.inf
 
     def push(docids: np.ndarray, scores: np.ndarray):
-        for d, s in zip(docids, scores):
-            item = (float(s), -int(d))
+        # vectorized pre-filter: only candidates that can beat the current
+        # worst enter the python heap loop (ties resolved exactly below)
+        if len(heap) >= k:
+            th = heap[0][0]
+            mask = scores >= np.float32(th)
+            if not mask.all():
+                docids, scores = docids[mask], scores[mask]
+        for d, s in zip(docids.tolist(), scores.tolist()):
+            item = (s, -d)
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:

@@ -108,15 +108,22 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
     )
 
 
+ROW_GROUP_ROWS = 2048
+
+
 def write_shard(table: pa.Table, shards_dir: str, shard_id: int) -> dict:
-    """Atomically write one shard parquet; returns its manifest row."""
+    """Atomically write one shard parquet + its row-group key sidecar.
+
+    The sidecar holds each row group's first (field, term, bucket) so
+    query-time term probes binary-search it and read ONLY the covering
+    row group(s) — no full-shard materialization per reader."""
     os.makedirs(shards_dir, exist_ok=True)
     path = os.path.join(shards_dir, f"shard-{shard_id:05d}.parquet")
     tmp = os.path.join(shards_dir, f".shard-{shard_id:05d}.tmp")
     pq.write_table(
         table,
         tmp,
-        row_group_size=2048,
+        row_group_size=ROW_GROUP_ROWS,
         compression="zstd",
         sorting_columns=[
             pq.SortingColumn(0),
@@ -125,6 +132,18 @@ def write_shard(table: pa.Table, shards_dir: str, shard_id: int) -> dict:
         ],
     )
     os.replace(tmp, path)
+    starts = list(range(0, len(table), ROW_GROUP_ROWS))
+    keys = pa.table(
+        {
+            "field": table["field"].take(pa.array(starts)),
+            "term": table["term"].take(pa.array(starts)),
+            "bucket": table["bucket"].take(pa.array(starts)),
+        }
+    )
+    keys_path = os.path.join(shards_dir, f"_keys-{shard_id:05d}.parquet")
+    keys_tmp = os.path.join(shards_dir, f"._keys-{shard_id:05d}.tmp")
+    pq.write_table(keys, keys_tmp)
+    os.replace(keys_tmp, keys_path)
     return {
         "index": shard_id,
         "rows": len(table),

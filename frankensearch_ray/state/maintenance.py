@@ -324,30 +324,33 @@ def _compact_partition(
     def rel(p: str) -> str:
         return os.path.relpath(p, index_dir)
 
-    # postings splits (fs layout) or single file (groupby layout)
-    post_dir = paths["postings"]
-    post_files = (
-        sorted(
-            os.path.join(post_dir, f)
-            for f in os.listdir(post_dir)
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(post_dir)
-        else [post_dir + ".parquet"]
-    )
+    # single postings file, one row group per destination shard: filter
+    # per row group and rewrite preserving the rg-per-shard layout
+    post_path = paths["postings"] + ".parquet"
+    pf = pq.ParquetFile(post_path)
     postings_rows = 0
     token_totals = {"content": 0, "title": 0}
-    for f in post_files:
-        t = pq.read_table(f)
+    tmp = post_path + ".tmp"
+    writer = pq.ParquetWriter(tmp, pf.schema_arrow, compression="zstd")
+    wrote = False
+    for g in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(g)
         keep = live_mask(t["docid"].to_numpy())
         t2 = t.filter(pa.array(keep))
+        if len(t2) == 0:
+            continue
         postings_rows += len(t2)
         fields = t2["field"].to_numpy()
         tfs = t2["tf"].to_numpy().astype(np.int64)
         token_totals["content"] += int(tfs[fields == 0].sum())
         token_totals["title"] += int(tfs[fields == 1].sum())
-        _atomic_write_table(t2, f, compression="zstd")
-        files.append(rel(f))
+        writer.write_table(t2, row_group_size=len(t2))
+        wrote = True
+    if not wrote:
+        writer.write_table(pf.schema_arrow.empty_table())
+    writer.close()
+    os.replace(tmp, post_path)
+    files.append(rel(post_path))
 
     doclen = pq.read_table(paths["doclen"])
     keep_doc = live_mask(doclen["docid"].to_numpy())
