@@ -138,13 +138,14 @@ class RangeI64:
     matched_score: float = 1.0
 
     def to_json(self):
-        out: dict = {"type": "RangeI64", "field": self.field}
-        if self.lower is not None:
-            out["lower"] = dict(self.lower)
-        if self.upper is not None:
-            out["upper"] = dict(self.upper)
-        out["matched_score"] = self.matched_score
-        return out
+        unbounded = {"bound": "Unbounded"}
+        return {
+            "type": "RangeI64",
+            "field": self.field,
+            "lower": dict(self.lower) if self.lower is not None else dict(unbounded),
+            "upper": dict(self.upper) if self.upper is not None else dict(unbounded),
+            "matched_score": self.matched_score,
+        }
 
 
 @dataclass
