@@ -221,17 +221,24 @@ def _sample_salted(parts: list[dict], cfg: BuildConfig) -> list[tuple[int, str]]
     # sampling doesn't miss borderline heads
     local_cut = max(1, int(cfg.salt_threshold / scale) // (2 * max(1, k)))
 
-    partials = (
-        rd.from_items(sample)
-        .map_batches(_SampleDF(cfg, local_cut), batch_size=1, batch_format="pyarrow")
-        .take_all()
-    )
-    if not partials:
-        return []
+    # tiny control-plane fan-out: plain ray tasks avoid the per-Dataset
+    # fixed overhead that would dominate this ~100ms-per-task step
+    sampler = _SampleDF(cfg, local_cut)
+
+    @ray.remote(num_cpus=1)
+    def _one(part):
+        import pyarrow as pa
+
+        return sampler(pa.Table.from_pylist([part]))
+
+    tables = ray.get([_one.remote(p) for p in sample])
     agg: dict[tuple[int, str], int] = {}
-    for r in partials:
-        key = (int(r["field"]), str(r["term"]))
-        agg[key] = agg.get(key, 0) + int(r["df"])
+    for t in tables:
+        for r in t.to_pylist():
+            key = (int(r["field"]), str(r["term"]))
+            agg[key] = agg.get(key, 0) + int(r["df"])
+    if not agg:
+        return []
     thresh = cfg.salt_threshold / scale
     return sorted(k_ for k_, v in agg.items() if v >= thresh)
 

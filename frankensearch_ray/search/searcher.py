@@ -41,7 +41,9 @@ from ..contract.query_ast import (
     Boolean,
     Boost,
     Empty,
+    GlobQuery,
     Phrase,
+    QueryField,
     RangeStr,
     SetStr,
     Term,
@@ -566,6 +568,53 @@ class LocalSearcher:
                         out.append(term)
         return sorted(set(out))
 
+    GLOB_EXPANSION_LIMIT = 16_384  # config.rs:33 glob_expansion_limit
+
+    def _eval_glob(self, node, boost: float):
+        """Regex-lowered glob: expand against the term dictionary (bounded
+        by the reference expansion limit), union postings, const score 1.0
+        per match (``query.rs:3454-3518``; RegexQuery const-score)."""
+        import re
+
+        from ..contract.cass import classify_wildcard
+
+        info = classify_wildcard(node.pattern)
+        regex = info.get("regex")
+        if regex is None:  # Exact/Prefix lower to terms, not regex
+            core = info.get("normalized_term", node.pattern.strip("*").lower())
+            fields = [
+                QueryField(f, 1.0) for f in node.fields if f in FIELD_ORDS
+            ]
+            return self._eval_term(Term(core, fields), boost)
+        prog = re.compile(regex)
+        matched: list[str] = []
+        for fname in node.fields:
+            ford = FIELD_ORDS.get(fname)
+            if ford is None:
+                continue
+            for term in self._terms_matching_pred(ford, prog):
+                matched.append(term)
+                if len(matched) >= self.GLOB_EXPANSION_LIMIT:
+                    break
+        docs = np.zeros(0, np.uint64)
+        for fname in node.fields:
+            ford = FIELD_ORDS.get(fname)
+            if ford is None:
+                continue
+            for term in sorted(set(matched)):
+                d, _, _, _ = self.postings(ford, term)
+                if len(d):
+                    docs = np.union1d(docs, d) if len(docs) else d
+        return docs.astype(np.uint64), np.full(
+            len(docs), _F32_ONE, dtype=np.float32
+        )
+
+    def _terms_matching_pred(self, ford: int, prog):
+        for sid in range(self.num_shards):
+            for term in self.shards.iter_terms(sid, ford):
+                if prog.fullmatch(term):
+                    yield term
+
     def _eval_all(self, boost: float):
         d = self.norms.all_docids
         return d, np.full(len(d), _F32_ONE, dtype=np.float32)
@@ -585,6 +634,8 @@ class LocalSearcher:
             return d, (s * np.float32(node.factor)).astype(np.float32)
         if isinstance(node, (RangeStr, SetStr)):
             return self._eval_range_set(node, boost)
+        if isinstance(node, GlobQuery):
+            return self._eval_glob(node, boost)
         if isinstance(node, Boolean):
             return self._eval_boolean(node, boost)
         raise TypeError(f"unsupported node {type(node)}")

@@ -216,3 +216,48 @@ class TestResume:
         assert [h["id"] for h in s2.search(q, 10)["hits"]] == [
             h["id"] for h in searcher.search(q, 10)["hits"]
         ]
+
+
+class TestGlobEvaluation:
+    def test_glob_classes_match_regex_semantics(self, searcher):
+        """GlobQuery: suffix/substring/complex expand via the term dict
+        (bounded), const score 1.0; prefix/exact lower to term queries."""
+        import re
+
+        import numpy as np
+
+        from frankensearch_ray.contract.query_ast import GlobQuery
+        from frankensearch_ray.schema import FIELD_CONTENT
+
+        all_terms = sorted(
+            {
+                t
+                for sid in range(searcher.num_shards)
+                for t in searcher.shards.iter_terms(sid, FIELD_CONTENT)
+            }
+        )
+        for pattern, regex in [
+            ("*ship", r".*ship"),
+            ("*owner*", r".*owner.*"),
+            ("own*p", r"own.*p"),
+        ]:
+            d, s = searcher.evaluate(GlobQuery(["content"], pattern))
+            want = np.zeros(0, np.uint64)
+            prog = re.compile(regex)
+            for t in all_terms:
+                if prog.fullmatch(t):
+                    dd, *_ = searcher.postings(FIELD_CONTENT, t)
+                    want = np.union1d(want, dd) if len(want) else dd
+            assert np.array_equal(np.sort(d), np.sort(want)), pattern
+            assert (s == np.float32(1.0)).all()
+
+    def test_glob_prefix_lowers_to_term(self, searcher):
+        from frankensearch_ray.contract.query_ast import GlobQuery, Term, QueryField
+
+        d1, s1 = searcher.evaluate(GlobQuery(["content"], "rust*"))
+        d2, s2 = searcher.evaluate(
+            Term("rust", [QueryField("content", 1.0)])
+        )
+        import numpy as np
+
+        assert np.array_equal(d1, d2)
