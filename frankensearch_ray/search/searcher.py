@@ -44,6 +44,7 @@ from ..contract.query_ast import (
     GlobQuery,
     Phrase,
     QueryField,
+    RangeI64,
     RangeStr,
     SetStr,
     Term,
@@ -239,6 +240,7 @@ class LocalSearcher:
         self._bm_cache: dict[tuple[int, str], dict | None] = {}
         self._post_cache: dict[tuple[int, str], tuple] = {}
         self._pos_cache: dict[tuple[int, str], list] = {}
+        self._numeric_cache: dict[str, tuple] = {}
         self._idmap_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
@@ -568,6 +570,46 @@ class LocalSearcher:
                         out.append(term)
         return sorted(set(out))
 
+    def _numeric(self, field_name: str):
+        """(values sorted, docids) of one numeric fast field, cached."""
+        got = self._numeric_cache.get(field_name)
+        if got is not None:
+            return got
+        tables = []
+        num_dir = Path(self.index_dir) / "numeric"
+        for path in sorted(num_dir.glob("part-*.parquet")):
+            t = pq.read_table(path)
+            t = t.filter(pc.equal(t["field"], field_name))
+            if len(t):
+                tables.append(t)
+        if not tables:
+            got = (np.zeros(0, np.int64), np.zeros(0, np.uint64))
+        else:
+            t = pa.concat_tables(tables)
+            v = t["value"].to_numpy()
+            d = t["docid"].to_numpy()
+            order = np.lexsort((d, v))
+            got = (v[order], d[order])
+        self._numeric_cache[field_name] = got
+        return got
+
+    def _eval_range_i64(self, node, boost: float):
+        """NUMERIC range: binary search the sorted (value, docid) column
+        (``quiver.rs:8189-8257``); const ``matched_score`` per match."""
+        v, d = self._numeric(node.field)
+        lo = 0
+        hi = len(v)
+        if node.lower is not None:
+            side = "left" if node.lower["bound"] == "Included" else "right"
+            lo = int(np.searchsorted(v, node.lower["value"], side=side))
+        if node.upper is not None:
+            side = "right" if node.upper["bound"] == "Included" else "left"
+            hi = int(np.searchsorted(v, node.upper["value"], side=side))
+        docs = np.sort(d[lo:hi].copy())
+        return docs, np.full(
+            len(docs), np.float32(node.matched_score), dtype=np.float32
+        )
+
     GLOB_EXPANSION_LIMIT = 16_384  # config.rs:33 glob_expansion_limit
 
     def _eval_glob(self, node, boost: float):
@@ -636,6 +678,8 @@ class LocalSearcher:
             return self._eval_range_set(node, boost)
         if isinstance(node, GlobQuery):
             return self._eval_glob(node, boost)
+        if isinstance(node, RangeI64):
+            return self._eval_range_i64(node, boost)
         if isinstance(node, Boolean):
             return self._eval_boolean(node, boost)
         raise TypeError(f"unsupported node {type(node)}")

@@ -53,6 +53,46 @@ IDMAP_SCHEMA = pa.schema(
     ]
 )
 
+# NUMERIC sidecar: per-field sorted (value, docid) pairs — range query =
+# binary search -> docid filter (``quiver.rs:8189-8257``)
+NUMERIC_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("value", pa.int64()),
+        ("docid", pa.uint64()),
+    ]
+)
+
+
+def numeric_table(
+    table: pa.Table, numeric_cols: list[str], docids: np.ndarray
+) -> pa.Table:
+    """Extract numeric fast columns as one (field, value, docid) table,
+    sorted by (field, value, docid).  Nulls are skipped (holes)."""
+    parts = []
+    for col in numeric_cols:
+        arr = table[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.cast(pa.int64())
+        mask = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = vals.to_numpy(zero_copy_only=False)[mask]
+        d = docids[mask]
+        order = np.lexsort((d, v))
+        parts.append(
+            pa.table(
+                {
+                    "field": pa.array([col] * len(v), pa.string()),
+                    "value": pa.array(v[order], pa.int64()),
+                    "docid": pa.array(d[order], pa.uint64()),
+                },
+                schema=NUMERIC_SCHEMA,
+            )
+        )
+    if not parts:
+        return NUMERIC_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
 
 def content_hashes(texts: pa.Array) -> np.ndarray:
     """Deterministic 64-bit content hashes (identity / no-op-upsert check,
@@ -117,6 +157,7 @@ def tokenize_partition(
     content_col: str | None = None,
     html_col: str | None = None,
     verify_text_col: str | None = None,
+    numeric_cols: list[str] | None = None,
 ):
     """Tokenize one input partition.
 
@@ -191,7 +232,10 @@ def tokenize_partition(
         "title": {"doc_count": n, "total_tokens": title_total},
         "postings_rows": len(postings),
     }
-    return {"postings": postings, "doclen": doclen, "idmap": idmap, "stats": stats}
+    out = {"postings": postings, "doclen": doclen, "idmap": idmap, "stats": stats}
+    if numeric_cols:
+        out["numeric"] = numeric_table(table, numeric_cols, docids)
+    return out
 
 
 def df_partials(postings: pa.Table, partition_index: int, min_local_df: int = 1) -> pa.Table:
