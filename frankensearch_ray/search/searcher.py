@@ -217,7 +217,14 @@ class _ShardCache:
                 yield term
 
 
+class QueryFuelExhausted(RuntimeError):
+    """Raised when one query exceeds its work budget
+    (``config.rs:34-40`` — default 10,000,000 coarse work units)."""
+
+
 class LocalSearcher:
+    DEFAULT_QUERY_FUEL = 10_000_000
+
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -241,6 +248,8 @@ class LocalSearcher:
         self._post_cache: dict[tuple[int, str], tuple] = {}
         self._pos_cache: dict[tuple[int, str], list] = {}
         self._numeric_cache: dict[str, tuple] = {}
+        self.query_fuel = self.DEFAULT_QUERY_FUEL
+        self._fuel_used = 0
         self._idmap_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
@@ -367,9 +376,18 @@ class LocalSearcher:
 
     # --- evaluation --------------------------------------------------------
 
+    def _charge(self, units: int) -> None:
+        """Per-query work admission (fuel budget, ``config.rs:34-40``)."""
+        self._fuel_used += int(units)
+        if self._fuel_used > self.query_fuel:
+            raise QueryFuelExhausted(
+                f"query exceeded {self.query_fuel} work units"
+            )
+
     def _eval_term_field(self, term: str, field_name: str, boost: float):
         ford = FIELD_ORDS[field_name]
         docids, tfs, df, _ = self.postings(ford, term)
+        self._charge(len(docids))
         if len(docids) == 0:
             return docids, np.zeros(0, np.float32)
         n, avgdl = self.field_bm25(field_name)
@@ -471,6 +489,7 @@ class LocalSearcher:
             return cand, np.zeros(0, np.float32)
         # position verify on candidates only: adjacency (slop 0) — freq =
         # match count; positions are subset-decoded (candidates ≪ df)
+        self._charge(sum(len(d) for d, _ in per_term) + len(cand) * len(terms))
         pos_maps = [self.positions_for(ford, t, cand) for t in terms]
         match_docs = []
         match_tfs = []
@@ -659,6 +678,7 @@ class LocalSearcher:
 
     def _eval_all(self, boost: float):
         d = self.norms.all_docids
+        self._charge(len(d))
         return d, np.full(len(d), _F32_ONE, dtype=np.float32)
 
     def evaluate(self, node, boost: float = 1.0):
@@ -808,6 +828,7 @@ class LocalSearcher:
         exhaustive kernel.
         """
         parsed = parse_default(query)
+        self._fuel_used = 0
         if pruning and not count and limit > 0:
             from .wand import search_pruned
 

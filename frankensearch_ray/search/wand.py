@@ -221,6 +221,7 @@ def search_pruned(searcher, node, k: int):
             for c in cand_parts[1:]:
                 cand = np.union1d(cand, c)
             cand = cand[searcher.live_mask(cand)]  # tombstone filter
+            searcher._charge(len(cand) * len(leaves))
         if cand_parts and len(cand):
             # exact scoring, same association as the exhaustive kernel:
             # per clause: f32 sum over its field leaves; then clause-order sum

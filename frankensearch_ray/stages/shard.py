@@ -33,7 +33,10 @@ def term_hash(field: int, term: str) -> int:
 
 
 def shard_for(field: int, term: str, bucket: int, num_shards: int) -> int:
-    return (term_hash(field, term) + bucket * GOLDEN) % num_shards
+    # MUST wrap at 64 bits to match the vectorized uint64 arithmetic in
+    # assign_shards: (x mod 2^64) mod S != x mod S for non-power-of-two S
+    mixed = (term_hash(field, term) + bucket * GOLDEN) & 0xFFFFFFFFFFFFFFFF
+    return mixed % num_shards
 
 
 def bucket_of_partition(

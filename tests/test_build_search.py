@@ -261,3 +261,65 @@ class TestGlobEvaluation:
         import numpy as np
 
         assert np.array_equal(d1, d2)
+
+
+class TestQueryFuel:
+    def test_fuel_budget_guard(self, searcher):
+        from frankensearch_ray.search.searcher import QueryFuelExhausted
+
+        old = searcher.query_fuel
+        try:
+            searcher.query_fuel = 5
+            with pytest.raises(QueryFuelExhausted):
+                searcher.search("the rust ownership error", limit=10)
+        finally:
+            searcher.query_fuel = old
+        # recovers on the next query
+        assert len(searcher.search("rust", limit=5)["hits"]) == 5
+
+
+class TestPermutationLaw:
+    def test_doc_order_permutation_rank_invariant(
+        self, ray_session, tmp_index_root, searcher, reference_queries
+    ):
+        """Gauntlet metamorphic law (PLAN.md:519): permuting input doc
+        order must leave ranked (id, score_bits) lists identical after
+        tie canonicalization (ties sort by external id)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = pages.tier_t1()
+        perm_dir = tmp_index_root / "t1_perm_src"
+        perm_dir.mkdir(exist_ok=True)
+        tables = [pq.read_table(p) for p in sorted(paths)]
+        full = pa.concat_tables(tables)
+        rng = np.random.default_rng(7)
+        order = rng.permutation(len(full))
+        permuted = full.take(pa.array(order))
+        src = perm_dir / "permuted.parquet"
+        pq.write_table(permuted, src, row_group_size=47)
+
+        idx = str(tmp_index_root / "t1_perm_idx")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            verify_text_col="text",
+            num_shards=3,
+            salt_threshold=30,
+            salt_buckets=2,
+            target_partition_rows=60,
+        )
+        build_index([str(src)], idx, cfg, resume=False)
+        s2 = LocalSearcher(idx)
+
+        def canon(hits):
+            # tie groups canonicalized by (score_bits desc, external id)
+            return sorted(
+                [(h["score_bits"], h["id"]) for h in hits],
+                key=lambda x: (-x[0], x[1]),
+            )
+
+        for q in ["rust ownership", "error", "the", '"error handling"']:
+            a = canon(searcher.search(q, limit=141)["hits"])
+            b = canon(s2.search(q, limit=141)["hits"])
+            assert a == b, q
