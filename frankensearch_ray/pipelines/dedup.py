@@ -108,10 +108,26 @@ def ngram_jaccard_pairs(
     """
     import ray.data as rd
 
+    import hashlib
+
+    n_buckets = 64
+
+    def shingle_and_bucket(t: pa.Table) -> pa.Table:
+        out = _shingle_batch(t, id_col, text_col, k)
+        b = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+                )
+                % n_buckets
+                for s in out["shingle"].to_pylist()
+            ],
+            dtype=np.uint32,
+        )
+        return out.append_column("bucket", pa.array(b, pa.uint32()))
+
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    shingled = ds.map_batches(
-        lambda t: _shingle_batch(t, id_col, text_col, k), batch_format="pyarrow"
-    ).materialize()
+    shingled = ds.map_batches(shingle_and_bucket, batch_format="pyarrow").materialize()
 
     # |A| per doc
     sizes_pdf = (
@@ -119,21 +135,65 @@ def ngram_jaccard_pairs(
     )
     sizes = sizes_pdf["count()"].to_dict()
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2 or len(docs) > shingle_df_cap:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+    def bucket_pair_counts(g: pa.Table) -> pa.Table:
+        """Vectorized per-bucket pair expansion: sort by shingle, find runs,
+        emit triangular pairs for runs within the df cap, partial-count."""
+        doc = g["doc_id"].to_numpy()
+        de = pc.dictionary_encode(g["shingle"].combine_chunks())
+        codes = de.indices.to_numpy()
+        order = np.lexsort((doc, codes))
+        codes_s, doc_s = codes[order], doc[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(codes_s)]))
+        pa_parts, pb_parts = [], []
+        for s, e in zip(bounds, ends):
+            n = e - s
+            if n < 2 or n > shingle_df_cap:
+                continue
+            d = doc_s[s:e]  # unique per shingle by construction
+            ia, ib = np.triu_indices(n, k=1)
+            pa_parts.append(d[ia])
+            pb_parts.append(d[ib])
+        if not pa_parts:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
             )
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+        pairs = pa.table(
+            {
+                "a": pa.array(np.concatenate(pa_parts), pa.int64()),
+                "b": pa.array(np.concatenate(pb_parts), pa.int64()),
+            }
+        )
+        agg = pairs.group_by(["a", "b"], use_threads=False).aggregate(
+            [("a", "count")]
+        )
+        return pa.table(
+            {
+                "a": agg["a"],
+                "b": agg["b"],
+                "n": agg["a_count"].cast(pa.int64()),
+            }
+        )
 
-    pair_counts = (
-        shingled.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
+    partials = (
+        shingled.groupby("bucket")
+        .map_groups(bucket_pair_counts, batch_format="pyarrow")
         .to_pandas()
+    )
+    # cross-bucket final sum (different shingles of one pair land in
+    # different buckets)
+    pair_counts = (
+        partials.groupby(["a", "b"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "count()"})
+        if len(partials)
+        else pd.DataFrame({"a": [], "b": [], "count()": []})
     )
     if len(pair_counts) == 0:
         return pa.table(

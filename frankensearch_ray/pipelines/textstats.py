@@ -173,21 +173,24 @@ def doc_fingerprint(
 
     def fp_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
+        base = int(_FP_BASE)
+        mask = int(_FP_MASK)
         fps = []
         for row in lists.to_pylist():
-            toks = [t for t in row if t]
-            acc = np.uint64(0)
-            p = np.uint64(1)
-            for t in toks:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "little",
-                    )
+            # python ints: intentional modular arithmetic without numpy
+            # overflow warnings
+            acc = 0
+            p = 1
+            for t in row:
+                if not t:
+                    continue
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "little",
                 )
-                acc = (acc + p * h) & _FP_MASK
-                p = (p * _FP_BASE) & _FP_MASK
-            fps.append(int(acc))
+                acc = (acc + p * h) & mask
+                p = (p * base) & mask
+            fps.append(acc)
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
