@@ -691,10 +691,28 @@ def build_index(
             ],
         },
     }
-    _atomic_write_json(manifest, os.path.join(index_dir, MANIFEST_NAME))
+    publish_manifest(index_dir, manifest)
     return manifest
 
 
+def publish_manifest(index_dir: str, manifest: dict) -> None:
+    """Two-slot publish (``MANIFEST``/``MANIFEST.prev``, ``keeper.rs:9062``,
+    ``PLAN.md:376``): the previous generation survives a torn write."""
+    path = os.path.join(index_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.copyfile(path, path + ".prev")
+    _atomic_write_json(manifest, path)
+
+
 def load_manifest(index_dir: str) -> dict:
-    with open(Path(index_dir) / MANIFEST_NAME) as f:
-        return json.load(f)
+    """Crash-only open: fall back to the previous slot on a torn/corrupt
+    current manifest (``PLAN.md:450-452``)."""
+    path = Path(index_dir) / MANIFEST_NAME
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        with open(str(path) + ".prev") as f:
+            return json.load(f)

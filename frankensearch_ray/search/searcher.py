@@ -227,8 +227,9 @@ class LocalSearcher:
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        from ..build import load_manifest
+
+        self.manifest = load_manifest(index_dir)  # two-slot crash fallback
         self.num_shards = self.manifest["num_shards"]
         salt = self.manifest["salt"]
         self.salted = {(int(f), t) for f, t in salt["salted_terms"]}

@@ -42,6 +42,7 @@ import pyarrow.parquet as pq
 
 from ..build import (
     MANIFEST_NAME,
+    publish_manifest,
     BuildConfig,
     PhaseATokenizer,
     _atomic_write_json,
@@ -59,7 +60,7 @@ def _manifest_tombstones(manifest: dict) -> np.ndarray:
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
-    _atomic_write_json(manifest, os.path.join(index_dir, MANIFEST_NAME))
+    publish_manifest(index_dir, manifest)
 
 
 def _probe_ids(index_dir: str, manifest: dict, ids: list[str]) -> dict[str, tuple[int, int]]:
