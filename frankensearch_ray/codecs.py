@@ -34,6 +34,9 @@ import numpy as np
 
 POSTINGS_PER_BLOCK = 128
 BLOCK_KIND_FOR = 1
+BLOCK_KIND_BITMAP = 2  # 512-bit dense bitmap when block span <= 512
+BLOCK_KIND_VINT = 3  # partial tail block: LEB128 (delta, tf) stream
+BITMAP_SPAN = 512
 
 _BLOCKMAX_DTYPE = np.dtype(
     [
@@ -147,21 +150,37 @@ def encode_postings(
         fn = fieldnorm_ids[start : start + POSTINGS_PER_BLOCK]
         count = len(d)
 
-        parts = [int(d[0]).to_bytes(8, "little")]
-        if count > 1:
-            deltas = np.diff(d) - np.uint64(1)
-            w = _width_for(int(deltas.max())) if len(deltas) else 0
-            parts.append(bytes([w]))
-            parts.append(bitpack(deltas, w))
-        if (f == 1).all():
-            parts.append(b"\x00")  # freq_kind 0: all-one
+        span = int(d[-1] - d[0]) + 1
+        if count < POSTINGS_PER_BLOCK:
+            # partial tail block: canonical LEB128 (delta, tf) pairs
+            kind = BLOCK_KIND_VINT
+            stream = np.empty(2 * count, dtype=np.uint64)
+            stream[0] = d[0]
+            stream[2::2] = np.diff(d) - np.uint64(1)
+            stream[1::2] = f
+            payload = varint_encode(stream)
+        elif span <= BITMAP_SPAN:
+            # dense block: 512-bit docid bitmap (LSB-first) + freq section
+            kind = BLOCK_KIND_BITMAP
+            bits = np.zeros(BITMAP_SPAN, dtype=np.uint8)
+            bits[(d - d[0]).astype(np.int64)] = 1
+            parts = [
+                int(d[0]).to_bytes(8, "little"),
+                np.packbits(bits, bitorder="little").tobytes(),
+            ]
+            parts.append(_freq_section(f))
+            payload = b"".join(parts)
         else:
-            fm1 = (f - 1).astype(np.uint64)
-            wf = _width_for(int(fm1.max()))
-            parts.append(bytes([1, wf]))
-            parts.append(bitpack(fm1, wf))
-        payload = b"".join(parts)
-        header = bytes([BLOCK_KIND_FOR, count]) + len(payload).to_bytes(2, "little")
+            kind = BLOCK_KIND_FOR
+            parts = [int(d[0]).to_bytes(8, "little")]
+            if count > 1:
+                deltas = np.diff(d) - np.uint64(1)
+                w = _width_for(int(deltas.max())) if len(deltas) else 0
+                parts.append(bytes([w]))
+                parts.append(bitpack(deltas, w))
+            parts.append(_freq_section(f))
+            payload = b"".join(parts)
+        header = bytes([kind, count]) + len(payload).to_bytes(2, "little")
         chunks.append(header + payload)
 
         bm[bi]["first_doc"] = d[0]
@@ -172,6 +191,25 @@ def encode_postings(
         offset += len(header) + len(payload)
 
     return b"".join(chunks), bm.tobytes()
+
+
+def _freq_section(f: np.ndarray) -> bytes:
+    if (f == 1).all():
+        return b"\x00"  # freq_kind 0: all-one
+    fm1 = (f - 1).astype(np.uint64)
+    wf = _width_for(int(fm1.max()))
+    return bytes([1, wf]) + bitpack(fm1, wf)
+
+
+def _decode_freqs(payload: memoryview, p: int, count: int) -> np.ndarray:
+    freq_kind = payload[p]
+    p += 1
+    if freq_kind == 0:
+        return np.ones(count, dtype=np.uint32)
+    wf = payload[p]
+    p += 1
+    nb = (count * wf + 7) // 8
+    return (bitunpack(payload[p : p + nb], count, wf) + 1).astype(np.uint32)
 
 
 def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
@@ -186,28 +224,33 @@ def decode_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
         count = view[pos + 1]
         payload_len = int.from_bytes(view[pos + 2 : pos + 4], "little")
         payload = view[pos + 4 : pos + 4 + payload_len]
-        assert kind == BLOCK_KIND_FOR, kind
-        first_doc = int.from_bytes(payload[0:8], "little")
-        p = 8
-        d = np.empty(count, dtype=np.uint64)
-        d[0] = first_doc
-        if count > 1:
-            w = payload[p]
-            p += 1
-            nb = ((count - 1) * w + 7) // 8
-            deltas = bitunpack(payload[p : p + nb], count - 1, w)
-            p += nb
-            d[1:] = deltas + np.uint64(1)
+        if kind == BLOCK_KIND_VINT:
+            stream = varint_decode(payload, max_count=2 * count)
+            d = stream[0::2].copy()
+            d[1:] += np.uint64(1)
             np.cumsum(d, out=d)
-        freq_kind = payload[p]
-        p += 1
-        if freq_kind == 0:
-            f = np.ones(count, dtype=np.uint32)
+            f = stream[1::2].astype(np.uint32)
+        elif kind == BLOCK_KIND_BITMAP:
+            first_doc = int.from_bytes(payload[0:8], "little")
+            raw = np.frombuffer(payload[8 : 8 + BITMAP_SPAN // 8], dtype=np.uint8)
+            offs = np.flatnonzero(np.unpackbits(raw, bitorder="little"))
+            d = np.uint64(first_doc) + offs.astype(np.uint64)
+            f = _decode_freqs(payload, 8 + BITMAP_SPAN // 8, count)
         else:
-            wf = payload[p]
-            p += 1
-            nb = (count * wf + 7) // 8
-            f = (bitunpack(payload[p : p + nb], count, wf) + 1).astype(np.uint32)
+            assert kind == BLOCK_KIND_FOR, kind
+            first_doc = int.from_bytes(payload[0:8], "little")
+            p = 8
+            d = np.empty(count, dtype=np.uint64)
+            d[0] = first_doc
+            if count > 1:
+                w = payload[p]
+                p += 1
+                nb = ((count - 1) * w + 7) // 8
+                deltas = bitunpack(payload[p : p + nb], count - 1, w)
+                p += nb
+                d[1:] = deltas + np.uint64(1)
+                np.cumsum(d, out=d)
+            f = _decode_freqs(payload, p, count)
         docs.append(d)
         tfs.append(f)
         pos += 4 + payload_len

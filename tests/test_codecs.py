@@ -136,3 +136,71 @@ class TestPositions:
         buf = codecs.encode_positions([np.array(x, np.uint32) for x in lists])
         out = codecs.decode_positions(buf, len(lists))
         assert [list(o) for o in out] == [list(x) for x in lists]
+
+
+class TestBlockKinds:
+    def test_roundtrip_all_kinds(self):
+        """Bitmap (dense span<=512) / FOR (full sparse) / Vint (tail)
+        blocks all roundtrip, with valid blockmax offsets."""
+        import numpy as np
+
+        from frankensearch_ray.codecs import (
+            decode_blockmax,
+            decode_postings,
+            decode_postings_from,
+            encode_postings,
+        )
+
+        rng = np.random.default_rng(1)
+        for trial in range(120):
+            n = int(rng.integers(1, 400))
+            mode = trial % 3
+            if mode == 0:
+                d = np.sort(
+                    rng.choice(500, size=min(n, 400), replace=False)
+                ).astype(np.uint64)
+            elif mode == 1:
+                d = np.sort(rng.choice(10**7, size=n, replace=False)).astype(
+                    np.uint64
+                )
+            else:
+                d = np.sort(rng.choice(2**40, size=n, replace=False)).astype(
+                    np.uint64
+                )
+            tf = rng.integers(1, 200, size=len(d)).astype(np.uint32)
+            if trial % 5 == 0:
+                tf[:] = 1
+            fn = rng.integers(0, 255, size=len(d)).astype(np.uint8)
+            p, bm = encode_postings(d, tf, fn)
+            d2, tf2 = decode_postings(p)
+            assert np.array_equal(d, d2) and np.array_equal(tf, tf2), trial
+            for r in decode_blockmax(bm):
+                off = int(r["offset"])
+                plen = int.from_bytes(p[off + 2 : off + 4], "little")
+                dd, _ = decode_postings_from(p[: off + 4 + plen], off)
+                assert dd[0] == r["first_doc"]
+
+    def test_kind_selection(self):
+        import numpy as np
+
+        from frankensearch_ray.codecs import (
+            BLOCK_KIND_BITMAP,
+            BLOCK_KIND_FOR,
+            BLOCK_KIND_VINT,
+            encode_postings,
+        )
+
+        ones = lambda n: np.ones(n, np.uint32)
+        norms = lambda n: np.zeros(n, np.uint8)
+        # 128 dense docids -> bitmap
+        d = np.arange(128, dtype=np.uint64) * 2
+        p, _ = encode_postings(d, ones(128), norms(128))
+        assert p[0] == BLOCK_KIND_BITMAP
+        # 128 sparse docids -> FOR
+        d = np.arange(128, dtype=np.uint64) * 1000
+        p, _ = encode_postings(d, ones(128), norms(128))
+        assert p[0] == BLOCK_KIND_FOR
+        # tail (<128) -> vint
+        d = np.arange(5, dtype=np.uint64)
+        p, _ = encode_postings(d, ones(5), norms(5))
+        assert p[0] == BLOCK_KIND_VINT
