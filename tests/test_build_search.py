@@ -323,3 +323,25 @@ class TestPermutationLaw:
             a = canon(searcher.search(q, limit=141)["hits"])
             b = canon(s2.search(q, limit=141)["hits"])
             assert a == b, q
+
+
+class TestNoPanic:
+    def test_garbage_queries_never_raise(self, searcher):
+        """behavior-errors-no-panic: the lenient path returns diagnostics,
+        never exceptions, for arbitrary query strings."""
+        garbage = [
+            '"""', "((((", "AND AND AND", "+-+-", "field:::x", "^^3",
+            "a" * 50_000, "\x00\x01\x02", "🎉🎉🎉", '"unterminated',
+            "title:[z TO a]", "-", "+", "~~~", "OR", "NOT NOT NOT",
+            "id:", ":", "  \t \n ", "* * *", "[a TO", "{} []",
+        ]
+        for q in garbage:
+            res = searcher.search(q, limit=5)
+            assert isinstance(res["hits"], list), repr(q)
+
+    def test_garbage_cass_queries_never_raise(self):
+        from frankensearch_ray.contract.cass import parse_cass
+
+        for q in ['"""', "&&||", "-- - -", "NOT", "a"*20000, "\r\r", "&|&|"]:
+            parsed = parse_cass(q)
+            assert parsed.query is not None
