@@ -70,7 +70,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from frankensearch_ray.pipelines import ann, dedup, docsearch, textstats
+    from frankensearch_ray.pipelines import ann, chunks, dedup, docsearch, textstats
 
     return {
         # inverted-index build + query engine (SURVEY §2.1-2.9)
@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
         "search_snippets": docsearch.search_snippets,
+        "chunk_documents": chunks.chunk_documents,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -200,6 +201,31 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM scores
             ORDER BY rank LIMIT 10
+        """,
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, text, L,
+                     unnest(range(0,
+                       CASE WHEN L <= 768 THEN 1
+                            ELSE 1 + CAST(ceil((L - 768) / 672.0) AS BIGINT)
+                       END)) AS i
+              FROM d WHERE L > 0
+            ),
+            c AS (
+              SELECT doc_id, i AS ordinal,
+                     (i*672)::BIGINT AS byte_start,
+                     least(i*672 + 768, L)::BIGINT AS byte_end,
+                     substr(text, i*672 + 1, least(768, L - i*672)) AS chunk
+              FROM idx
+            )
+            SELECT doc_id, ordinal::BIGINT AS ordinal, byte_start, byte_end,
+                   len(list_filter(
+                     regexp_split_to_array(chunk, '[^A-Za-z0-9_./:-]+'),
+                     x -> x <> ''))::BIGINT AS token_count
+            FROM c ORDER BY doc_id, ordinal
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id
