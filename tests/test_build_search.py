@@ -345,3 +345,52 @@ class TestNoPanic:
         for q in ['"""', "&&||", "-- - -", "NOT", "a"*20000, "\r\r", "&|&|"]:
             parsed = parse_cass(q)
             assert parsed.query is not None
+
+
+class TestRetryDeterminism:
+    def test_partition_rebuild_is_byte_identical(
+        self, ray_session, t1_index
+    ):
+        """Task-retry safety: deleting a partition's done-marker and
+        re-running phase A must reproduce byte-identical checkpoint
+        artifacts (same inputs -> same bytes)."""
+        import hashlib
+        import os
+
+        import ray
+
+        from frankensearch_ray.build import (
+            PhaseATokenizer,
+            _part_paths,
+            plan_partitions,
+        )
+
+        index_dir, manifest, paths = t1_index
+        cfg = BuildConfig(**{
+            k: v
+            for k, v in manifest["config"].items()
+            if k in BuildConfig.__dataclass_fields__
+        })
+        parts = plan_partitions(paths, cfg.target_partition_rows)
+        part = parts[1]
+        pp = _part_paths(index_dir, 1)
+
+        def digest():
+            out = {}
+            for key in ("doclen", "idmap"):
+                with open(pp[key], "rb") as f:
+                    out[key] = hashlib.sha256(f.read()).hexdigest()
+            with open(pp["postings"] + ".parquet", "rb") as f:
+                out["postings"] = hashlib.sha256(f.read()).hexdigest()
+            return out
+
+        before = digest()
+        os.remove(pp["stats"])  # simulate a lost task: marker gone
+        salted = [(int(f), t) for f, t in manifest["salt"]["salted_terms"]]
+        tok = PhaseATokenizer(
+            index_dir, cfg, salted, manifest["salt"]["partitions_per_bucket"]
+        )
+        import pyarrow as pa
+
+        tok._one(part)  # the retry path
+        assert digest() == before
