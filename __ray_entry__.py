@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding": dedup.embedding_cosine_pairs,
         # similarity search
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_ivf": ann.knn_ivf,
@@ -267,6 +268,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding": """
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS sim
+              FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            )
+            SELECT id_a, id_b,
+                   floor(sim * 1000 + 1e-9)::BIGINT AS cosine_permille
+            FROM pairs WHERE sim >= 0.5
+            ORDER BY id_a, id_b
         """,
         "knn_bruteforce": """
             WITH q AS (

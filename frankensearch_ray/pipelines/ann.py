@@ -134,10 +134,15 @@ def knn_ivf(
     query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
     k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 12,
 ) -> pa.Table:
     """IVF-bucketed approximate cosine top-k (the 100 TB scale path: the
-    matmul only touches ``nprobe / n_clusters`` of the corpus)."""
+    matmul only touches ``nprobe / n_clusters`` of the corpus).
+
+    The synthetic embeddings are near-uniform (no cluster structure), so
+    the default nprobe is high (12/16) to hold recall@10 >= 0.9 — the
+    pytest gate.  Real corpora with cluster structure run far lower
+    nprobe at the same recall."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd

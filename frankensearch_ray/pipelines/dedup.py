@@ -468,3 +468,79 @@ def simhash_pairs(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+
+def embedding_cosine_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Block-matmul all-pairs: the (normalized) matrix is broadcast via
+    ``ray.put`` once; each batch computes its block-row of the similarity
+    matrix in one float64 matmul and emits only above-threshold upper-
+    triangle pairs.  At 10^12 scale the same kernel runs per LSH/IVF
+    bucket instead of all-pairs; the bucketing is the ANN module's
+    centroid assignment.
+    """
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col, emb_col]
+    )
+    all_ids = full[id_col].to_numpy()
+    flat = full[emb_col].combine_chunks().values.to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    dim = len(flat) // len(all_ids)
+    mat = flat.reshape(len(all_ids), dim)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((all_ids, matn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        rows = np.searchsorted(ids_all, ids)
+        sims = m[rows] @ m.T  # block-row of the similarity matrix
+        out_a, out_b, out_s = [], [], []
+        for r, a in enumerate(ids):
+            hit = np.flatnonzero(sims[r] >= threshold)
+            bs = ids_all[hit]
+            keep = bs > a  # upper triangle only
+            out_a.extend([int(a)] * int(keep.sum()))
+            out_b.extend(int(x) for x in bs[keep])
+            out_s.extend(
+                int(np.floor(s * 1000 + 1e-9)) for s in sims[r][hit][keep]
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cosine_permille": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col]
+    )
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine_permille": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
