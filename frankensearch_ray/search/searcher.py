@@ -118,40 +118,61 @@ class _ShardCache:
         self._entries: dict[int, dict | None] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
 
-    def _load(self, shard_id: int) -> dict | None:
+    def _load(self, shard_id: int) -> list | None:
+        """All generations of one shard, base first then deltas ascending
+        — the per-commit segment list; bucket rows concat docid-ascending
+        across generations (Q1 lease discipline)."""
         if shard_id in self._entries:
             return self._entries[shard_id]
-        path = os.path.join(self.shards_dir, f"shard-{shard_id:05d}.parquet")
-        if not os.path.exists(path):
-            self._entries[shard_id] = None
-            return None
-        pf = pq.ParquetFile(path)
-        keys_path = os.path.join(
-            self.shards_dir, f"_keys-{shard_id:05d}.parquet"
-        )
-        if os.path.exists(keys_path):
-            kt = pq.read_table(keys_path)
-        else:  # legacy shard without sidecar: one cheap key-columns scan
-            kt_full = pq.read_table(path, columns=["field", "term", "bucket"])
-            starts = []
-            row = 0
-            for g in range(pf.metadata.num_row_groups):
-                starts.append(row)
-                row += pf.metadata.row_group(g).num_rows
-            kt = kt_full.take(pa.array(starts))
-        keys = list(
-            zip(
-                kt["field"].to_pylist(),
-                kt["term"].to_pylist(),
-                kt["bucket"].to_pylist(),
+        import glob as _glob
+
+        base = os.path.join(self.shards_dir, f"shard-{shard_id:05d}.parquet")
+        gens = sorted(
+            _glob.glob(
+                os.path.join(
+                    self.shards_dir, f"gen*-shard-{shard_id:05d}.parquet"
+                )
             )
         )
-        entry = {"pf": pf, "keys": keys}
-        self._entries[shard_id] = entry
-        return entry
+        paths = ([base] if os.path.exists(base) else []) + gens
+        if not paths:
+            self._entries[shard_id] = None
+            return None
+        entries = []
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            name = os.path.basename(path)
+            keys_name = (
+                f"_keys-{shard_id:05d}.parquet"
+                if name.startswith("shard-")
+                else f"_keys-{name[:7]}-{shard_id:05d}.parquet"
+            )
+            keys_path = os.path.join(self.shards_dir, keys_name)
+            if os.path.exists(keys_path):
+                kt = pq.read_table(keys_path)
+            else:  # legacy shard without sidecar: one cheap key-columns scan
+                kt_full = pq.read_table(
+                    path, columns=["field", "term", "bucket"]
+                )
+                starts = []
+                row = 0
+                for g in range(pf.metadata.num_row_groups):
+                    starts.append(row)
+                    row += pf.metadata.row_group(g).num_rows
+                kt = kt_full.take(pa.array(starts))
+            keys = list(
+                zip(
+                    kt["field"].to_pylist(),
+                    kt["term"].to_pylist(),
+                    kt["bucket"].to_pylist(),
+                )
+            )
+            entries.append({"pf": pf, "keys": keys, "path": path})
+        self._entries[shard_id] = entries
+        return entries
 
-    def _row_group(self, shard_id: int, entry: dict, g: int) -> pa.Table:
-        key = (shard_id, g)
+    def _row_group(self, entry: dict, g: int) -> pa.Table:
+        key = (entry["path"], g)
         t = self._rg_cache.get(key)
         if t is None:
             t = entry["pf"].read_row_group(g)
@@ -170,51 +191,55 @@ class _ShardCache:
         return range(lo, max(hi, lo + 1))
 
     def rows(self, shard_id: int, field: int, term: str) -> list[tuple[int, dict]]:
-        entry = self._load(shard_id)
-        if entry is None or not entry["keys"]:
+        entries = self._load(shard_id)
+        if not entries:
             return []
         out = []
-        for g in self._candidate_groups(entry, field, term):
-            t = self._row_group(shard_id, entry, g)
-            # rows are (field, term, bucket)-sorted: binary-search the run
-            # and SLICE (zero-copy) — never filter the blob columns
-            fields = t["field"].to_numpy()
-            f_lo = int(np.searchsorted(fields, field, side="left"))
-            f_hi = int(np.searchsorted(fields, field, side="right"))
-            if f_hi <= f_lo:
+        for entry in entries:  # base then deltas: generation order
+            if not entry["keys"]:
                 continue
-            terms = t["term"].combine_chunks()
-            eq = pc.equal(
-                terms.slice(f_lo, f_hi - f_lo), term
-            ).to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(eq):
-                row = f_lo + int(i)
-                out.append(
-                    (
-                        int(t["bucket"][row].as_py()),
-                        {
-                            "df": t["df"][row].as_py(),
-                            "postings": t["postings"][row].as_py(),
-                            "blockmax": t["blockmax"][row].as_py(),
-                            "positions": t["positions"][row].as_py(),
-                        },
+            for g in self._candidate_groups(entry, field, term):
+                t = self._row_group(entry, g)
+                # rows are (field, term, bucket)-sorted: binary-search the
+                # run and SLICE (zero-copy) — never filter blob columns
+                fields = t["field"].to_numpy()
+                f_lo = int(np.searchsorted(fields, field, side="left"))
+                f_hi = int(np.searchsorted(fields, field, side="right"))
+                if f_hi <= f_lo:
+                    continue
+                terms = t["term"].combine_chunks()
+                eq = pc.equal(
+                    terms.slice(f_lo, f_hi - f_lo), term
+                ).to_numpy(zero_copy_only=False)
+                for i in np.flatnonzero(eq):
+                    row = f_lo + int(i)
+                    out.append(
+                        (
+                            int(t["bucket"][row].as_py()),
+                            {
+                                "df": t["df"][row].as_py(),
+                                "postings": t["postings"][row].as_py(),
+                                "blockmax": t["blockmax"][row].as_py(),
+                                "positions": t["positions"][row].as_py(),
+                            },
+                        )
                     )
-                )
         return out
 
     def iter_terms(self, shard_id: int, field: int):
-        """Stream (term, bucket) pairs of one field (range/set scans only)."""
-        entry = self._load(shard_id)
-        if entry is None:
+        """Stream term texts of one field (range/set scans only)."""
+        entries = self._load(shard_id)
+        if not entries:
             return
-        pf = entry["pf"]
-        for g in range(pf.metadata.num_row_groups):
-            t = pf.read_row_group(g, columns=["field", "term"])
-            mask = np.equal(t["field"].to_numpy(), field)
-            if not mask.any():
-                continue
-            for term in t.filter(pa.array(mask))["term"].to_pylist():
-                yield term
+        for entry in entries:
+            pf = entry["pf"]
+            for g in range(pf.metadata.num_row_groups):
+                t = pf.read_row_group(g, columns=["field", "term"])
+                mask = np.equal(t["field"].to_numpy(), field)
+                if not mask.any():
+                    continue
+                for term in t.filter(pa.array(mask))["term"].to_pylist():
+                    yield term
 
 
 class QueryFuelExhausted(RuntimeError):

@@ -111,15 +111,27 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
 ROW_GROUP_ROWS = 2048
 
 
-def write_shard(table: pa.Table, shards_dir: str, shard_id: int) -> dict:
+def write_shard(
+    table: pa.Table, shards_dir: str, shard_id: int, generation: int = 0
+) -> dict:
     """Atomically write one shard parquet + its row-group key sidecar.
 
     The sidecar holds each row group's first (field, term, bucket) so
     query-time term probes binary-search it and read ONLY the covering
-    row group(s) — no full-shard materialization per reader."""
+    row group(s) — no full-shard materialization per reader.
+
+    ``generation > 0`` writes a DELTA shard (``gen{g}-shard-{k}``): the
+    segment-per-commit model — readers concat base + deltas in
+    generation order (docid-ascending by the Q1 lease discipline), and
+    compaction merges deltas back into the base."""
     os.makedirs(shards_dir, exist_ok=True)
-    path = os.path.join(shards_dir, f"shard-{shard_id:05d}.parquet")
-    tmp = os.path.join(shards_dir, f".shard-{shard_id:05d}.tmp")
+    stem = (
+        f"shard-{shard_id:05d}"
+        if generation == 0
+        else f"gen{generation:04d}-shard-{shard_id:05d}"
+    )
+    path = os.path.join(shards_dir, f"{stem}.parquet")
+    tmp = os.path.join(shards_dir, f".{stem}.tmp")
     pq.write_table(
         table,
         tmp,
@@ -140,12 +152,18 @@ def write_shard(table: pa.Table, shards_dir: str, shard_id: int) -> dict:
             "bucket": table["bucket"].take(pa.array(starts)),
         }
     )
-    keys_path = os.path.join(shards_dir, f"_keys-{shard_id:05d}.parquet")
-    keys_tmp = os.path.join(shards_dir, f"._keys-{shard_id:05d}.tmp")
+    keys_stem = (
+        f"_keys-{shard_id:05d}"
+        if generation == 0
+        else f"_keys-gen{generation:04d}-{shard_id:05d}"
+    )
+    keys_path = os.path.join(shards_dir, f"{keys_stem}.parquet")
+    keys_tmp = os.path.join(shards_dir, f".{keys_stem}.tmp")
     pq.write_table(keys, keys_tmp)
     os.replace(keys_tmp, keys_path)
     return {
         "index": shard_id,
+        "generation": generation,
         "rows": len(table),
         "bytes": os.path.getsize(path),
         "postings_bytes": int(

@@ -100,9 +100,57 @@ def _reencode_shards(index_dir: str, cfg: BuildConfig, n_parts: int) -> list[dic
     )
 
 
-def _rollup_and_publish(index_dir: str, manifest: dict, cfg: BuildConfig) -> dict:
-    """Recompute field stats + shard entries from partition stats, bump
-    generation, write the manifest last (the two-slot publish analogue)."""
+def _encode_delta_shards(
+    index_dir: str, cfg: BuildConfig, new_pindices: list[int], generation: int
+) -> list[dict]:
+    """Encode ONLY the given partitions into generation-``g`` delta shard
+    files — the per-commit segment model (``PLAN.md:272-291``): queries
+    concat base + deltas in generation order; compaction merges back.
+    Incremental cost is proportional to the appended batch, not the
+    index."""
+    import ray
+
+    from ..stages.encode import encode_shard_table, write_shard
+
+    @ray.remote(num_cpus=1)
+    def one(shard_id: int):
+        tables = []
+        for p in new_pindices:
+            path = os.path.join(
+                index_dir, "postings", f"part-{p:05d}.parquet"
+            )
+            if not os.path.exists(path):
+                continue
+            pf = pq.ParquetFile(path)
+            col = pf.schema_arrow.get_field_index("shard")
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(col).statistics
+                if st is not None and st.min == shard_id:
+                    tables.append(pf.read_row_group(g))
+        if not tables:
+            return None
+        group = pa.concat_tables(tables).drop_columns(["shard"])
+        encoded = encode_shard_table(group)
+        return write_shard(
+            encoded,
+            os.path.join(index_dir, "shards"),
+            shard_id,
+            generation=generation,
+        )
+
+    rows = ray.get([one.remote(s) for s in range(cfg.num_shards)])
+    return [r for r in rows if r is not None]
+
+
+def _rollup_and_publish(
+    index_dir: str,
+    manifest: dict,
+    cfg: BuildConfig,
+    new_pindices: list[int] | None = None,
+) -> dict:
+    """Recompute field stats, encode shards (delta generation when
+    ``new_pindices`` is given, full rebuild otherwise), bump generation,
+    write the manifest last (the two-slot publish analogue)."""
     field_stats = {
         "content": {"doc_count": 0, "total_tokens": 0},
         "title": {"doc_count": 0, "total_tokens": 0},
@@ -115,17 +163,34 @@ def _rollup_and_publish(index_dir: str, manifest: dict, cfg: BuildConfig) -> dic
             field_stats[fname]["doc_count"] += s[fname]["doc_count"]
             field_stats[fname]["total_tokens"] += s[fname]["total_tokens"]
         total_postings += s["postings_rows"]
-    shard_rows = _reencode_shards(index_dir, cfg, len(manifest["partitions"]))
+    next_gen = int(manifest.get("generation", 0)) + 1
+    if new_pindices is not None:
+        shard_rows = _encode_delta_shards(index_dir, cfg, new_pindices, next_gen)
+        manifest["shards"] = list(manifest.get("shards", [])) + [
+            dict(r) for r in shard_rows
+        ]
+    else:
+        _clear_delta_shards(index_dir)
+        shard_rows = _reencode_shards(index_dir, cfg, len(manifest["partitions"]))
+        manifest["shards"] = sorted(
+            (dict(r) for r in shard_rows if r.get("index") is not None),
+            key=lambda r: r["index"],
+        )
     manifest["field_stats"] = field_stats
-    manifest["shards"] = sorted(
-        (dict(r) for r in shard_rows if r.get("index") is not None),
-        key=lambda r: r["index"],
-    )
     manifest["metrics"]["postings"] = total_postings
     manifest["metrics"]["docs"] = field_stats["content"]["doc_count"]
-    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    manifest["generation"] = next_gen
     _write_manifest(index_dir, manifest)
     return manifest
+
+
+def _clear_delta_shards(index_dir: str) -> None:
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(index_dir, "shards", "gen*-shard-*.parquet")):
+        os.remove(f)
+    for f in _glob.glob(os.path.join(index_dir, "shards", "_keys-gen*.parquet")):
+        os.remove(f)
 
 
 def _cfg_of(manifest: dict) -> BuildConfig:
@@ -218,7 +283,7 @@ def _append_rows(
             "status": "done",
         }
     )
-    return _rollup_and_publish(index_dir, manifest, cfg)
+    return _rollup_and_publish(index_dir, manifest, cfg, new_pindices=[pindex])
 
 
 def delete_documents(index_dir: str, ids: list[str]) -> dict:

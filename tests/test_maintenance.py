@@ -160,3 +160,44 @@ class TestCompaction:
         mnt.delete_documents(d, ["d1"])
         m = mnt.compact(d, min_tombstone_ratio=0.5)
         assert len(m["tombstones"]) == 1
+
+
+class TestDeltaGenerations:
+    def test_append_writes_delta_and_compact_merges(self, small_index):
+        """Appends encode only the new batch into gen-N delta shards
+        (segment-per-commit); compaction merges deltas into the base."""
+        import glob
+        import os
+
+        d = small_index
+        mnt.append_table(d, _pages_table([("g1", "galaxy quasar nebula")]))
+        deltas = glob.glob(os.path.join(d, "shards", "gen*-shard-*.parquet"))
+        assert deltas, "append must create delta shard files"
+        assert "g1" in _hit_ids(d, "quasar")
+        # base shards untouched by the append: d1 still searchable
+        assert "d1" in _hit_ids(d, "alpha")
+
+        mnt.delete_documents(d, ["d5"])
+        m = mnt.compact(d)
+        assert m["tombstones"] == []
+        assert not glob.glob(
+            os.path.join(d, "shards", "gen*-shard-*.parquet")
+        ), "compact must merge deltas back into the base"
+        assert "g1" in _hit_ids(d, "quasar")
+        assert "d5" not in _hit_ids(d, "delta")
+
+    def test_multiple_generations_concat_in_order(self, small_index):
+        d = small_index
+        mnt.append_table(d, _pages_table([("m1", "alpha zeta")]))
+        mnt.append_table(d, _pages_table([("m2", "alpha eta")]))
+        s = LocalSearcher(d)
+        # 'alpha' postings now span base + two generations; docids must
+        # decode strictly ascending (Q1 concat discipline)
+        import numpy as np
+
+        from frankensearch_ray.schema import FIELD_CONTENT
+
+        docids, tfs, df, _ = s.postings(FIELD_CONTENT, "alpha")
+        assert df == len(docids) == 4  # d1, d2, m1, m2
+        assert np.all(np.diff(docids.astype(np.int64)) > 0)
+        assert {"m1", "m2"} <= set(_hit_ids(d, "alpha"))
