@@ -124,6 +124,21 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
     results = pool.search_many(qs, limit=10)
     t_query = time.time() - t0
     n_hits = sum(len(r["hits"]) for r in results)
+    # per-query latency distribution (single warm searcher — the
+    # reference reports distributions, not averages)
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    for q in qs[:32]:
+        s.search(q, limit=10)
+    lats = []
+    for q in qs:
+        t1 = time.time()
+        s.search(q, limit=10)
+        lats.append((time.time() - t1) * 1000)
+    import numpy as np
+
+    p50, p95, p99 = np.percentile(lats, [50, 95, 99])
     pool.shutdown()
     return {
         "docs": manifest["metrics"]["docs"],
@@ -134,6 +149,9 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
         "n_queries": len(qs),
         "query_sec": t_query,
         "queries_per_sec": len(qs) / t_query,
+        "query_p50_ms": round(float(p50), 2),
+        "query_p95_ms": round(float(p95), 2),
+        "query_p99_ms": round(float(p99), 2),
         "n_hits": n_hits,
         "num_cpus": num_cpus,
     }
@@ -182,6 +200,9 @@ def run_default() -> None:
         "pages_rows": PAGES_ROWS,
         "docs_per_sec": round(h["docs_per_sec"], 1),
         "queries_per_sec": round(h["queries_per_sec"], 1),
+        "query_p50_ms": h["query_p50_ms"],
+        "query_p95_ms": h["query_p95_ms"],
+        "query_p99_ms": h["query_p99_ms"],
     }
     print(json.dumps(out))
     ray.shutdown()
