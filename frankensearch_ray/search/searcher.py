@@ -21,7 +21,6 @@ kernel rank-identically (the reference's own internal differential gate,
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 

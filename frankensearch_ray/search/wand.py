@@ -28,7 +28,7 @@ import heapq
 
 import numpy as np
 
-from ..codecs import decode_blockmax, decode_postings_from
+from ..codecs import decode_postings_from
 from ..contract import bm25
 from ..contract.query_ast import SHOULD, Boolean, Term
 from ..schema import FIELD_ORDS
