@@ -212,7 +212,7 @@ def run_worker(num_cpus: int, workdir: str) -> None:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-    trials = int(os.environ.get("FSRAY_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("FSRAY_BENCH_TRIALS", "3"))
     best = None
     for t in range(max(1, trials)):
         h = headline(num_cpus, PAGES_ROWS, os.path.join(workdir, f"t{t}"))
