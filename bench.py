@@ -6,10 +6,13 @@ headline numbers of BASELINE.json — inverted-index build docs/s and BM25
 top-10 queries/s over a synthesized Common-Crawl-style pages corpus —
 and prints ONE JSON line.
 
-``--scaling``: runs the headline build+query job twice in fresh
-subprocesses (``ray.init(num_cpus=8)`` then ``num_cpus=32``) on the same
-input and reports throughput at both plus scaling efficiency
-``(thr_32 / thr_8) / 4`` — the sandbox proxy for the N-vs-4N-node rule.
+``--scaling``: runs the headline build+query job at two parallelism
+levels in fresh subprocesses (default ``ray.init(num_cpus=4)`` then
+``num_cpus=16`` — within this VM's 16 physical cores; override with
+FSRAY_SCALING_LO/HI) on the same input, best-of-N trials each, and
+reports throughput at both plus scaling efficiency
+``(thr_hi / thr_lo) / (hi / lo)`` — the sandbox proxy for the
+N-vs-4N-node rule.
 
 This script OWNS its Ray session (the only places allowed to besides
 tests/CLI): the driver contract module itself never calls ray.init.

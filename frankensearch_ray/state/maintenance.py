@@ -454,3 +454,40 @@ def _compact_partition(
         f for f in stats.get("files", []) if f.startswith("df/")
     ]
     _atomic_write_json(stats, paths["stats"])
+
+
+# --- blue-green rebuild pointer (keeper.rs:13191-13894) ---------------------
+
+
+def rebuild_blue_green(paths: list, root: str, cfg: BuildConfig) -> str:
+    """Full rebuild into ``{root}/index_v{n+1}`` + atomic ``CURRENT`` flip.
+
+    Readers opened via :func:`open_current` keep serving the old version
+    until the pointer flips; old versions stay on disk for rollback."""
+    import re
+
+    os.makedirs(root, exist_ok=True)
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"index_v(\d+)", d))
+    ]
+    new_v = max(versions, default=0) + 1
+    target = os.path.join(root, f"index_v{new_v}")
+    from ..build import build_index
+
+    build_index(paths, target, cfg, resume=False)
+    tmp = os.path.join(root, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"index_v{new_v}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    return target
+
+
+def open_current(root: str):
+    """Searcher over the version the ``CURRENT`` pointer names."""
+    from ..search.searcher import LocalSearcher
+
+    with open(os.path.join(root, "CURRENT")) as f:
+        version = f.read().strip()
+    return LocalSearcher(os.path.join(root, version))

@@ -201,3 +201,35 @@ class TestDeltaGenerations:
         assert df == len(docids) == 4  # d1, d2, m1, m2
         assert np.all(np.diff(docids.astype(np.int64)) > 0)
         assert {"m1", "m2"} <= set(_hit_ids(d, "alpha"))
+
+
+class TestBlueGreen:
+    def test_rebuild_flips_current_pointer(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.state.maintenance import (
+            open_current,
+            rebuild_blue_green,
+        )
+
+        src = tmp_path / "src.parquet"
+        pq.write_table(_pages_table(BASE_DOCS), src)
+        root = str(tmp_path / "bg")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            verify_text_col=None,
+            num_shards=2,
+            salt_threshold=10**9,
+            target_partition_rows=10,
+        )
+        rebuild_blue_green([str(src)], root, cfg)
+        assert open(os.path.join(root, "CURRENT")).read().strip() == "index_v1"
+        r1 = [h["id"] for h in open_current(root).search("alpha", 5)["hits"]]
+        rebuild_blue_green([str(src)], root, cfg)
+        assert open(os.path.join(root, "CURRENT")).read().strip() == "index_v2"
+        assert os.path.isdir(os.path.join(root, "index_v1"))  # rollback kept
+        r2 = [h["id"] for h in open_current(root).search("alpha", 5)["hits"]]
+        assert r1 == r2
