@@ -164,8 +164,11 @@ def search_pruned(searcher, node, k: int):
         np.uint64
     )
     # per-clause active bound per segment (bounds already conservative f32->f64);
-    # clause bound = f32-sum over its leaves, matching score association
+    # clause bound = f32-sum over its leaves, matching score association.
+    # leaf_seg keeps each leaf's per-segment bound for the MaxScore
+    # essential-set test below.
     ub = np.zeros(n_seg, dtype=np.float64)
+    leaf_seg: list[np.ndarray] = []
     for cl in clauses:
         cl_bound = np.zeros(n_seg, dtype=np.float32)
         for l in cl:
@@ -173,6 +176,7 @@ def search_pruned(searcher, node, k: int):
             active = idx >= 0
             contrib = np.zeros(n_seg, dtype=np.float32)
             contrib[active] = l.bounds[idx[active]].astype(np.float32)
+            leaf_seg.append(contrib.astype(np.float64))
             cl_bound = cl_bound + contrib
         ub += cl_bound.astype(np.float64)
 
@@ -213,8 +217,30 @@ def search_pruned(searcher, node, k: int):
         lo, hi = int(events[i]), int(seg_end[j - 1])
         if hi <= lo:
             hi = lo + 1
-        # candidates: union of leaf postings within [lo, hi)
-        cand_parts = [l.postings_in(lo, hi)[0] for l in leaves]
+        # MaxScore essential set (argus strategy enum): a doc appearing
+        # ONLY in leaves whose summed batch bounds stay below theta can
+        # never reach the heap — skip those leaves for candidate
+        # GENERATION (scoring below still uses every leaf, so surviving
+        # candidates are scored exactly).  Conservative f64 sums keep it
+        # rank-safe.
+        gen_leaves = leaves
+        th = theta()
+        if len(heap) >= k and len(leaves) > 1:
+            batch_bound = np.array(
+                [ls[i:j].max() for ls in leaf_seg], dtype=np.float64
+            )
+            order = np.argsort(batch_bound)  # ascending
+            csum = np.cumsum(batch_bound[order])
+            drop = csum < th  # prefix of weakest leaves, strictly below
+            non_essential = set(np.asarray(order)[drop].tolist())
+            if non_essential:
+                gen_leaves = [
+                    l
+                    for li, l in enumerate(leaves)
+                    if li not in non_essential
+                ]
+        # candidates: union of essential-leaf postings within [lo, hi)
+        cand_parts = [l.postings_in(lo, hi)[0] for l in gen_leaves]
         cand_parts = [c for c in cand_parts if len(c)]
         if cand_parts:
             cand = cand_parts[0]
