@@ -7,28 +7,31 @@
       └─ map_batches(tokenize partition)   [stateless tasks]
            · reads its row groups (column-pruned), extracts text from HTML,
              tokenizes via Arrow kernels, routes every posting row to its
-             (field, term, bucket) shard and writes per-partition,
-             PER-SHARD checkpoint files (map-side hash partition), plus
-             doclen/idmap parquet + a stats json done-marker
+             (field, term, bucket) shard, and writes ONE checkpoint file
+             per partition with ONE parquet row group per destination
+             shard, plus doclen/idmap/numeric parquet + a stats json
+             done-marker
       └─ from_items(shards)
       └─ map_batches(encode shard)         [the "reduce" side]
-           · reads exactly its own shard-K files across partitions,
-             sorts (field, term, bucket, docid), FOR-encodes postings +
-             blockmax + positions, writes shards/shard-K.parquet
+           · locates its row groups across partitions via footer stats
+             on the shard column, sorts (field, term, bucket, docid),
+             block-encodes postings (FOR/Bitmap/Vint) + blockmax +
+             positions, writes shards/shard-K.parquet + key sidecar
       └─ manifest.json (lineage, stats, salt routing, metrics) written last
+         (two-slot publish: manifest.json + .prev)
 
 This is a shuffle expressed as map-side hash partitioning through the
-filesystem — the classic external-shuffle layout (one file per
-(map partition, reduce shard)) — because the exchanged rows are already
-checkpoints we must persist for resume anyway; routing them into S
-sub-files at write time costs one local sort and ZERO extra passes,
-while a `groupby("shard")` sort-shuffle of the same rows pays object
-store materialization plus a global sort whose fixed overhead dominates
-at bench scale.  ``BuildConfig.shuffle_mode="groupby"`` keeps the
-Ray-Data-native `groupby(shard).map_groups(encode)` exchange (identical
-output bytes, property-tested) for deployments where per-file counts
-(n_partitions × n_shards) exceed object-store block counts — at that
-scale raise ``target_partition_rows`` so n_partitions stays bounded.
+filesystem — the classic external-shuffle layout with row groups
+standing in for per-(map, reduce) files, so file count stays at
+n_partitions — because the exchanged rows are already checkpoints we
+must persist for resume anyway; routing them into shard row groups at
+write time costs one local sort and ZERO extra passes, while a
+`groupby("shard")` sort-shuffle of the same rows pays object store
+materialization plus a global sort whose fixed overhead dominates at
+bench scale.  ``BuildConfig.shuffle_mode="groupby"`` keeps the
+Ray-Data-native `groupby(shard).map_groups(encode)` exchange
+(rank/score-identical output, differential-tested) as the alternative
+exchange.
 
 Resume: a partition whose stats done-marker exists (written last) is
 skipped; retries are safe because every stage is deterministic per
