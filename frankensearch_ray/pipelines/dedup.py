@@ -292,6 +292,35 @@ class MinHashBander:
         )
 
 
+def _run_pairs(keys: np.ndarray, docs: np.ndarray, cap: int) -> pa.Table:
+    """Triangular (a, b) pairs per equal-key run, runs above ``cap``
+    dropped — vectorized bucket pair expansion shared by the LSH blockers."""
+    order = np.lexsort((docs, keys))
+    keys_s, docs_s = keys[order], docs[order]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+    )
+    ends = np.concatenate((bounds[1:], [len(keys_s)]))
+    a_parts, b_parts = [], []
+    for s, e in zip(bounds, ends):
+        d = np.unique(docs_s[s:e])
+        if len(d) < 2 or len(d) > cap:
+            continue
+        ia, ib = np.triu_indices(len(d), k=1)
+        a_parts.append(d[ia])
+        b_parts.append(d[ib])
+    if not a_parts:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts).astype(np.int64)),
+            "b": pa.array(np.concatenate(b_parts).astype(np.int64)),
+        }
+    )
+
+
 def minhash_pairs(
     sf_dir: str,
     threshold: float = 0.8,
@@ -313,18 +342,16 @@ def minhash_pairs(
         concurrency=2,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2 or len(docs) > bucket_cap:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+    def band_pairs(g: pa.Table) -> pa.Table:
+        # one group per BAND (16 groups, not one per bucket): sort by
+        # band_hash, find bucket runs, vectorized triangular pairs
+        return _run_pairs(
+            g["band_hash"].to_numpy(), g["doc_id"].to_numpy(), bucket_cap
+        )
 
     cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates()
     )
@@ -417,28 +444,49 @@ def simhash_pairs(
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
     banded = ds.map_batches(add_simhash, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2 or n > bucket_cap:
-            return pd.DataFrame(
+    def band_pairs(g: pa.Table) -> pa.Table:
+        # one group per BAND: sort by key, vectorized pairs per key run
+        # (within one band each doc carries exactly one key)
+        keys = g["key"].to_numpy()
+        docs = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy()
+        order = np.lexsort((docs, keys))
+        k_s, d_s, s_s = keys[order], docs[order], sims[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(k_s)]))
+        a_p, b_p, ha_p, hb_p = [], [], [], []
+        for s, e in zip(bounds, ends):
+            n = e - s
+            if n < 2 or n > bucket_cap:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            a_p.append(d_s[s:e][ia])
+            b_p.append(d_s[s:e][ib])
+            ha_p.append(s_s[s:e][ia])
+            hb_p.append(s_s[s:e][ib])
+        if not a_p:
+            return pa.table(
                 {
-                    "a": pd.Series([], dtype="int64"),
-                    "b": pd.Series([], dtype="int64"),
-                    "ha": pd.Series([], dtype="uint64"),
-                    "hb": pd.Series([], dtype="uint64"),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "ha": pa.array([], pa.uint64()),
+                    "hb": pa.array([], pa.uint64()),
                 }
             )
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy()
-        ia, ib = np.triu_indices(n, k=1)
-        return pd.DataFrame(
-            {"a": ids[ia], "b": ids[ib], "ha": sims[ia], "hb": sims[ib]}
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_p).astype(np.int64)),
+                "b": pa.array(np.concatenate(b_p).astype(np.int64)),
+                "ha": pa.array(np.concatenate(ha_p).astype(np.uint64)),
+                "hb": pa.array(np.concatenate(hb_p).astype(np.uint64)),
+            }
         )
 
     cand = (
-        banded.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates(["a", "b"])
     )
