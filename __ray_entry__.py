@@ -70,7 +70,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from frankensearch_ray.pipelines import ann, chunks, dedup, docsearch, textstats
+    from frankensearch_ray.pipelines import ann, chunks, dedup, docsearch, events, textstats
 
     return {
         # inverted-index build + query engine (SURVEY §2.1-2.9)
@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docsearch.bm25_topk,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
+        "sessionize_events": events.sessionize,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -227,6 +228,34 @@ def oracle_sql() -> dict[str, str]:
                      regexp_split_to_array(chunk, '[^A-Za-z0-9_./:-]+'),
                      x -> x <> ''))::BIGINT AS token_count
             FROM c ORDER BY doc_id, ordinal
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER w AS prev_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            marked AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                              OR ts_us - prev_us > 30*60*1000000
+                         THEN 1 ELSE 0 END AS new_session
+              FROM e
+            ),
+            sessions AS (
+              SELECT *, sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts_us, event_id) - 1
+                     AS session
+              FROM marked
+            )
+            SELECT user_id, session::BIGINT AS session,
+                   count(*)::BIGINT AS n_events,
+                   min_by(event_id, ts_us)::BIGINT AS first_event,
+                   max_by(event_id, ts_us)::BIGINT AS last_event,
+                   ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT
+                     AS duration_sec
+            FROM sessions GROUP BY user_id, session
+            ORDER BY user_id, session
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id
