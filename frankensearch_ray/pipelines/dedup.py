@@ -336,11 +336,10 @@ def minhash_pairs(
     import ray.data as rd
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    banded = ds.map_batches(
-        MinHashBander(n_perm, bands, k, text_col, id_col),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
+    # stateless tasks: the permutation params are deterministic (seeded)
+    # and rebuilt per task from a module cache — no actor-pool spawn cost
+    bander = MinHashBander(n_perm, bands, k, text_col, id_col)
+    banded = ds.map_batches(bander, batch_format="pyarrow")
 
     def band_pairs(g: pa.Table) -> pa.Table:
         # one group per BAND (16 groups, not one per bucket): sort by
