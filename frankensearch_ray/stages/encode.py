@@ -38,6 +38,8 @@ SHARD_SCHEMA = pa.schema(
 
 def encode_shard_table(group: pa.Table) -> pa.Table:
     """Encode one shard's postings rows into the compressed term table."""
+    if len(group) == 0:
+        return SHARD_SCHEMA.empty_table()
     order = pc.sort_indices(
         group,
         sort_keys=[
@@ -144,12 +146,14 @@ def write_shard(
         ],
     )
     os.replace(tmp, path)
-    starts = list(range(0, len(table), ROW_GROUP_ROWS))
+    starts = pa.array(
+        range(0, len(table), ROW_GROUP_ROWS), type=pa.int64()
+    )
     keys = pa.table(
         {
-            "field": table["field"].take(pa.array(starts)),
-            "term": table["term"].take(pa.array(starts)),
-            "bucket": table["bucket"].take(pa.array(starts)),
+            "field": table["field"].take(starts),
+            "term": table["term"].take(starts),
+            "bucket": table["bucket"].take(starts),
         }
     )
     keys_stem = (

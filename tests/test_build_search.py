@@ -394,3 +394,52 @@ class TestRetryDeterminism:
 
         tok._one(part)  # the retry path
         assert digest() == before
+
+
+class TestDegenerateCorpora:
+    def test_tiny_corpus_with_empty_doc_and_empty_shards(
+        self, ray_session, tmp_path
+    ):
+        """A 2-doc corpus (one empty) leaves some shards with zero
+        postings; the build and every query path must handle it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.sources.extract import render_page
+
+        src = tmp_path / "one.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "url": ["u1", "u2"],
+                    "html": pa.array(
+                        [
+                            render_page("t", "only doc").encode(),
+                            render_page("", "").encode(),
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            src,
+        )
+        d = str(tmp_path / "idx")
+        build_index(
+            [str(src)],
+            d,
+            BuildConfig(
+                id_col="url",
+                html_col="html",
+                verify_text_col=None,
+                num_shards=2,
+                salt_threshold=10**9,
+                target_partition_rows=10,
+            ),
+            resume=False,
+        )
+        s = LocalSearcher(d)
+        assert s.doc_count() == 2
+        assert [h["id"] for h in s.search("only", 5)["hits"]] == ["u1"]
+        assert s.search("nonexistent", 5)["hits"] == []
+        res = s.search("only", 5, snippets=True)
+        assert res["hits"][0]["snippet"] == "<b>only</b> doc"
