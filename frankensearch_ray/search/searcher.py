@@ -116,6 +116,22 @@ class _ShardCache:
         self.shards_dir = shards_dir
         self._entries: dict[int, dict | None] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
+        # snapshot the generation listing ONCE at construction so this
+        # reader keeps a consistent view while appends/compaction run
+        # (the reference's pinned-snapshot discipline, keeper.rs:2766)
+        import re
+
+        self._snapshot: dict[int, list[str]] = {}
+        try:
+            names = sorted(os.listdir(shards_dir))
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            m = re.fullmatch(r"(?:gen\d+-)?shard-(\d+)\.parquet", name)
+            if m:
+                self._snapshot.setdefault(int(m.group(1)), []).append(
+                    os.path.join(shards_dir, name)
+                )
 
     def _load(self, shard_id: int) -> list | None:
         """All generations of one shard, base first then deltas ascending
@@ -123,17 +139,10 @@ class _ShardCache:
         across generations (Q1 lease discipline)."""
         if shard_id in self._entries:
             return self._entries[shard_id]
-        import glob as _glob
-
-        base = os.path.join(self.shards_dir, f"shard-{shard_id:05d}.parquet")
-        gens = sorted(
-            _glob.glob(
-                os.path.join(
-                    self.shards_dir, f"gen*-shard-{shard_id:05d}.parquet"
-                )
-            )
-        )
-        paths = ([base] if os.path.exists(base) else []) + gens
+        listed = self._snapshot.get(shard_id, [])
+        base = [p for p in listed if os.path.basename(p).startswith("shard-")]
+        gens = sorted(p for p in listed if os.path.basename(p).startswith("gen"))
+        paths = base + gens
         if not paths:
             self._entries[shard_id] = None
             return None
