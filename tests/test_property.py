@@ -1,0 +1,113 @@
+"""Hypothesis property gates: codec roundtrips + analyzer parity."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frankensearch_ray.codecs import (
+    decode_positions,
+    decode_postings,
+    encode_positions,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from frankensearch_ray.contract.analyzer import (
+    analyze_admitted_scalar,
+    analyze_cass_scalar,
+    analyze_default_scalar,
+)
+
+SETTINGS = settings(max_examples=60, deadline=None)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500, unique=True
+    ),
+    st.data(),
+)
+def test_postings_roundtrip(docid_list, data):
+    d = np.array(sorted(docid_list), dtype=np.uint64)
+    tf = np.array(
+        data.draw(
+            st.lists(
+                st.integers(1, 1000), min_size=len(d), max_size=len(d)
+            )
+        ),
+        dtype=np.uint32,
+    )
+    fn = np.zeros(len(d), dtype=np.uint8)
+    p, bm = encode_postings(d, tf, fn)
+    d2, tf2 = decode_postings(p)
+    assert np.array_equal(d, d2)
+    assert np.array_equal(tf, tf2)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.integers(0, 100_000), min_size=0, max_size=40).map(sorted),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_positions_roundtrip(plists):
+    arrs = [np.array(p, dtype=np.uint32) for p in plists]
+    buf = encode_positions(arrs)
+    out = decode_positions(buf, len(arrs))
+    assert len(out) == len(arrs)
+    for a, b in zip(arrs, out):
+        assert np.array_equal(a, b)
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 2**63 - 1), max_size=300))
+def test_varint_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v)), v)
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_analyzer_offsets_are_consistent(text):
+    """Offsets are valid byte ranges; decoding the span and re-analyzing
+    yields the same single token (admission aside)."""
+    raw = text.encode("utf-8")
+    prev_end = 0
+    for token, pos, b_from, b_to in analyze_default_scalar(text):
+        assert 0 <= b_from < b_to <= len(raw)
+        assert b_from >= prev_end
+        prev_end = b_to
+        span = raw[b_from:b_to].decode("utf-8")
+        retok = analyze_default_scalar(span)
+        assert len(retok) == 1 and retok[0][0] == token
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_analyzer_never_raises(text):
+    analyze_admitted_scalar(text)
+    analyze_cass_scalar(text)
+    analyze_cass_scalar(text, hyphen_decompose=False)
+
+
+@SETTINGS
+@given(st.text(max_size=200))
+def test_cass_parser_never_raises(text):
+    from frankensearch_ray.contract.cass import parse_cass
+
+    parsed = parse_cass(text)
+    assert parsed.query is not None
+
+
+@SETTINGS
+@given(st.text(max_size=200))
+def test_default_parser_never_raises(text):
+    from frankensearch_ray.contract.parser import parse_default
+
+    parsed = parse_default(text)
+    assert parsed.query is not None
