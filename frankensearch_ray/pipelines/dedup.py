@@ -1,25 +1,28 @@
-"""Deduplication pipelines: exact, exact n-gram Jaccard, MinHash-LSH, SimHash.
+"""Deduplication pipelines: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding cosine.
 
 Training-data-pipeline operators over a documents table, Ray-Data-first:
 
 - exact: vectorized content hash per batch -> ``groupby(hash).min(id)``
   (hash-partitioned; one surviving doc per identical text);
-- ngram_jaccard: word-shingle explode -> ``groupby(shingle)`` co-occurrence
-  pairs -> exact Jaccard (distributed set-similarity join; stop-shingles
-  above a frequency cap are dropped — the cap is part of the operator
-  contract so the SQL oracle applies the same rule);
-- minhash_lsh: 64 permutations, 16 bands x 4 rows -> band-bucket groupby ->
-  candidate pairs -> exact-Jaccard verification (probabilistic recall;
-  verified precision = 1 by construction);
-- simhash: 64-bit simhash per doc; near-dup pairs blocked on 4 x 16-bit
-  sub-bands (exact recall for hamming distance <= 3 with >= 1 equal band
-  ... guaranteed only for hamming <= 3 when distance spreads over bands;
-  standard pigeonhole blocking).
+- ngram_jaccard: word-shingle explode bucketed by shingle hash (64
+  buckets) -> vectorized per-bucket run-pair expansion -> exact Jaccard
+  (stop-shingles above a frequency cap are dropped — the cap is part of
+  the operator contract so the SQL oracle applies the same rule);
+- minhash_lsh: 64 permutations, 16 bands x 4 rows -> per-BAND groupby
+  with vectorized bucket-run pair expansion -> candidates verified with
+  exact Jaccard (probabilistic recall; verified precision = 1);
+- simhash: 64-bit simhash per doc; near-dup pairs blocked per band on
+  4 x 16-bit sub-bands (pigeonhole: any pair within hamming distance 3
+  shares at least one exact band);
+- embedding_cosine: broadcast normalized matrix, block-row matmuls,
+  upper-triangle pairs above a cosine threshold.
 
-Scale notes: the shuffles are keyed on hash / shingle / band-bucket; skew
-is bounded by the stop-shingle cap resp. the band width.  Pair explosion
-within one bucket is quadratic per bucket — buckets are capped (dropped
-above ``bucket_cap`` with a log) as real 100 TB dedup jobs do.
+Scale notes: shuffles are keyed on hash / shingle-bucket / band — never
+one group per distinct value (group counts stay O(buckets), not
+O(vocabulary)).  Pair explosion within one bucket is quadratic per
+bucket — runs above ``bucket_cap`` / ``shingle_df_cap`` are dropped, as
+real 100 TB dedup jobs do.
 """
 
 from __future__ import annotations
