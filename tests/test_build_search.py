@@ -443,3 +443,59 @@ class TestDegenerateCorpora:
         assert s.search("nonexistent", 5)["hits"] == []
         res = s.search("only", 5, snippets=True)
         assert res["hits"][0]["snippet"] == "<b>only</b> doc"
+
+
+class TestOddShardsGroupbyDifferential:
+    def test_groupby_salted_odd_shards_matches(self, ray_session, tmp_index_root, searcher):
+        """The routing-wrap bug class: salted terms + non-power-of-two
+        shard counts, through the groupby exchange."""
+        paths = pages.tier_t1()
+        d = str(tmp_index_root / "t1_gb_odd")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            num_shards=5,
+            salt_threshold=25,
+            salt_buckets=3,
+            target_partition_rows=50,
+            shuffle_mode="groupby",
+        )
+        build_index(paths, d, cfg, resume=False)
+        gb = LocalSearcher(d)
+        for q in ["the", "the of and", "rust ownership", "error"]:
+            a = [(h["id"], h["score_bits"]) for h in searcher.search(q, 10)["hits"]]
+            b = [(h["id"], h["score_bits"]) for h in gb.search(q, 10)["hits"]]
+            assert a == b, q
+
+
+class TestWandUnderTombstones:
+    def test_pruned_equals_exhaustive_with_deletes(self, ray_session, tmp_index_root):
+        import shutil
+
+        from frankensearch_ray.state import maintenance as mnt
+
+        paths = pages.tier_t1()
+        src_dir = str(tmp_index_root / "t1_tomb")
+        cfg = BuildConfig(
+            id_col="url",
+            html_col="html",
+            verify_text_col="text",
+            num_shards=4,
+            salt_threshold=25,
+            salt_buckets=2,
+            target_partition_rows=50,
+        )
+        build_index(paths, src_dir, cfg, resume=False)
+        s0 = LocalSearcher(src_dir)
+        # delete the current top-2 hits of a head-term query
+        victims = [h["id"] for h in s0.search("the", 3)["hits"]][:2]
+        mnt.delete_documents(src_dir, victims)
+        s = LocalSearcher(src_dir)
+        for q in ["the", "the of and", "rust ownership", "error value"]:
+            a = [(h["docid"], h["score_bits"]) for h in s.search(q, 10, pruning=True)["hits"]]
+            b = [(h["docid"], h["score_bits"]) for h in s.search(q, 10, pruning=False)["hits"]]
+            assert a == b, q
+            assert all(
+                s.ids_for(np.array([h["docid"]], dtype=np.uint64))[0] not in victims
+                for h in s.search(q, 10)["hits"]
+            )
