@@ -288,16 +288,49 @@ class PhaseATokenizer:
             schema=_PART_SUMMARY_SCHEMA,
         )
 
+    def _fingerprint(self, part: dict) -> dict:
+        """Identity of everything baked into this partition's checkpoint:
+        the shard routing (num_shards / salted set / ppb), the source row
+        range, and the content-shaping config.  A done-marker whose
+        fingerprint mismatches is stale — silently reusing it would route
+        postings mod the wrong shard count or index the wrong rows."""
+        import hashlib
+
+        cfg = self.cfg
+        salted_digest = hashlib.blake2b(
+            repr(sorted(self._salted_set())).encode(), digest_size=16
+        ).hexdigest()
+        return {
+            "num_shards": cfg.num_shards,
+            "ppb": self.ppb,
+            "salted_digest": salted_digest,
+            "source": [
+                os.path.abspath(part["path"]),
+                int(part["rg_start"]),
+                int(part["rg_end"]),
+                int(part["rows"]),
+            ],
+            "cols": [
+                cfg.id_col,
+                cfg.content_col,
+                cfg.html_col,
+                sorted(cfg.numeric_cols or []),
+            ],
+        }
+
     def _one(self, part: dict) -> pa.Table:
         paths = _part_paths(self.index_dir, part["pindex"])
         cfg = self.cfg
+        fingerprint = self._fingerprint(part)
         if os.path.exists(paths["stats"]):
             # stats json is the done-marker, written after all artifacts;
-            # a marker from a different shuffle layout forces a rebuild
+            # a marker from a different shuffle layout, routing config or
+            # source row range forces a rebuild of this partition
             with open(paths["stats"]) as f:
                 stats = json.load(f)
             if (
                 stats.get("mode") == cfg.shuffle_mode
+                and stats.get("fingerprint") == fingerprint
                 and stats.get("files")
                 and all(
                     os.path.exists(os.path.join(self.index_dir, rel))
@@ -386,8 +419,35 @@ class PhaseATokenizer:
         stats = dict(result["stats"])
         stats["files"] = files
         stats["mode"] = cfg.shuffle_mode
+        stats["fingerprint"] = fingerprint
         _atomic_write_json(stats, paths["stats"])  # done-marker, last
         return self._summary(stats)
+
+
+def shard_stat_of(pf: pq.ParquetFile, shard_col: int, g: int, path: str) -> int | None:
+    """The shard id a checkpoint row group holds, from footer statistics.
+
+    The fs exchange's one-row-group-per-shard invariant makes the footer
+    stats the partition index of the shuffle — so missing or mixed stats
+    mean quiet posting loss and MUST fail loudly (a writer/env that omits
+    column statistics would otherwise silently drop postings)."""
+    rg = pf.metadata.row_group(g)
+    if rg.num_rows == 0:
+        return None
+    st = rg.column(shard_col).statistics
+    if st is None or st.min is None or st.max is None:
+        raise RuntimeError(
+            f"postings checkpoint {path} row group {g} lacks shard-column "
+            "statistics; cannot locate shard row groups (refusing to "
+            "silently drop postings)"
+        )
+    if st.min != st.max:
+        raise RuntimeError(
+            f"postings checkpoint {path} row group {g} mixes shards "
+            f"[{st.min}, {st.max}] — the one-row-group-per-shard layout "
+            "invariant is violated"
+        )
+    return int(st.min)
 
 
 class _EncodeShardFS:
@@ -414,8 +474,7 @@ class _EncodeShardFS:
             meta = pf.metadata
             shard_col = pf.schema_arrow.get_field_index("shard")
             for g in range(meta.num_row_groups):
-                st = meta.row_group(g).column(shard_col).statistics
-                if st is not None and st.min == shard_id:
+                if shard_stat_of(pf, shard_col, g, path) == shard_id:
                     tables.append(pf.read_row_group(g))
         group = (
             pa.concat_tables(tables).drop_columns(["shard"])

@@ -35,6 +35,19 @@ from ..schema import FIELD_ORDS
 
 MAX_BATCH_SEGMENTS = 64
 
+# The exact kernel accumulates clause scores with f32 round-to-nearest,
+# which can round UP above the real-number sum; bounds summed in f64 must
+# therefore be padded before the strict-< pruning comparison or a sub-ulp
+# sliver could prune a doc that ties/beats the kth score.  Relative error
+# of an m-term f32 chain sum is < m * eps/2 (eps = 2^-23); padding by
+# m * eps gives a 2x margin while staying far too small to cost pruning
+# effectiveness.
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _bound_pad(n_terms: int) -> float:
+    return 1.0 + max(1, n_terms) * _F32_EPS
+
 
 class _Leaf:
     """One (field, term) scorer: lazily block-decoded postings + bounds."""
@@ -179,6 +192,7 @@ def search_pruned(searcher, node, k: int):
             leaf_seg.append(contrib.astype(np.float64))
             cl_bound = cl_bound + contrib
         ub += cl_bound.astype(np.float64)
+    ub *= _bound_pad(len(leaves))
 
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap; root = worst
 
@@ -230,7 +244,7 @@ def search_pruned(searcher, node, k: int):
                 [ls[i:j].max() for ls in leaf_seg], dtype=np.float64
             )
             order = np.argsort(batch_bound)  # ascending
-            csum = np.cumsum(batch_bound[order])
+            csum = np.cumsum(batch_bound[order]) * _bound_pad(len(leaves))
             drop = csum < th  # prefix of weakest leaves, strictly below
             non_essential = set(np.asarray(order)[drop].tolist())
             if non_essential:

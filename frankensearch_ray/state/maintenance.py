@@ -123,9 +123,10 @@ def _encode_delta_shards(
                 continue
             pf = pq.ParquetFile(path)
             col = pf.schema_arrow.get_field_index("shard")
+            from ..build import shard_stat_of
+
             for g in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(g).column(col).statistics
-                if st is not None and st.min == shard_id:
+                if shard_stat_of(pf, col, g, path) == shard_id:
                     tables.append(pf.read_row_group(g))
         if not tables:
             return None
