@@ -92,18 +92,61 @@ def _merge_topk(pdf: pd.DataFrame, k: int) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _read_queries(sf_dir: str, query_ids, id_col: str = "vec_id"):
+    """Row-group-pruned read of ONLY the query vectors (predicate pushed
+    into the parquet read — never a full-table driver materialization)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        _emb_path(sf_dir),
+        columns=[id_col, "embedding"],
+        filters=[(id_col, "in", list(query_ids))],
+    )
+    return _batch_matrix(qt)
+
+
+def _stride_sample(
+    emb_path: str, id_col: str, emb_col: str, target: int = 2048
+) -> np.ndarray:
+    """Deterministic distributed sample: every batch keeps its id-stride
+    rows, so the sample spans the WHOLE table (never 'first N rows', which
+    is a biased slice at scale).  Returns a (<= ~target, dim) matrix."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    total = pq.ParquetFile(emb_path).metadata.num_rows
+    stride = max(1, total // target)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        mask = pc.equal(
+            pc.bit_wise_and(ids, stride - 1)
+            if stride & (stride - 1) == 0
+            else pc.subtract(ids, pc.multiply(pc.divide(ids, stride), stride)),
+            0,
+        )
+        return t.filter(mask)
+
+    rows = (
+        rd.read_parquet(emb_path, columns=[id_col, emb_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    # id-sorted so the sample is byte-identical at ANY parallelism (block
+    # arrival order must not leak into the k-means seed)
+    rows.sort(key=lambda r: r[id_col])
+    return np.array([r[emb_col] for r in rows], dtype=np.float64)
+
+
 def knn_bruteforce(
     sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10
 ) -> pa.Table:
     """(query_id, neighbor_id, rank): exact cosine top-k per query vector."""
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    qt = pq.read_table(_emb_path(sf_dir))
-    q_ids_all, qm = _batch_matrix(qt)
-    sel = np.isin(q_ids_all, np.asarray(query_ids))
-    queries = (q_ids_all[sel], qm[sel])
+    queries = _read_queries(sf_dir, query_ids)
     queries_ref = ray.put(queries)
 
     ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
@@ -143,21 +186,22 @@ def knn_ivf(
     the default nprobe is high (12/16) to hold recall@10 >= 0.9 — the
     pytest gate.  Real corpora with cluster structure run far lower
     nprobe at the same recall."""
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    qt = pq.read_table(_emb_path(sf_dir))
-    ids_all, m_all = _batch_matrix(qt)
-    # centroids from a deterministic sample (driver-side; small)
-    cents = _kmeans_lite(m_all[: min(2000, len(m_all))], n_clusters)
+    # centroids from a DISTRIBUTED stride sample (spans the whole table —
+    # a 'first N rows' slice is a biased sample at scale)
+    sample = _stride_sample(_emb_path(sf_dir), "vec_id", "embedding")
+    cents = _kmeans_lite(sample, n_clusters)
     cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    sel = np.isin(ids_all, np.asarray(query_ids))
-    q_ids, qm = ids_all[sel], m_all[sel]
+    q_ids, qm = _read_queries(sf_dir, query_ids)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     probe = np.argsort(-(qn @ cents_n.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    probe_sets = {int(q): set(map(int, probe[i])) for i, q in enumerate(q_ids)}
-    refs = ray.put((q_ids, qm, cents, probe_sets))
+    # (Q, n_clusters) membership matrix: probe masks for ALL queries are
+    # one fancy-index per batch, no per-query set lookups
+    probe_mat = np.zeros((len(q_ids), n_clusters), dtype=bool)
+    probe_mat[np.arange(len(q_ids))[:, None], probe] = True
+    refs = ray.put((q_ids, qm, cents, probe_mat))
 
     class IvfScorer:
         def __init__(self):
@@ -165,10 +209,10 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._state is None:
-                q_ids_, qm_, cents_, probes_ = ray.get(refs)
+                q_ids_, qm_, cents_, probe_mat_ = ray.get(refs)
                 qn_ = qm_ / np.linalg.norm(qm_, axis=1, keepdims=True)
-                self._state = (q_ids_, qn_, cents_, probes_)
-            q_ids_, qn_, cents_, probes_ = self._state
+                self._state = (q_ids_, qn_, cents_, probe_mat_)
+            q_ids_, qn_, cents_, probe_mat_ = self._state
             ids, m = _batch_matrix(batch)
             if len(ids) == 0:
                 return pa.table(
@@ -181,19 +225,19 @@ def knn_ivf(
             d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qn_ @ mn.T  # (Q, B) one matmul for every query
+            allowed = probe_mat_[:, assign]  # (Q, B) via one fancy index
+            sims = np.where(allowed, sims, -np.inf)
             out_q, out_n, out_s = [], [], []
-            for qi, q in enumerate(q_ids_):
-                mask = np.isin(assign, list(probes_[int(q)]))
-                if not mask.any():
-                    continue
-                sims = qn_[qi] @ mn[mask].T
-                cand_ids = ids[mask]
-                kk = min(k, len(cand_ids))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                for bi in top:
-                    out_q.append(int(q))
-                    out_n.append(int(cand_ids[bi]))
-                    out_s.append(float(sims[bi]))
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(sims.shape[0]):
+                for bi in part[qi]:
+                    if sims[qi, bi] == -np.inf:
+                        continue
+                    out_q.append(int(q_ids_[qi]))
+                    out_n.append(int(ids[bi]))
+                    out_s.append(float(sims[qi, bi]))
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),

@@ -132,11 +132,9 @@ def ngram_jaccard_pairs(
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
     shingled = ds.map_batches(shingle_and_bucket, batch_format="pyarrow").materialize()
 
-    # |A| per doc
-    sizes_pdf = (
-        shingled.groupby("doc_id").count().to_pandas().set_index("doc_id")
-    )
-    sizes = sizes_pdf["count()"].to_dict()
+    # |A| per doc stays a DATASET; it is filtered to candidate docs after
+    # pair counting (candidates ≪ corpus), never a full driver-side dict
+    sizes_ds = shingled.groupby("doc_id").count()
 
     def bucket_pair_counts(g: pa.Table) -> pa.Table:
         """Vectorized per-bucket pair expansion: sort by shingle, find runs,
@@ -209,8 +207,20 @@ def ngram_jaccard_pairs(
     inter = pair_counts["count()"].to_numpy(dtype=np.int64)
     a = pair_counts["a"].to_numpy(dtype=np.int64)
     b = pair_counts["b"].to_numpy(dtype=np.int64)
-    size_a = np.array([sizes[x] for x in a], dtype=np.int64)
-    size_b = np.array([sizes[x] for x in b], dtype=np.int64)
+    # sizes of CANDIDATE docs only: push the id filter into the sizes
+    # dataset so driver memory is bounded by the pair list, not the corpus
+    cand_ids = pa.array(np.unique(np.concatenate((a, b))))
+    cand_sizes = (
+        sizes_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")["count()"]
+        .to_dict()
+    )
+    size_a = np.array([cand_sizes[x] for x in a], dtype=np.int64)
+    size_b = np.array([cand_sizes[x] for x in b], dtype=np.int64)
     union = size_a + size_b - inter
     jac = inter / union
     keep = jac >= threshold
@@ -365,36 +375,123 @@ def minhash_pairs(
                 "jaccard_pct": pa.array([], pa.int64()),
             }
         )
-    # verify candidates with exact shingle sets (candidate set is small;
-    # at scale this is a broadcast-join of shingle sets per pair partition)
-    import pyarrow.parquet as pq
+    # verify candidates DISTRIBUTED: broadcast the (small) pair list once,
+    # compute shingle-hash sets for INVOLVED docs only inside map_batches,
+    # route each doc's set to its pairs via a pair-bucketed groupby, and
+    # evaluate exact Jaccard per pair group — no full-table driver read;
+    # driver memory is bounded by the candidate pair list
+    pairs = [
+        (int(a_), int(b_)) for a_, b_ in zip(cand["a"].astype(int), cand["b"].astype(int))
+    ]
+    doc_to_pairs: dict[int, list[tuple[int, int]]] = {}
+    for pi, (a_id, b_id) in enumerate(pairs):
+        doc_to_pairs.setdefault(a_id, []).append((pi, 0))
+        doc_to_pairs.setdefault(b_id, []).append((pi, 1))
+    d2p_ref = ray.put(doc_to_pairs)
+    pairs_ref = ray.put(pairs)
+    n_pair_buckets = 32
 
-    t = pq.read_table(_doc_path(sf_dir), columns=[id_col, text_col])
-    texts = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
-    rows = []
-    for a_id, b_id in zip(cand["a"].astype(int), cand["b"].astype(int)):
-        sa = _word_shingles((texts[a_id] or "").split(), k)
-        sb = _word_shingles((texts[b_id] or "").split(), k)
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= threshold:
-            rows.append((a_id, b_id, int(np.floor(jac * 100 + 1e-9))))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    def emit_sets(batch: pa.Table) -> pa.Table:
+        d2p = ray.get(d2p_ref)
+        out_pair, out_role, out_set = [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            hits = d2p.get(int(doc_id))
+            if not hits:
+                continue
+            sh = _word_shingles((text or "").split(), k)
+            if not sh:
+                continue  # empty shingle set: pair can never verify
+            hashes = np.unique(
+                np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                s.encode("utf-8"), digest_size=8
+                            ).digest(),
+                            "little",
+                        )
+                        for s in sh
+                    ],
+                    dtype=np.uint64,
+                )
+            )
+            for pi, role in hits:
+                out_pair.append(pi)
+                out_role.append(role)
+                out_set.append(hashes)
+        return pa.table(
+            {
+                "pair": pa.array(out_pair, pa.int64()),
+                "bucket": pa.array(
+                    [p % n_pair_buckets for p in out_pair], pa.int32()
+                ),
+                "role": pa.array(out_role, pa.int8()),
+                "shingles": pa.array(
+                    [s.tolist() for s in out_set], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        pair_list = ray.get(pairs_ref)
+        pn = g["pair"].to_numpy()
+        order = np.argsort(pn, kind="stable")
+        g = g.take(pa.array(order))
+        pn = pn[order]
+        roles = g["role"].to_numpy()
+        sh_col = g["shingles"].combine_chunks()
+        bounds = np.flatnonzero(np.concatenate(([True], pn[1:] != pn[:-1])))
+        ends = np.concatenate((bounds[1:], [len(pn)]))
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(bounds, ends):
+            if e - s < 2:
+                continue  # one side empty/missing
+            rr = roles[s:e]
+            ia = s + int(np.flatnonzero(rr == 0)[0])
+            ib = s + int(np.flatnonzero(rr == 1)[0])
+            sa = np.asarray(sh_col[ia].as_py(), dtype=np.uint64)
+            sb = np.asarray(sh_col[ib].as_py(), dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                a_id, b_id = pair_list[int(pn[s])]
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(int(np.floor(jac * 100 + 1e-9)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    verified = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(emit_sets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .to_pandas()
     )
+    if len(verified) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 # --- SimHash ---------------------------------------------------------------
 
 
 def simhash64(text: str) -> int:
+    """Scalar reference simhash (kept as the batch kernel's oracle)."""
     toks = (text or "").split()
     if not toks:
         return 0
@@ -413,6 +510,40 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: list[str | None]) -> np.ndarray:
+    """Vectorized simhash over a batch: hash only the DICTIONARY of unique
+    tokens (blake2b per unique string), then per-bit majority via one
+    bincount per bit — identical output to :func:`simhash64` per row.
+
+    ``acc_b > 0  ⇔  ones_b > total - ones_b  ⇔  2*ones_b > total``.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    toks = [(t or "").split() for t in texts]
+    lens = np.array([len(r) for r in toks], dtype=np.int64)
+    if lens.sum() == 0:
+        return out
+    flat = pa.array([tok for row in toks for tok in row])
+    de = pc.dictionary_encode(flat)
+    vocab_hashes = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for v in de.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    h = vocab_hashes[de.indices.to_numpy()]
+    doc_idx = np.repeat(np.arange(n), lens)
+    for b in range(64):
+        bit_on = ((h >> np.uint64(b)) & np.uint64(1)).astype(bool)
+        ones = np.bincount(doc_idx[bit_on], minlength=n)
+        out |= (2 * ones > lens).astype(np.uint64) << np.uint64(b)
+    return out
+
+
 def simhash_pairs(
     sf_dir: str,
     max_hamming: int = 3,
@@ -426,20 +557,19 @@ def simhash_pairs(
     import ray.data as rd
 
     def add_simhash(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
-        ids, bands, keys, sims = [], [], [], []
-        for doc_id, h in zip(batch[id_col].to_pylist(), hs):
-            for b in range(4):
-                ids.append(doc_id)
-                bands.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF)
-                sims.append(h)
+        hs = simhash64_batch(batch[text_col].to_pylist())
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        ids_rep = np.repeat(ids, 4)
+        hs_rep = np.repeat(hs, 4)
+        keys = ((hs_rep >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int64()),
-                "simhash": pa.array(sims, pa.uint64()),
+                "doc_id": pa.array(ids_rep),
+                "band": pa.array(bands),
+                "key": pa.array(keys),
+                "simhash": pa.array(hs_rep),
             }
         )
 
@@ -523,74 +653,170 @@ def simhash_pairs(
 # --- embedding-cosine near-dup ---------------------------------------------
 
 
+_EMPTY_COSINE = {
+    "id_a": pa.array([], pa.int64()),
+    "id_b": pa.array([], pa.int64()),
+    "cosine_permille": pa.array([], pa.int64()),
+}
+
+
 def embedding_cosine_pairs(
     sf_dir: str,
     threshold: float = 0.5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    mode: str = "bucketed",
+    n_clusters: int = 16,
+    n_assign: int = 4,
 ) -> pa.Table:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
 
-    Block-matmul all-pairs: the (normalized) matrix is broadcast via
-    ``ray.put`` once; each batch computes its block-row of the similarity
-    matrix in one float64 matmul and emits only above-threshold upper-
-    triangle pairs.  At 10^12 scale the same kernel runs per LSH/IVF
-    bucket instead of all-pairs; the bucketing is the ANN module's
-    centroid assignment.
+    ``mode="bucketed"`` (the default, the 100 TB shape): k-means-lite
+    centroids from a distributed stride sample; every vector is assigned
+    to its ``n_assign`` nearest centroids inside ``map_batches``; pairs
+    are generated by within-cluster matmuls after a ``groupby(cluster)``
+    exchange — compute is O(sum cluster²), never all-pairs, and nothing
+    is broadcast.  A pair is found when the two vectors share ANY of
+    their assigned clusters (multi-probe); recall vs the exact kernel is
+    pytest-gated.
+
+    ``mode="exact"`` keeps the all-pairs block-matmul as the test oracle.
     """
     import ray
     import ray.data as rd
 
     import pyarrow.parquet as pq
 
-    full = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col, emb_col]
-    )
-    all_ids = full[id_col].to_numpy()
-    flat = full[emb_col].combine_chunks().values.to_numpy(
-        zero_copy_only=False
-    ).astype(np.float64)
-    dim = len(flat) // len(all_ids)
-    mat = flat.reshape(len(all_ids), dim)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((all_ids, matn))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_all, m = ray.get(ref)
-        ids = batch[id_col].to_numpy()
-        rows = np.searchsorted(ids_all, ids)
-        sims = m[rows] @ m.T  # block-row of the similarity matrix
-        out_a, out_b, out_s = [], [], []
-        for r, a in enumerate(ids):
-            hit = np.flatnonzero(sims[r] >= threshold)
-            bs = ids_all[hit]
-            keep = bs > a  # upper triangle only
-            out_a.extend([int(a)] * int(keep.sum()))
-            out_b.extend(int(x) for x in bs[keep])
-            out_s.extend(
-                int(np.floor(s * 1000 + 1e-9)) for s in sims[r][hit][keep]
+    if mode == "exact":
+        full = pq.read_table(emb_path, columns=[id_col, emb_col])
+        all_ids = full[id_col].to_numpy()
+        flat = full[emb_col].combine_chunks().values.to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        dim = len(flat) // len(all_ids)
+        mat = flat.reshape(len(all_ids), dim)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        ref = ray.put((all_ids, matn))
+
+        def block(batch: pa.Table) -> pa.Table:
+            ids_all, m = ray.get(ref)
+            ids = batch[id_col].to_numpy()
+            rows = np.searchsorted(ids_all, ids)
+            sims = m[rows] @ m.T
+            out_a, out_b, out_s = [], [], []
+            for r, a in enumerate(ids):
+                hit = np.flatnonzero(sims[r] >= threshold)
+                bs = ids_all[hit]
+                keep = bs > a
+                out_a.extend([int(a)] * int(keep.sum()))
+                out_b.extend(int(x) for x in bs[keep])
+                out_s.extend(
+                    int(np.floor(s * 1000 + 1e-9)) for s in sims[r][hit][keep]
+                )
+            return pa.table(
+                {
+                    "id_a": pa.array(out_a, pa.int64()),
+                    "id_b": pa.array(out_b, pa.int64()),
+                    "cosine_permille": pa.array(out_s, pa.int64()),
+                }
             )
+
+        out = (
+            rd.read_parquet(emb_path, columns=[id_col])
+            .map_batches(block, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(out) == 0:
+            return pa.table(_EMPTY_COSINE)
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # --- bucketed (default) ---
+    from .ann import _kmeans_lite, _stride_sample
+
+    sample = _stride_sample(emb_path, id_col, emb_col, target=2048)
+    cents = _kmeans_lite(sample, n_clusters)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cents_ref = ray.put(cents)
+    n_assign = min(n_assign, len(cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        ids = batch[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "vid": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        col = batch[emb_col].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(ids), len(flat) // len(ids))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d, axis=1)[:, :n_assign]  # (B, n_assign)
+        rep_ids = np.repeat(ids.astype(np.int64), n_assign)
+        rep_cl = near.reshape(-1).astype(np.int32)
+        rep_vecs = np.repeat(mn, n_assign, axis=0)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "cosine_permille": pa.array(out_s, pa.int64()),
+                "cluster": pa.array(rep_cl),
+                "vid": pa.array(rep_ids),
+                "vec": pa.array(list(rep_vecs), pa.list_(pa.float64())),
             }
         )
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col]
-    )
-    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
-    if len(out) == 0:
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        ids = g["vid"].to_numpy()
+        if len(ids) < 2:
+            return pa.table(_EMPTY_COSINE)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        col = g["vec"].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(g), len(flat) // len(g))[order]
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[ia] != ids[ib]  # a vector meeting itself via 2 clusters
+        ia, ib = ia[keep], ib[keep]
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
         return pa.table(
             {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "cosine_permille": pa.array([], pa.int64()),
+                "id_a": pa.array(a2.astype(np.int64)),
+                "id_b": pa.array(b2.astype(np.int64)),
+                "cosine_permille": pa.array(
+                    np.floor(sims[ia, ib] * 1000 + 1e-9).astype(np.int64)
+                ),
             }
         )
-    out = out.sort_values(["id_a", "id_b"])
+
+    out = (
+        rd.read_parquet(emb_path, columns=[id_col, emb_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table(_EMPTY_COSINE)
+    # a pair sharing several probed clusters is emitted once per cluster;
+    # sort on all three columns BEFORE deduping so the surviving permille
+    # is deterministic even if two dgemm shapes round the last ulp apart
+    out = (
+        out.sort_values(["id_a", "id_b", "cosine_permille"])
+        .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(out, preserve_index=False)

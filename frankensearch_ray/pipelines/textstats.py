@@ -51,29 +51,42 @@ def _tokens_of(batch: pa.Table, text_col: str) -> pa.ListArray:
     return lists
 
 
+def _flat_tokens(lists: pa.ListArray):
+    """(flat tokens, per-row doc index, per-row token counts) — the
+    segment bookkeeping every vectorized per-doc reduction shares."""
+    off = lists.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    flat = lists.flatten()
+    doc_idx = np.repeat(np.arange(len(lists)), np.diff(off))
+    return flat, doc_idx, off
+
+
 def lang_id(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """(doc_id, lang_pred): stopword-profile argmax, ties -> LANG_ORDER,
-    zero hits -> 'und'."""
+    zero hits -> 'und'.  Fully vectorized: one ``is_in`` + ``bincount``
+    per language profile, no per-row Python loop."""
     import ray.data as rd
 
     def score_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
-        preds = []
-        for row in lists.to_pylist():
-            toks = [t for t in row if t]
-            counts = {
-                lang: sum(t in set(words) for t in toks)
-                for lang, words in LANG_PROFILES.items()
-            }
-            best, best_n = "und", 0
-            for lang in LANG_ORDER:
-                if counts[lang] > best_n:
-                    best, best_n = lang, counts[lang]
-            preds.append(best)
+        n = len(lists)
+        flat, doc_idx, _off = _flat_tokens(lists)
+        counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = pc.is_in(
+                flat, value_set=pa.array(LANG_PROFILES[lang])
+            ).to_numpy(zero_copy_only=False)
+            counts[:, li] = np.bincount(doc_idx[mask], minlength=n)
+        # argmax picks the FIRST max in LANG_ORDER = the scalar loop's
+        # strict-improvement precedence; zero hits anywhere -> 'und'
+        best = counts.argmax(axis=1)
+        best_n = counts[np.arange(n), best]
+        langs = np.array(LANG_ORDER)
+        preds = np.where(best_n > 0, langs[best], "und")
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
             }
         )
 
@@ -91,20 +104,44 @@ def quality_scores(
 
     def score_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
-        n_tok, n_typ, max_len, digits = [], [], [], []
-        for row in lists.to_pylist():
-            toks = [t for t in row if t]
-            n_tok.append(len(toks))
-            n_typ.append(len(set(toks)))
-            max_len.append(max((len(t) for t in toks), default=0))
-            digits.append(sum(t.isdigit() for t in toks))
+        n = len(lists)
+        flat, doc_idx, off = _flat_tokens(lists)
+        # tokens are [a-z0-9]* ASCII by construction, so binary length ==
+        # char length and isdigit == ^[0-9]+$
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = lens > 0
+        n_tok = np.bincount(doc_idx[nonempty], minlength=n)
+        digit_mask = pc.match_substring_regex(flat, "^[0-9]+$").to_numpy(
+            zero_copy_only=False
+        )
+        digits = np.bincount(doc_idx[digit_mask], minlength=n)
+        # regex split always emits >= 1 (possibly empty) token per row, so
+        # offsets are strictly increasing and reduceat segments are exact;
+        # empty tokens contribute length 0 = the scalar default
+        max_len = (
+            np.maximum.reduceat(lens, off[:-1]) if len(lens) else np.zeros(n, np.int64)
+        )
+        # distinct nonempty types per doc: dictionary-encode the flat
+        # stream, sort (doc, code), count run starts per doc
+        n_typ = np.zeros(n, dtype=np.int64)
+        if nonempty.any():
+            codes = pc.dictionary_encode(
+                flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            ).indices.to_numpy()
+            di, cd = doc_idx[nonempty], codes[nonempty]
+            order = np.lexsort((cd, di))
+            di_s, cd_s = di[order], cd[order]
+            new = np.concatenate(
+                ([True], (di_s[1:] != di_s[:-1]) | (cd_s[1:] != cd_s[:-1]))
+            )
+            n_typ = np.bincount(di_s[new], minlength=n)
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_types": pa.array(n_typ, pa.int64()),
-                "max_word_len": pa.array(max_len, pa.int64()),
-                "digit_tokens": pa.array(digits, pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_types": pa.array(n_typ.astype(np.int64)),
+                "max_word_len": pa.array(max_len.astype(np.int64)),
+                "digit_tokens": pa.array(digits.astype(np.int64)),
             }
         )
 

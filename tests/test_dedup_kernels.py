@@ -1,0 +1,59 @@
+"""Kernel gates for the dedup pipelines: vectorized ≡ scalar, bucketed ≡
+exact (recall)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestSimhashBatch:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_categories=("Cs",)
+                    ),
+                    max_size=80,
+                ),
+            ),
+            max_size=8,
+        )
+    )
+    def test_batch_equals_scalar(self, texts):
+        from frankensearch_ray.pipelines.dedup import simhash64, simhash64_batch
+
+        got = simhash64_batch(texts)
+        want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        assert (got == want).all()
+
+    def test_known_values(self):
+        from frankensearch_ray.pipelines.dedup import simhash64, simhash64_batch
+
+        texts = ["the quick brown fox", "", None, "a a a b", "the quick brown fix"]
+        got = simhash64_batch(texts)
+        assert got[1] == 0 and got[2] == 0
+        assert list(got) == [simhash64(t) for t in texts]
+
+
+class TestBucketedEmbeddingDedup:
+    def test_bucketed_matches_exact(self, ray_session):
+        """The bucketed (multi-probe IVF) pair finder must recover every
+        exact pair on the test corpus and report identical permille."""
+        from frankensearch_ray.pipelines.dedup import embedding_cosine_pairs
+
+        sf = "/root/testdata/sf0.01"
+        exact = embedding_cosine_pairs(sf, mode="exact").to_pylist()
+        bucketed = embedding_cosine_pairs(sf, mode="bucketed").to_pylist()
+        e = {(r["id_a"], r["id_b"]): r["cosine_permille"] for r in exact}
+        b = {(r["id_a"], r["id_b"]): r["cosine_permille"] for r in bucketed}
+        assert set(b) <= set(e), "bucketed emitted a non-pair"
+        recall = len(set(b) & set(e)) / max(1, len(e))
+        assert recall == pytest.approx(1.0), f"bucketed recall {recall}"
+        for k in b:
+            assert b[k] == e[k]
