@@ -453,9 +453,10 @@ def shard_stat_of(pf: pq.ParquetFile, shard_col: int, g: int, path: str) -> int 
 class _EncodeShardFS:
     """Reduce-side task body (fs mode): encode one shard from its files."""
 
-    def __init__(self, index_dir: str, n_parts: int):
+    def __init__(self, index_dir: str, n_parts: int, epoch: int = 0):
         self.index_dir = index_dir
         self.n_parts = n_parts
+        self.epoch = epoch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -482,7 +483,12 @@ class _EncodeShardFS:
             else _empty_postings_table()
         )
         encoded = encode_shard_table(group)
-        row = write_shard(encoded, os.path.join(self.index_dir, "shards"), shard_id)
+        row = write_shard(
+            encoded,
+            os.path.join(self.index_dir, "shards"),
+            shard_id,
+            epoch=self.epoch,
+        )
         return pa.table(
             {k: [row[k]] for k in _SHARD_SUMMARY_SCHEMA.names},
             schema=_SHARD_SUMMARY_SCHEMA,
@@ -555,9 +561,12 @@ class _ShardAssigner:
 _SHARD_SUMMARY_SCHEMA = pa.schema(
     [
         ("index", pa.int64()),
+        ("generation", pa.int64()),
         ("rows", pa.int64()),
         ("bytes", pa.int64()),
         ("postings_bytes", pa.int64()),
+        ("file", pa.string()),
+        ("keys_file", pa.string()),
     ]
 )
 

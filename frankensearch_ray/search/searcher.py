@@ -65,38 +65,76 @@ def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _Norms:
-    """Dense fieldnorm lookup across sparse (partition << 32 | row) docids."""
+    """Per-partition fieldnorm lookup, loaded LAZILY with an LRU.
 
-    def __init__(self, doclen_dir: str):
-        tables = []
-        for path in sorted(Path(doclen_dir).glob("part-*.parquet")):
-            tables.append(pq.read_table(path))
-        t = pa.concat_tables(tables)
-        docid = t["docid"].to_numpy()
-        order = np.argsort(docid, kind="stable")
-        self.docids = docid[order]
-        self.norm_content = t["norm_content"].to_numpy()[order]
-        self.norm_title = t["norm_title"].to_numpy()[order]
-        # partition bases for O(log P) row lookup
-        parts = (self.docids >> np.uint64(PARTITION_SHIFT)).astype(np.uint64)
-        change = np.concatenate(([True], parts[1:] != parts[:-1]))
-        self.part_ids = parts[change]
-        self.part_offsets = np.flatnonzero(change).astype(np.int64)
+    Replica memory stays bounded by the QUERY MIX (partitions actually
+    scored), not the corpus — at 10^12 docs an eager concat is ~10 B/doc
+    = TBs per replica, which would contradict the ``pool.py`` replica
+    model.  Partition files may contain holes after compaction (dead rows
+    dropped), so the row lookup is a per-partition binary search on the
+    docid column, not positional arithmetic."""
 
-    def rows_for(self, docids: np.ndarray) -> np.ndarray:
-        p = (docids >> np.uint64(PARTITION_SHIFT)).astype(np.uint64)
-        r = (docids & np.uint64(ROW_MASK)).astype(np.int64)
-        pos = np.searchsorted(self.part_ids, p)
-        return self.part_offsets[pos] + r
+    _LRU_MAX = 128
+
+    def __init__(self, doclen_dir: str, part_indices: list[int] | None = None):
+        self.dir = Path(doclen_dir)
+        if part_indices is None:
+            part_indices = sorted(
+                int(p.stem.split("-")[1]) for p in self.dir.glob("part-*.parquet")
+            )
+        self.part_indices = list(part_indices)
+        self._cache: dict[int, tuple] = {}
+        self._all: np.ndarray | None = None
+
+    def _part(self, p: int) -> tuple:
+        got = self._cache.get(p)
+        if got is None:
+            t = pq.read_table(self.dir / f"part-{p:05d}.parquet")
+            got = (
+                t["docid"].to_numpy(),
+                t["norm_content"].to_numpy(),
+                t["norm_title"].to_numpy(),
+            )
+            if len(self._cache) >= self._LRU_MAX:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[p] = got
+        return got
 
     def norms(self, field_ord: int, docids: np.ndarray) -> np.ndarray:
-        rows = self.rows_for(docids)
-        arr = self.norm_content if field_ord == 0 else self.norm_title
-        return arr[rows]
+        out = np.empty(len(docids), dtype=np.uint8)
+        if len(docids) == 0:
+            return out
+        parts = (docids >> np.uint64(PARTITION_SHIFT)).astype(np.int64)
+        bounds = np.flatnonzero(
+            np.concatenate(([True], parts[1:] != parts[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(docids)]))
+        for s, e in zip(bounds, ends):
+            d, nc, nt = self._part(int(parts[s]))
+            idx = np.searchsorted(d, docids[s:e])
+            # absent (tombstoned-then-compacted) docids clamp to an
+            # arbitrary neighbour; their scores are discarded by the
+            # live-mask filter before any result is surfaced
+            np.clip(idx, 0, max(len(d) - 1, 0), out=idx)
+            arr = nc if field_ord == 0 else nt
+            out[s:e] = arr[idx] if len(d) else 0
+        return out
 
     @property
     def all_docids(self) -> np.ndarray:
-        return self.docids
+        """Live docids of every partition (docid column only; cached).
+        Inherently O(corpus) — used by All-root queries alone."""
+        if self._all is None:
+            cols = [
+                pq.read_table(
+                    self.dir / f"part-{p:05d}.parquet", columns=["docid"]
+                )["docid"].to_numpy()
+                for p in self.part_indices
+            ]
+            self._all = (
+                np.concatenate(cols) if cols else np.zeros(0, np.uint64)
+            )
+        return self._all
 
 
 class _ShardCache:
@@ -112,26 +150,59 @@ class _ShardCache:
 
     _RG_CACHE_MAX = 256
 
-    def __init__(self, shards_dir: str):
+    def __init__(self, shards_dir: str, shard_entries: list[dict] | None = None):
         self.shards_dir = shards_dir
         self._entries: dict[int, dict | None] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
-        # snapshot the generation listing ONCE at construction so this
-        # reader keeps a consistent view while appends/compaction run
-        # (the reference's pinned-snapshot discipline, keeper.rs:2766)
-        import re
+        # the snapshot is EXACTLY the shard list the atomically-published
+        # manifest names (index + generation + file recorded at publish),
+        # never an os.listdir race against concurrent appends/compaction:
+        # a directory listing could see gen-N files published AFTER the
+        # manifest/doclen view this reader loaded, scoring docids absent
+        # from its norms/idmap (the pinned-snapshot discipline,
+        # keeper.rs:2766).
+        self._snapshot: dict[int, list[tuple[str, str]]] = {}
+        if shard_entries is not None:
+            from ..stages.encode import shard_file_names
 
-        self._snapshot: dict[int, list[str]] = {}
-        try:
-            names = sorted(os.listdir(shards_dir))
-        except FileNotFoundError:
-            names = []
-        for name in names:
-            m = re.fullmatch(r"(?:gen\d+-)?shard-(\d+)\.parquet", name)
-            if m:
-                self._snapshot.setdefault(int(m.group(1)), []).append(
-                    os.path.join(shards_dir, name)
+            for e in sorted(
+                shard_entries, key=lambda e: int(e.get("generation", 0) or 0)
+            ):
+                idx = int(e["index"])
+                gen = int(e.get("generation", 0) or 0)
+                file_name = e.get("file")
+                keys_name = e.get("keys_file")
+                if not file_name:  # legacy manifest entry: derive names
+                    file_name, keys_name = shard_file_names(idx, gen)
+                self._snapshot.setdefault(idx, []).append(
+                    (
+                        os.path.join(shards_dir, file_name),
+                        os.path.join(shards_dir, keys_name),
+                    )
                 )
+        else:
+            # no manifest (bare-directory open, tests): fall back to one
+            # listdir snapshot with the conventional names
+            import re
+
+            try:
+                names = sorted(os.listdir(shards_dir))
+            except FileNotFoundError:
+                names = []
+            for name in names:
+                m = re.fullmatch(r"(?:gen(\d+)-)?shard-(\d+)\.parquet", name)
+                if m:
+                    sid = int(m.group(2))
+                    gen = int(m.group(1) or 0)
+                    from ..stages.encode import shard_file_names
+
+                    _f, keys_name = shard_file_names(sid, gen)
+                    self._snapshot.setdefault(sid, []).append(
+                        (
+                            os.path.join(shards_dir, name),
+                            os.path.join(shards_dir, keys_name),
+                        )
+                    )
 
     def _load(self, shard_id: int) -> list | None:
         """All generations of one shard, base first then deltas ascending
@@ -139,23 +210,13 @@ class _ShardCache:
         across generations (Q1 lease discipline)."""
         if shard_id in self._entries:
             return self._entries[shard_id]
-        listed = self._snapshot.get(shard_id, [])
-        base = [p for p in listed if os.path.basename(p).startswith("shard-")]
-        gens = sorted(p for p in listed if os.path.basename(p).startswith("gen"))
-        paths = base + gens
+        paths = self._snapshot.get(shard_id, [])
         if not paths:
             self._entries[shard_id] = None
             return None
         entries = []
-        for path in paths:
+        for path, keys_path in paths:
             pf = pq.ParquetFile(path)
-            name = os.path.basename(path)
-            keys_name = (
-                f"_keys-{shard_id:05d}.parquet"
-                if name.startswith("shard-")
-                else f"_keys-{name[:7]}-{shard_id:05d}.parquet"
-            )
-            keys_path = os.path.join(self.shards_dir, keys_name)
             if os.path.exists(keys_path):
                 kt = pq.read_table(keys_path)
             else:  # legacy shard without sidecar: one cheap key-columns scan
@@ -276,8 +337,13 @@ class LocalSearcher:
             sorted(int(d) for d in self.manifest.get("tombstones", [])),
             dtype=np.uint64,
         )
-        self.norms = _Norms(os.path.join(index_dir, "doclen"))
-        self.shards = _ShardCache(os.path.join(index_dir, "shards"))
+        self.norms = _Norms(
+            os.path.join(index_dir, "doclen"),
+            [p["index"] for p in self.manifest["partitions"]],
+        )
+        self.shards = _ShardCache(
+            os.path.join(index_dir, "shards"), self.manifest.get("shards")
+        )
         self._bm_cache: dict[tuple[int, str], dict | None] = {}
         self._post_cache: dict[tuple[int, str], tuple] = {}
         self._pos_cache: dict[tuple[int, str], list] = {}

@@ -113,8 +113,36 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
 ROW_GROUP_ROWS = 2048
 
 
+def shard_file_names(shard_id: int, generation: int = 0, epoch: int = 0):
+    """(shard file, keys sidecar file) names for one shard generation.
+
+    ``epoch > 0`` prefixes both names: compaction/full re-encode writes a
+    NEW epoch's files and publishes the manifest pointing at them before
+    old files are garbage-collected — the keep-segments-until-released
+    discipline (``keeper.rs``), so a crash or a live reader mid-compact
+    never sees a half-rewritten shard set."""
+    stem = (
+        f"shard-{shard_id:05d}"
+        if generation == 0
+        else f"gen{generation:04d}-shard-{shard_id:05d}"
+    )
+    keys_stem = (
+        f"_keys-{shard_id:05d}"
+        if generation == 0
+        else f"_keys-gen{generation:04d}-{shard_id:05d}"
+    )
+    if epoch > 0:
+        stem = f"e{epoch:04d}-{stem}"
+        keys_stem = f"_keys-e{epoch:04d}" + keys_stem[len("_keys") :]
+    return f"{stem}.parquet", f"{keys_stem}.parquet"
+
+
 def write_shard(
-    table: pa.Table, shards_dir: str, shard_id: int, generation: int = 0
+    table: pa.Table,
+    shards_dir: str,
+    shard_id: int,
+    generation: int = 0,
+    epoch: int = 0,
 ) -> dict:
     """Atomically write one shard parquet + its row-group key sidecar.
 
@@ -127,12 +155,9 @@ def write_shard(
     generation order (docid-ascending by the Q1 lease discipline), and
     compaction merges deltas back into the base."""
     os.makedirs(shards_dir, exist_ok=True)
-    stem = (
-        f"shard-{shard_id:05d}"
-        if generation == 0
-        else f"gen{generation:04d}-shard-{shard_id:05d}"
-    )
-    path = os.path.join(shards_dir, f"{stem}.parquet")
+    file_name, keys_name = shard_file_names(shard_id, generation, epoch)
+    stem = file_name[: -len(".parquet")]
+    path = os.path.join(shards_dir, file_name)
     tmp = os.path.join(shards_dir, f".{stem}.tmp")
     pq.write_table(
         table,
@@ -156,13 +181,8 @@ def write_shard(
             "bucket": table["bucket"].take(starts),
         }
     )
-    keys_stem = (
-        f"_keys-{shard_id:05d}"
-        if generation == 0
-        else f"_keys-gen{generation:04d}-{shard_id:05d}"
-    )
-    keys_path = os.path.join(shards_dir, f"{keys_stem}.parquet")
-    keys_tmp = os.path.join(shards_dir, f".{keys_stem}.tmp")
+    keys_path = os.path.join(shards_dir, keys_name)
+    keys_tmp = os.path.join(shards_dir, f".{keys_name[: -len('.parquet')]}.tmp")
     pq.write_table(keys, keys_tmp)
     os.replace(keys_tmp, keys_path)
     return {
@@ -173,4 +193,6 @@ def write_shard(
         "postings_bytes": int(
             pc.sum(pc.binary_length(table["postings"])).as_py() or 0
         ),
+        "file": file_name,
+        "keys_file": keys_name,
     }

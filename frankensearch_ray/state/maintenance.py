@@ -86,13 +86,15 @@ def _probe_ids(index_dir: str, manifest: dict, ids: list[str]) -> dict[str, tupl
     return out
 
 
-def _reencode_shards(index_dir: str, cfg: BuildConfig, n_parts: int) -> list[dict]:
+def _reencode_shards(
+    index_dir: str, cfg: BuildConfig, n_parts: int, epoch: int = 0
+) -> list[dict]:
     import ray.data as rd
 
     return (
         rd.from_items([{"shard": s} for s in range(cfg.num_shards)])
         .map_batches(
-            _EncodeShardFS(index_dir, n_parts),
+            _EncodeShardFS(index_dir, n_parts, epoch=epoch),
             batch_size=1,
             batch_format="pyarrow",
         )
@@ -171,27 +173,69 @@ def _rollup_and_publish(
             dict(r) for r in shard_rows
         ]
     else:
-        _clear_delta_shards(index_dir)
-        shard_rows = _reencode_shards(index_dir, cfg, len(manifest["partitions"]))
+        # full re-encode is written as a NEW EPOCH: fresh file names, the
+        # manifest published pointing at them, old files garbage-collected
+        # only AFTER the publish (keep-segments-until-released) — a crash
+        # anywhere in this window leaves the previous manifest + its files
+        # fully intact, and a concurrently open reader keeps its snapshot
+        next_epoch = int(manifest.get("epoch", 0)) + 1
+        shard_rows = _reencode_shards(
+            index_dir, cfg, len(manifest["partitions"]), epoch=next_epoch
+        )
         manifest["shards"] = sorted(
             (dict(r) for r in shard_rows if r.get("index") is not None),
             key=lambda r: r["index"],
         )
+        manifest["epoch"] = next_epoch
     manifest["field_stats"] = field_stats
     manifest["metrics"]["postings"] = total_postings
     manifest["metrics"]["docs"] = field_stats["content"]["doc_count"]
     manifest["generation"] = next_gen
     _write_manifest(index_dir, manifest)
+    _gc_shards(index_dir)
     return manifest
 
 
-def _clear_delta_shards(index_dir: str) -> None:
-    import glob as _glob
+def _referenced_shard_files(manifest: dict) -> set[str]:
+    from ..stages.encode import shard_file_names
 
-    for f in _glob.glob(os.path.join(index_dir, "shards", "gen*-shard-*.parquet")):
-        os.remove(f)
-    for f in _glob.glob(os.path.join(index_dir, "shards", "_keys-gen*.parquet")):
-        os.remove(f)
+    out: set[str] = set()
+    for e in manifest.get("shards", []):
+        if e.get("index") is None:
+            continue
+        f, k = e.get("file"), e.get("keys_file")
+        if not f:  # legacy entry: conventional names
+            f, k = shard_file_names(int(e["index"]), int(e.get("generation", 0) or 0))
+        out.add(f)
+        out.add(k)
+    return out
+
+
+def _gc_shards(index_dir: str) -> None:
+    """Deferred shard GC: delete files referenced by NEITHER the current
+    manifest NOR the previous slot — so the ``.prev`` fallback (and any
+    reader pinned to it) stays openable for one more publish cycle."""
+    keep: set[str] = set()
+    for name in (MANIFEST_NAME, MANIFEST_NAME + ".prev"):
+        path = os.path.join(index_dir, name)
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                keep |= _referenced_shard_files(json.load(f))
+        except (json.JSONDecodeError, OSError):
+            return  # unreadable slot: never GC blind
+    shards_dir = os.path.join(index_dir, "shards")
+    try:
+        names = os.listdir(shards_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.endswith(".parquet") and name not in keep:
+            try:
+                os.remove(os.path.join(shards_dir, name))
+            except OSError:
+                pass
 
 
 def _cfg_of(manifest: dict) -> BuildConfig:
@@ -421,29 +465,20 @@ def _compact_partition(
 
     doclen = pq.read_table(paths["doclen"])
     keep_doc = live_mask(doclen["docid"].to_numpy())
-    # doclen/idmap keep dead rows' docid SLOTS out but rows are positional
-    # lookups by (docid & mask) — so dead rows must keep their position.
-    # We zero their lengths instead of dropping (norm id 0 = hole sentinel,
-    # ``quiver.rs`` DOCLEN hole semantics).
-    z = pa.array(np.where(keep_doc, doclen["norm_content"].to_numpy(), 0), pa.uint8())
-    zt = pa.array(np.where(keep_doc, doclen["norm_title"].to_numpy(), 0), pa.uint8())
-    lc = pa.array(
-        np.where(keep_doc, doclen["len_content"].to_numpy(), 0), pa.uint32()
-    )
-    lt = pa.array(np.where(keep_doc, doclen["len_title"].to_numpy(), 0), pa.uint32())
-    doclen2 = pa.table(
-        {
-            "docid": doclen["docid"],
-            "norm_content": z,
-            "norm_title": zt,
-            "len_content": lc,
-            "len_title": lt,
-        },
-        schema=doclen.schema,
-    )
+    # doclen rows of dead docs are DROPPED (the reader binary-searches the
+    # docid column per partition, so holes are first-class); idmap rows
+    # stay because ``ids_for`` is a positional winners-only lookup
+    doclen2 = doclen.filter(pa.array(keep_doc))
     _atomic_write_table(doclen2, paths["doclen"])
     files.append(rel(paths["doclen"]))
     files.append(rel(paths["idmap"]))  # idmap rows stay (positional)
+
+    num_path = os.path.join(index_dir, "numeric", f"part-{pidx:05d}.parquet")
+    if os.path.exists(num_path):
+        num = pq.read_table(num_path)
+        num2 = num.filter(pa.array(live_mask(num["docid"].to_numpy())))
+        _atomic_write_table(num2, num_path)
+        files.append(rel(num_path))
 
     with open(paths["stats"]) as f:
         stats = json.load(f)

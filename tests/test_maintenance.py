@@ -180,11 +180,24 @@ class TestDeltaGenerations:
         mnt.delete_documents(d, ["d5"])
         m = mnt.compact(d)
         assert m["tombstones"] == []
-        assert not glob.glob(
-            os.path.join(d, "shards", "gen*-shard-*.parquet")
-        ), "compact must merge deltas back into the base"
+        # logical merge: the published manifest references ONLY the new
+        # epoch's base shards — no delta generations survive in the view
+        assert all(int(e.get("generation", 0)) == 0 for e in m["shards"])
+        assert all(
+            e.get("file", "").startswith("e") for e in m["shards"]
+        ), "full re-encode must land in a NEW epoch (crash-safe publish)"
         assert "g1" in _hit_ids(d, "quasar")
         assert "d5" not in _hit_ids(d, "delta")
+        # physical GC is DEFERRED one publish cycle so the .prev manifest
+        # slot (and readers pinned to it) stays openable; the next publish
+        # collects the old base + delta files
+        mnt.delete_documents(d, ["d4"])
+        mnt.compact(d)
+        assert not glob.glob(
+            os.path.join(d, "shards", "gen*-shard-*.parquet")
+        ), "old delta files must be garbage-collected after the next cycle"
+        assert "g1" in _hit_ids(d, "quasar")
+        assert "d4" not in _hit_ids(d, "delta")
 
     def test_multiple_generations_concat_in_order(self, small_index):
         d = small_index
@@ -201,6 +214,54 @@ class TestDeltaGenerations:
         assert df == len(docids) == 4  # d1, d2, m1, m2
         assert np.all(np.diff(docids.astype(np.int64)) > 0)
         assert {"m1", "m2"} <= set(_hit_ids(d, "alpha"))
+
+
+class TestCrashSafeCompaction:
+    def test_open_reader_survives_one_compaction_cycle(self, small_index):
+        """A reader opened BEFORE delete+compact keeps its snapshot: the
+        old manifest's shard files are retained for one publish cycle."""
+        d = small_index
+        s0 = LocalSearcher(d)
+        mnt.append_table(d, _pages_table([("g1", "galaxy quasar nebula")]))
+        mnt.delete_documents(d, ["d5"])
+        mnt.compact(d)
+        # pinned snapshot: d5 was live when s0 opened, and s0's files are
+        # still on disk (deferred GC), so its view answers unchanged
+        assert "d5" in [h["id"] for h in s0.search("delta", 10)["hits"]]
+        assert "g1" not in [h["id"] for h in s0.search("quasar", 10)["hits"]]
+        # a FRESH reader sees the compacted truth
+        assert "d5" not in _hit_ids(d, "delta")
+        assert "g1" in _hit_ids(d, "quasar")
+
+    def test_crash_between_partition_rewrite_and_publish(self, small_index):
+        """Crash window drive: partitions rewritten but the manifest never
+        published.  The old manifest + old shard files stay authoritative
+        (tombstones still filter), and re-running compact converges."""
+        import numpy as np
+
+        from frankensearch_ray.schema import PARTITION_SHIFT
+
+        d = small_index
+        mnt.delete_documents(d, ["d2"])
+        manifest = mnt.load_manifest(d)
+        cfg = mnt._cfg_of(manifest)
+        tomb = mnt._manifest_tombstones(manifest)
+        dead_parts = sorted(
+            set(int(x >> np.uint64(PARTITION_SHIFT)) for x in tomb)
+        )
+        # simulate the crash: rewrite checkpoint partitions, then STOP —
+        # no shard re-encode, no manifest publish
+        for pidx in dead_parts:
+            mnt._compact_partition(d, manifest, cfg, pidx, tomb)
+        # reader on the un-published manifest: old shards + tombstones
+        assert "d2" not in _hit_ids(d, "epsilon")
+        assert "d1" in _hit_ids(d, "alpha")
+        # recovery: compact runs to completion and is idempotent
+        m = mnt.compact(d)
+        assert m["tombstones"] == []
+        assert "d2" not in _hit_ids(d, "epsilon")
+        assert "d1" in _hit_ids(d, "alpha")
+        assert LocalSearcher(d).doc_count() == len(BASE_DOCS) - 1
 
 
 class TestBlueGreen:
