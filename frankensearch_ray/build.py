@@ -410,6 +410,11 @@ class PhaseATokenizer:
         _atomic_write_table(result["doclen"], paths["doclen"])
         _atomic_write_table(result["idmap"], paths["idmap"])
         files.extend([rel(paths["doclen"]), rel(paths["idmap"])])
+        from .state import idhash as idh
+
+        idh_path = idh.part_path(self.index_dir, part["pindex"])
+        idh.write_partition_idhash(result["idmap"], idh_path)
+        files.append(rel(idh_path))
         if cfg.numeric_cols:
             num_path = os.path.join(
                 self.index_dir, "numeric", f"part-{part['pindex']:05d}.parquet"
@@ -612,7 +617,7 @@ def build_index(
     if not resume:
         import shutil
 
-        for sub in ("postings", "doclen", "idmap", "df", "stats", "shards", "numeric"):
+        for sub in ("postings", "doclen", "idmap", "idhash", "df", "stats", "shards", "numeric"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     parts = plan_partitions(paths, cfg.target_partition_rows)
@@ -728,6 +733,10 @@ def build_index(
             }
         )
 
+    from .state import idhash as idh
+
+    idhash_meta = idh.build_base(index_dir, [p["pindex"] for p in parts])
+
     n_docs = field_stats["content"]["doc_count"]
     elapsed = time.time() - t0
     shard_entries = sorted(
@@ -748,6 +757,7 @@ def build_index(
         "partitions": part_entries,
         "field_stats": field_stats,
         "shards": [dict(r) for r in shard_entries],
+        "idhash": idhash_meta,
         "metrics": {
             "docs": n_docs,
             "postings": total_postings,

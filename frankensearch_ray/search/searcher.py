@@ -355,6 +355,18 @@ class LocalSearcher:
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
             for p in self.manifest["partitions"]
         }
+        # hash-bucketed id probe (IDHASH): O(buckets-touched) row-group
+        # reads instead of O(partitions) idmap scans; legacy indexes
+        # without the sidecar fall back to the scan paths below
+        meta = self.manifest.get("idhash")
+        if meta:
+            from ..state.idhash import IdHashProbe
+
+            self.idhash = IdHashProbe(
+                index_dir, meta, [p["index"] for p in self.manifest["partitions"]]
+            )
+        else:
+            self.idhash = None
 
     # --- index access ------------------------------------------------------
 
@@ -524,9 +536,15 @@ class LocalSearcher:
         return self._sum_aligned(parts)
 
     def _eval_keyword(self, value: str, field_name: str):
-        """Keyword (id) term: idmap equality scan, const score 1.0."""
+        """Keyword (id) term: bucketed IDHASH probe (const score 1.0);
+        idmap equality scan only on legacy indexes without the sidecar."""
         if field_name != "id":
             return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        if self.idhash is not None:
+            d = self.idhash.lookup([value])["docid"].to_numpy()
+            if len(d) == 0:
+                return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+            return d.astype(np.uint64), np.full(len(d), _F32_ONE, dtype=np.float32)
         matches = []
         for p in sorted(self._idmap_paths):
             t = self._idmap_cache.get(p)
@@ -629,6 +647,38 @@ class LocalSearcher:
         """RangeStr/SetStr: keyword id via idmap; text fields via termdict
         scan.  Constant score 1.0 per match (ConstScorer semantics)."""
         if node.field == "id":
+            if self.idhash is not None:
+                if isinstance(node, SetStr):
+                    d = self.idhash.lookup(list(node.values))["docid"].to_numpy()
+                else:
+                    parts = []
+                    for t in self.idhash.scan_tables(("id", "docid")):
+                        ids = t["id"]
+                        mask = pa.array(np.ones(len(ids), dtype=bool))
+                        if node.lower is not None:
+                            op = (
+                                pc.greater_equal
+                                if node.lower.bound == "Included"
+                                else pc.greater
+                            )
+                            mask = pc.and_(mask, op(ids, node.lower.value))
+                        if node.upper is not None:
+                            op = (
+                                pc.less_equal
+                                if node.upper.bound == "Included"
+                                else pc.less
+                            )
+                            mask = pc.and_(mask, op(ids, node.upper.value))
+                        hit = t.filter(mask)["docid"].to_numpy()
+                        if len(hit):
+                            parts.append(hit)
+                    d = (
+                        np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+                    )
+                if len(d) == 0:
+                    return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+                d = np.sort(d.astype(np.uint64))
+                return d, np.full(len(d), _F32_ONE, dtype=np.float32)
             matches = []
             for p in sorted(self._idmap_paths):
                 t = self._idmap_cache.get(p)

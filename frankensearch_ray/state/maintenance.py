@@ -64,11 +64,31 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
 
 
 def _probe_ids(index_dir: str, manifest: dict, ids: list[str]) -> dict[str, tuple[int, int]]:
-    """id -> (docid, content_hash) over live rows (the IDHASH probe,
-    newest-partition-first so re-added ids resolve to their latest row)."""
-    want = set(ids)
+    """id -> (docid, content_hash) over live rows, newest row winning
+    (re-added ids resolve to their latest revision).
+
+    Uses the hash-bucketed IDHASH sidecar when the manifest carries one
+    (O(buckets-touched) row-group reads); falls back to the
+    newest-partition-first idmap scan for legacy indexes."""
     tomb = set(int(x) for x in manifest.get("tombstones", []))
-    out: dict[str, tuple[int, int]] = {}
+    meta = manifest.get("idhash")
+    if meta:
+        from . import idhash as idh
+
+        probe = idh.IdHashProbe(
+            index_dir, meta, [p["index"] for p in manifest["partitions"]]
+        )
+        t = probe.lookup(list(set(ids)))
+        out: dict[str, tuple[int, int]] = {}
+        # docid-ascending: later (newer-partition) rows overwrite earlier
+        for i in range(len(t)):
+            docid = int(t["docid"][i].as_py())
+            if docid in tomb:
+                continue
+            out[t["id"][i].as_py()] = (docid, int(t["content_hash"][i].as_py()))
+        return out
+    want = set(ids)
+    out = {}
     for part in sorted(manifest["partitions"], key=lambda p: -p["index"]):
         if not want:
             break
@@ -187,6 +207,13 @@ def _rollup_and_publish(
             key=lambda r: r["index"],
         )
         manifest["epoch"] = next_epoch
+        from . import idhash as idh
+
+        manifest["idhash"] = idh.build_base(
+            index_dir,
+            [p["index"] for p in manifest["partitions"]],
+            epoch=next_epoch,
+        )
     manifest["field_stats"] = field_stats
     manifest["metrics"]["postings"] = total_postings
     manifest["metrics"]["docs"] = field_stats["content"]["doc_count"]
@@ -212,19 +239,22 @@ def _referenced_shard_files(manifest: dict) -> set[str]:
 
 
 def _gc_shards(index_dir: str) -> None:
-    """Deferred shard GC: delete files referenced by NEITHER the current
-    manifest NOR the previous slot — so the ``.prev`` fallback (and any
-    reader pinned to it) stays openable for one more publish cycle."""
+    """Deferred shard/idhash GC: delete files referenced by NEITHER the
+    current manifest NOR the previous slot — so the ``.prev`` fallback
+    (and any reader pinned to it) stays openable one more publish cycle."""
     keep: set[str] = set()
+    keep_idhash: set[str] = set()
     for name in (MANIFEST_NAME, MANIFEST_NAME + ".prev"):
         path = os.path.join(index_dir, name)
         if not os.path.exists(path):
             continue
         try:
             with open(path) as f:
-                keep |= _referenced_shard_files(json.load(f))
+                m = json.load(f)
         except (json.JSONDecodeError, OSError):
             return  # unreadable slot: never GC blind
+        keep |= _referenced_shard_files(m)
+        keep_idhash |= set(m.get("idhash", {}).get("files", []))
     shards_dir = os.path.join(index_dir, "shards")
     try:
         names = os.listdir(shards_dir)
@@ -234,6 +264,23 @@ def _gc_shards(index_dir: str) -> None:
         if name.endswith(".parquet") and name not in keep:
             try:
                 os.remove(os.path.join(shards_dir, name))
+            except OSError:
+                pass
+    idhash_dir = os.path.join(index_dir, "idhash")
+    try:
+        names = os.listdir(idhash_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
+        # only epoch/base bucket files are GC'd; part-*.parquet files are
+        # per-partition checkpoints owned by the build lineage
+        if (
+            name.endswith(".parquet")
+            and not name.startswith("part-")
+            and name not in keep_idhash
+        ):
+            try:
+                os.remove(os.path.join(idhash_dir, name))
             except OSError:
                 pass
 
@@ -479,6 +526,15 @@ def _compact_partition(
         num2 = num.filter(pa.array(live_mask(num["docid"].to_numpy())))
         _atomic_write_table(num2, num_path)
         files.append(rel(num_path))
+
+    from . import idhash as idh
+
+    idh_path = idh.part_path(index_dir, pidx)
+    if os.path.exists(idh_path):
+        t = pq.read_table(idh_path)
+        live = t.filter(pa.array(live_mask(t["docid"].to_numpy())))
+        idh.write_partition_idhash(live.drop_columns(["bucket"]), idh_path)
+        files.append(rel(idh_path))
 
     with open(paths["stats"]) as f:
         stats = json.load(f)

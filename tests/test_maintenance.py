@@ -216,6 +216,45 @@ class TestDeltaGenerations:
         assert {"m1", "m2"} <= set(_hit_ids(d, "alpha"))
 
 
+class TestIdHash:
+    def test_keyword_probe_resolves_and_tracks_upserts(self, small_index):
+        d = small_index
+        s = LocalSearcher(d)
+        assert s.idhash is not None, "built index must carry the IDHASH sidecar"
+        hits = s.search("id:d3", limit=5)["hits"]
+        assert [h["id"] for h in hits] == ["d3"]
+        old_docid = hits[0]["docid"]
+        # upsert a new revision: the probe must resolve to the NEW docid
+        # (old row tombstoned, filtered at search)
+        mnt.upsert_table(d, _pages_table([("d3", "completely new body")]))
+        hits2 = LocalSearcher(d).search("id:d3", limit=5)["hits"]
+        assert [h["id"] for h in hits2] == ["d3"]
+        assert hits2[0]["docid"] != old_docid
+
+    def test_deleted_id_unresolvable_after_compact(self, small_index):
+        """Compaction rebuilds the idhash base from live rows, so a
+        deleted external id stops resolving even after tombstones clear."""
+        d = small_index
+        mnt.delete_documents(d, ["d3"])
+        mnt.compact(d)
+        s = LocalSearcher(d)
+        assert s.tombstones.size == 0
+        assert s.search("id:d3", limit=5)["hits"] == []
+        assert [h["id"] for h in s.search("id:d1", limit=5)["hits"]] == ["d1"]
+
+    def test_range_and_set_probes_match_legacy_scan(self, small_index):
+        """IDHASH-backed id range/set evaluation ≡ the idmap scan path."""
+        d = small_index
+        mnt.append_table(d, _pages_table([("z9", "zeta niner")]))
+        s = LocalSearcher(d)
+        legacy = LocalSearcher(d)
+        legacy.idhash = None  # force the scan path
+        for q in ("id:[d2 TO d4]", "id:[a TO z}", "id:{d1 TO d3]"):
+            a = [(h["id"], h["docid"]) for h in s.search(q, limit=20)["hits"]]
+            b = [(h["id"], h["docid"]) for h in legacy.search(q, limit=20)["hits"]]
+            assert a == b, q
+
+
 class TestCrashSafeCompaction:
     def test_open_reader_survives_one_compaction_cycle(self, small_index):
         """A reader opened BEFORE delete+compact keeps its snapshot: the
