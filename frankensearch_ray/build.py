@@ -301,6 +301,7 @@ class PhaseATokenizer:
             repr(sorted(self._salted_set())).encode(), digest_size=16
         ).hexdigest()
         return {
+            "layout": "ksorted-v2",  # shard row groups are key-sorted
             "num_shards": cfg.num_shards,
             "ppb": self.ppb,
             "salted_digest": salted_digest,
@@ -371,10 +372,29 @@ class PhaseATokenizer:
                 salted=self._salted_set(),
                 partitions_per_bucket=self.ppb,
             )
-            shard_np = routed["shard"].to_numpy()
-            order = np.argsort(shard_np, kind="stable")
+            # KEY-SORTED within each shard row group: phase B k-way-merges
+            # the per-partition streams without materializing a shard, so
+            # every stream must already be (field, term, bucket, docid)-
+            # ordered.  This moves the sort to the map side (partition-
+            # sized sorts) — the reduce side only merges.  Strings are
+            # sorted ONCE as a dictionary; rows lexsort on integer ranks.
+            de = pc.dictionary_encode(routed["term"].combine_chunks())
+            codes = de.indices.to_numpy()
+            rank_of = np.empty(len(de.dictionary), dtype=np.int64)
+            rank_of[
+                pc.array_sort_indices(de.dictionary).to_numpy()
+            ] = np.arange(len(de.dictionary))
+            order = np.lexsort(
+                (
+                    routed["docid"].to_numpy(),
+                    routed["bucket"].to_numpy(),
+                    rank_of[codes],
+                    routed["field"].to_numpy(),
+                    routed["shard"].to_numpy(),
+                )
+            )
             routed = routed.take(pa.array(order))
-            shard_np = shard_np[order]
+            shard_np = routed["shard"].to_numpy()
             bounds = np.flatnonzero(
                 np.concatenate(([True], shard_np[1:] != shard_np[:-1]))
             )
@@ -455,8 +475,115 @@ def shard_stat_of(pf: pq.ParquetFile, shard_col: int, g: int, path: str) -> int 
     return int(st.min)
 
 
+def _last_key(t: pa.Table) -> tuple:
+    return (
+        int(t["field"][-1].as_py()),
+        t["term"][-1].as_py(),
+        int(t["bucket"][-1].as_py()),
+    )
+
+
+def _first_key(t: pa.Table) -> tuple:
+    return (
+        int(t["field"][0].as_py()),
+        t["term"][0].as_py(),
+        int(t["bucket"][0].as_py()),
+    )
+
+
+def _prefix_lt(t: pa.Table, key: tuple) -> int:
+    """Count of leading rows with (field, term, bucket) < ``key`` — a
+    prefix because the table is key-sorted."""
+    cf, ct, cb = key
+    f = t["field"].to_numpy()
+    b = t["bucket"].to_numpy()
+    terms = t["term"]
+    tlt = pc.less(terms, ct).to_numpy(zero_copy_only=False)
+    teq = pc.equal(terms, ct).to_numpy(zero_copy_only=False)
+    mask = (f < cf) | ((f == cf) & (tlt | (teq & (b < cb))))
+    return int(mask.sum())
+
+
+def _merge_encode_streams(streams: list, writer) -> None:
+    """Bounded-memory k-way merge of key-sorted posting streams.
+
+    Docid disjointness across partitions means same-key runs CONCAT in
+    partition order (Q1 lease discipline) — so the merge operates on
+    KEYS: repeatedly emit every buffered row whose key is strictly below
+    the smallest last-buffered key of any live stream (those keys can
+    never appear again), encode the slice, and stream it to the writer.
+    Memory = per-stream chunk budget + the largest single-key run, never
+    a whole shard (``quiver.rs:792-890`` / ``keeper.rs:1336-1509``)."""
+    n = len(streams)
+    bufs: list[list[pa.Table]] = [[] for _ in range(n)]
+    # one-batch prefetch so a stream is known-exhausted the moment its
+    # final batch is buffered — an exhausted stream must NOT pin the
+    # cutoff, or every small stream would force a near-empty merge round
+    nxt = [next(s, None) for s in streams]
+
+    def pull(i: int) -> bool:
+        while nxt[i] is not None:
+            b = nxt[i]
+            nxt[i] = next(streams[i], None)
+            if b.num_rows:
+                bufs[i].append(pa.Table.from_batches([b]))
+                return True
+        return False
+
+    for i in range(n):
+        pull(i)
+    while True:
+        for i in range(n):
+            if nxt[i] is not None and not bufs[i]:
+                pull(i)
+        live = [i for i in range(n) if nxt[i] is not None and bufs[i]]
+        cutoff = min((_last_key(bufs[i][-1]) for i in live), default=None)
+        emit_parts: list[pa.Table] = []
+        for i in range(n):
+            if not bufs[i]:
+                continue
+            if cutoff is None:
+                emit_parts.extend(bufs[i])
+                bufs[i] = []
+                continue
+            kept: list[pa.Table] = []
+            for t in bufs[i]:
+                # O(1) fast paths on the first/last key bracket the only
+                # table that actually needs a vectorized split
+                if _last_key(t) < cutoff:
+                    emit_parts.append(t)
+                    continue
+                if _first_key(t) >= cutoff:
+                    kept.append(t)
+                    continue
+                cnt = _prefix_lt(t, cutoff)
+                if cnt:
+                    emit_parts.append(t.slice(0, cnt))
+                kept.append(t.slice(cnt))
+            bufs[i] = [t for t in kept if len(t)]
+        if emit_parts:
+            writer.add(encode_shard_table(pa.concat_tables(emit_parts)))
+        if cutoff is None:
+            return
+        if not emit_parts:
+            # every remaining buffered key equals the cutoff: extend the
+            # pinning streams so the run completes (bounded by the run)
+            for i in live:
+                if bufs[i] and _last_key(bufs[i][-1]) == cutoff:
+                    pull(i)
+
+
 class _EncodeShardFS:
-    """Reduce-side task body (fs mode): encode one shard from its files."""
+    """Reduce-side task body (fs mode): STREAM one shard from its files.
+
+    Each partition contributes one key-sorted row group per shard (the
+    phase-A map-side partition); this task merges those streams with a
+    bounded row budget and writes encoded row groups incrementally — no
+    task ever holds a whole shard's postings, which is what lets a shard
+    reach 100s of GB at 10^12 docs (SCALE.md §growth path)."""
+
+    MERGE_BUDGET_ROWS = 2_000_000  # total buffered raw rows across streams
+    MERGE_CHUNK_FLOOR = 8192  # smallest per-stream pull (tests shrink it)
 
     def __init__(self, index_dir: str, n_parts: int, epoch: int = 0):
         self.index_dir = index_dir
@@ -470,30 +597,37 @@ class _EncodeShardFS:
         return pa.concat_tables(out)
 
     def _one(self, shard_id: int) -> pa.Table:
-        tables = []
+        from .stages.encode import ShardStreamWriter
+
         post_root = os.path.join(self.index_dir, "postings")
+        sources: list[tuple[pq.ParquetFile, list[int], list[str]]] = []
         for p in range(self.n_parts):
             path = os.path.join(post_root, f"part-{p:05d}.parquet")
             if not os.path.exists(path):
                 continue
             pf = pq.ParquetFile(path)
-            meta = pf.metadata
             shard_col = pf.schema_arrow.get_field_index("shard")
-            for g in range(meta.num_row_groups):
-                if shard_stat_of(pf, shard_col, g, path) == shard_id:
-                    tables.append(pf.read_row_group(g))
-        group = (
-            pa.concat_tables(tables).drop_columns(["shard"])
-            if tables
-            else _empty_postings_table()
+            groups = [
+                g
+                for g in range(pf.metadata.num_row_groups)
+                if shard_stat_of(pf, shard_col, g, path) == shard_id
+            ]
+            if groups:
+                cols = [c for c in pf.schema_arrow.names if c != "shard"]
+                sources.append((pf, groups, cols))
+        writer = ShardStreamWriter(
+            os.path.join(self.index_dir, "shards"), shard_id, epoch=self.epoch
         )
-        encoded = encode_shard_table(group)
-        row = write_shard(
-            encoded,
-            os.path.join(self.index_dir, "shards"),
-            shard_id,
-            epoch=self.epoch,
-        )
+        if sources:
+            chunk = max(
+                self.MERGE_CHUNK_FLOOR, self.MERGE_BUDGET_ROWS // len(sources)
+            )
+            streams = [
+                pf.iter_batches(batch_size=chunk, row_groups=groups, columns=cols)
+                for pf, groups, cols in sources
+            ]
+            _merge_encode_streams(streams, writer)
+        row = writer.close()
         return pa.table(
             {k: [row[k]] for k in _SHARD_SUMMARY_SCHEMA.names},
             schema=_SHARD_SUMMARY_SCHEMA,

@@ -113,6 +113,114 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
 ROW_GROUP_ROWS = 2048
 
 
+class ShardStreamWriter:
+    """Incremental shard writer: accepts encoded term tables in key order
+    and emits exact ``ROW_GROUP_ROWS`` row groups plus the key sidecar,
+    finalizing atomically — so the k-way phase-B merge never materializes
+    a whole shard (the streamed analogue of ``quiver.rs:792-890`` byte-
+    concat merges).  Byte-compatible with :func:`write_shard` fed the
+    same concatenated row stream."""
+
+    def __init__(
+        self, shards_dir: str, shard_id: int, generation: int = 0, epoch: int = 0
+    ):
+        os.makedirs(shards_dir, exist_ok=True)
+        self.shards_dir = shards_dir
+        self.shard_id = shard_id
+        self.generation = generation
+        self.file_name, self.keys_name = shard_file_names(
+            shard_id, generation, epoch
+        )
+        self.path = os.path.join(shards_dir, self.file_name)
+        stem = self.file_name[: -len(".parquet")]
+        self.tmp = os.path.join(shards_dir, f".{stem}.tmp")
+        self.writer = pq.ParquetWriter(
+            self.tmp,
+            SHARD_SCHEMA,
+            compression="zstd",
+            sorting_columns=[
+                pq.SortingColumn(0),
+                pq.SortingColumn(1),
+                pq.SortingColumn(2),
+            ],
+        )
+        self.buffer: list[pa.Table] = []
+        self.buffered_rows = 0
+        self.rows = 0
+        self.postings_bytes = 0
+        self._keys: list[tuple] = []
+
+    def add(self, t: pa.Table) -> None:
+        if len(t) == 0:
+            return
+        self.postings_bytes += int(
+            pc.sum(pc.binary_length(t["postings"])).as_py() or 0
+        )
+        self.rows += len(t)
+        self.buffer.append(t)
+        self.buffered_rows += len(t)
+        while self.buffered_rows >= ROW_GROUP_ROWS:
+            self._flush_group(ROW_GROUP_ROWS)
+
+    def _take(self, n: int) -> pa.Table:
+        parts: list[pa.Table] = []
+        got = 0
+        while got < n:
+            head = self.buffer[0]
+            need = n - got
+            if len(head) <= need:
+                parts.append(head)
+                got += len(head)
+                self.buffer.pop(0)
+            else:
+                parts.append(head.slice(0, need))
+                self.buffer[0] = head.slice(need)
+                got = n
+        self.buffered_rows -= n
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+    def _flush_group(self, n: int) -> None:
+        t = self._take(n)
+        self._keys.append(
+            (
+                t["field"][0].as_py(),
+                t["term"][0].as_py(),
+                t["bucket"][0].as_py(),
+            )
+        )
+        self.writer.write_table(t, row_group_size=len(t))
+
+    def close(self) -> dict:
+        while self.buffered_rows > 0:
+            self._flush_group(min(ROW_GROUP_ROWS, self.buffered_rows))
+        if self.rows == 0:
+            self.writer.write_table(SHARD_SCHEMA.empty_table())
+        self.writer.close()
+        os.replace(self.tmp, self.path)
+        keys = pa.table(
+            {
+                "field": pa.array([k[0] for k in self._keys], pa.uint8()),
+                "term": pa.array([k[1] for k in self._keys], pa.string()),
+                "bucket": pa.array([k[2] for k in self._keys], pa.uint32()),
+            }
+        )
+        keys_tmp = os.path.join(
+            self.shards_dir, f".{self.keys_name[: -len('.parquet')]}.tmp"
+        )
+        keys_path = os.path.join(self.shards_dir, self.keys_name)
+        pq.write_table(keys, keys_tmp)
+        os.replace(keys_tmp, keys_path)
+        return {
+            "index": self.shard_id,
+            "generation": self.generation,
+            "rows": self.rows,
+            "bytes": os.path.getsize(self.path),
+            "postings_bytes": self.postings_bytes,
+            "file": self.file_name,
+            "keys_file": self.keys_name,
+        }
+
+
 def shard_file_names(shard_id: int, generation: int = 0, epoch: int = 0):
     """(shard file, keys sidecar file) names for one shard generation.
 
