@@ -311,14 +311,20 @@ def _tokenize_new_partitions(
     ).take_all()
 
 
-def append_table(index_dir: str, table: pa.Table, source_name: str | None = None) -> dict:
+def append_table(
+    index_dir: str,
+    table: pa.Table,
+    source_name: str | None = None,
+    auto_maintain: bool = True,
+) -> dict:
     """Append a batch of documents (one new partition) to a built index.
 
     ``table`` must carry the configured id/content columns.  Returns the
     updated manifest.  Duplicate ids WITHIN the batch are rejected; ids
     already live in the index are rejected too (the reference bulk
     admission rule — use :func:`upsert_table` for replace semantics).
-    """
+    ``auto_maintain`` runs the reference's inline maintenance policy
+    (tier merge / density-triggered compaction) after the append."""
     manifest = load_manifest(index_dir)
     cfg = _cfg_of(manifest)
     id_col = cfg.id_col
@@ -332,7 +338,8 @@ def append_table(index_dir: str, table: pa.Table, source_name: str | None = None
             f"append batch contains {len(live)} already-live ids "
             f"(e.g. {next(iter(live))!r}); use upsert_table"
         )
-    return _append_rows(index_dir, manifest, cfg, table, source_name)
+    out = _append_rows(index_dir, manifest, cfg, table, source_name)
+    return maybe_maintain(index_dir) if auto_maintain else out
 
 
 def _append_rows(
@@ -378,10 +385,14 @@ def _append_rows(
     return _rollup_and_publish(index_dir, manifest, cfg, new_pindices=[pindex])
 
 
-def delete_documents(index_dir: str, ids: list[str]) -> dict:
+def delete_documents(
+    index_dir: str, ids: list[str], auto_maintain: bool = True
+) -> dict:
     """Tombstone the given external ids in the next manifest generation.
 
-    Unknown ids are ignored (reference delete is idempotent)."""
+    Unknown ids are ignored (reference delete is idempotent).  With
+    ``auto_maintain``, compaction fires automatically once tombstone
+    density crosses the 20% threshold (``config.rs:29``)."""
     manifest = load_manifest(index_dir)
     live = _probe_ids(index_dir, manifest, ids)
     tomb = set(int(x) for x in manifest.get("tombstones", []))
@@ -389,10 +400,12 @@ def delete_documents(index_dir: str, ids: list[str]) -> dict:
     manifest["tombstones"] = sorted(tomb)
     manifest["generation"] = int(manifest.get("generation", 0)) + 1
     _write_manifest(index_dir, manifest)
-    return manifest
+    return maybe_maintain(index_dir) if auto_maintain else manifest
 
 
-def upsert_table(index_dir: str, table: pa.Table) -> dict:
+def upsert_table(
+    index_dir: str, table: pa.Table, auto_maintain: bool = True
+) -> dict:
     """Delete-by-id then add, with content-hash no-op detection.
 
     Rows whose content hash equals the live row's are skipped entirely
@@ -438,10 +451,102 @@ def upsert_table(index_dir: str, table: pa.Table) -> dict:
     if not keep_rows:
         manifest["generation"] = int(manifest.get("generation", 0)) + 1
         _write_manifest(index_dir, manifest)
-        return manifest
+        return maybe_maintain(index_dir) if auto_maintain else manifest
 
     new_table = table.take(pa.array(keep_rows, pa.int64()))
-    return _append_rows(index_dir, manifest, cfg, new_table, "upsert")
+    out = _append_rows(index_dir, manifest, cfg, new_table, "upsert")
+    return maybe_maintain(index_dir) if auto_maintain else out
+
+
+MERGE_FANOUT = 8  # reference tier fanout (keeper.rs:1459-1509)
+COMPACT_TOMBSTONE_RATIO = 0.2  # reference auto-compaction trigger (config.rs:29)
+
+
+def merge_delta_generations(index_dir: str, fanout: int = MERGE_FANOUT) -> dict:
+    """Tiered delta merge: when ``fanout`` delta generations have
+    accumulated, merge the OLDEST ``fanout`` consecutive generations into
+    one (bound-consecutive runs, ``keeper.rs:1336-1509``) — so a
+    sustained append workload keeps a bounded segment count per shard
+    without paying a full re-encode.
+
+    Encoded term rows are interleaved by a STABLE (field, term, bucket)
+    sort of the generation-ordered concat — no postings re-encode; the
+    reader's bucket concat already accepts multiple rows per key in
+    docid (= generation) order.  Merged files land under a fresh
+    ``delta_merge_epoch`` name and the manifest publishes before old
+    generation files are GC'd (same crash discipline as compaction)."""
+    import ray
+
+    manifest = load_manifest(index_dir)
+    entries = list(manifest.get("shards", []))
+    gens = sorted(
+        {int(e.get("generation", 0) or 0) for e in entries} - {0}
+    )
+    if len(gens) < fanout:
+        return manifest
+    merge_gens = set(gens[:fanout])
+    target_gen = max(merge_gens)
+    me = int(manifest.get("delta_merge_epoch", 0)) + 1
+    by_shard: dict[int, list[dict]] = {}
+    keep_entries = []
+    for e in entries:
+        g = int(e.get("generation", 0) or 0)
+        if g in merge_gens:
+            by_shard.setdefault(int(e["index"]), []).append(e)
+        else:
+            keep_entries.append(e)
+    shards_dir = os.path.join(index_dir, "shards")
+
+    @ray.remote(num_cpus=1)
+    def one(shard_id: int, es: list[dict]) -> dict:
+        from ..stages.encode import shard_file_names, write_shard
+
+        tables = []
+        for e in sorted(es, key=lambda e: int(e.get("generation", 0) or 0)):
+            f = e.get("file") or shard_file_names(
+                shard_id, int(e.get("generation", 0) or 0)
+            )[0]
+            tables.append(pq.read_table(os.path.join(shards_dir, f)))
+        t = pa.concat_tables(tables)
+        # STABLE key sort: same-key rows keep generation (= docid) order
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("field", "ascending"),
+                ("term", "ascending"),
+                ("bucket", "ascending"),
+            ],
+        )
+        return write_shard(
+            t.take(order), shards_dir, shard_id, generation=target_gen, epoch=me
+        )
+
+    rows = ray.get([one.remote(sid, es) for sid, es in by_shard.items()])
+    manifest["shards"] = sorted(
+        keep_entries + [dict(r) for r in rows],
+        key=lambda e: (int(e.get("generation", 0) or 0), int(e["index"])),
+    )
+    manifest["delta_merge_epoch"] = me
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    _write_manifest(index_dir, manifest)
+    _gc_shards(index_dir)
+    return manifest
+
+
+def maybe_maintain(
+    index_dir: str,
+    fanout: int = MERGE_FANOUT,
+    tombstone_ratio: float = COMPACT_TOMBSTONE_RATIO,
+) -> dict:
+    """The reference's background maintenance policy, run inline after
+    each mutating operation: compact when tombstone density exceeds the
+    threshold (20%, ``config.rs:29``), else merge delta generations when
+    the tier is full."""
+    manifest = load_manifest(index_dir)
+    n_docs = sum(p["rows"] for p in manifest["partitions"]) or 1
+    if len(manifest.get("tombstones", [])) / n_docs >= tombstone_ratio:
+        return compact(index_dir, min_tombstone_ratio=tombstone_ratio)
+    return merge_delta_generations(index_dir, fanout=fanout)
 
 
 def compact(index_dir: str, min_tombstone_ratio: float = 0.0) -> dict:

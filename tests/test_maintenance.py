@@ -157,7 +157,7 @@ class TestCompaction:
 
     def test_compact_below_ratio_is_noop(self, small_index):
         d = small_index
-        mnt.delete_documents(d, ["d1"])
+        mnt.delete_documents(d, ["d1"], auto_maintain=False)
         m = mnt.compact(d, min_tombstone_ratio=0.5)
         assert len(m["tombstones"]) == 1
 
@@ -255,6 +255,55 @@ class TestIdHash:
             assert a == b, q
 
 
+class TestTieredMerge:
+    def test_generation_count_bounded_under_sustained_appends(self, small_index):
+        """Appending far more batches than the fanout keeps the manifest's
+        delta generation count bounded and results correct throughout."""
+        d = small_index
+        fanout = 4
+        for i in range(10):
+            mnt.append_table(
+                d,
+                _pages_table([(f"a{i}", f"alpha sustained batch{i}")]),
+                auto_maintain=False,
+            )
+            mnt.maybe_maintain(d, fanout=fanout)
+            m = mnt.load_manifest(d)
+            gens = {
+                int(e.get("generation", 0) or 0)
+                for e in m["shards"]
+                if int(e.get("generation", 0) or 0) > 0
+            }
+            assert len(gens) < 2 * fanout, f"unbounded generations: {gens}"
+            # every appended doc stays visible through merges
+            hits = {
+                h["id"]
+                for h in LocalSearcher(d).search("alpha", limit=50)["hits"]
+            }
+            assert {f"a{j}" for j in range(i + 1)} <= hits
+        # merged generations answer identically to a full rebuild check:
+        # postings for 'alpha' must be docid-ascending across segments
+        import numpy as np
+
+        from frankensearch_ray.schema import FIELD_CONTENT
+
+        s = LocalSearcher(d)
+        docids, _tfs, df, _ = s.postings(FIELD_CONTENT, "alpha")
+        assert df == len(docids)
+        assert np.all(np.diff(docids.astype(np.int64)) > 0)
+
+    def test_density_trigger_compacts_automatically(self, small_index):
+        """Tombstone density >= 20% fires compaction inline
+        (``config.rs:29``) without an explicit compact() call."""
+        d = small_index
+        mnt.delete_documents(d, ["d5"])  # 1/5 = 20% -> auto-compact
+        m = mnt.load_manifest(d)
+        assert m["tombstones"] == []
+        assert all(e.get("file", "").startswith("e") for e in m["shards"])
+        assert "d5" not in _hit_ids(d, "delta")
+        assert LocalSearcher(d).doc_count() == len(BASE_DOCS) - 1
+
+
 class TestCrashSafeCompaction:
     def test_open_reader_survives_one_compaction_cycle(self, small_index):
         """A reader opened BEFORE delete+compact keeps its snapshot: the
@@ -281,7 +330,7 @@ class TestCrashSafeCompaction:
         from frankensearch_ray.schema import PARTITION_SHIFT
 
         d = small_index
-        mnt.delete_documents(d, ["d2"])
+        mnt.delete_documents(d, ["d2"], auto_maintain=False)
         manifest = mnt.load_manifest(d)
         cfg = mnt._cfg_of(manifest)
         tomb = mnt._manifest_tombstones(manifest)
