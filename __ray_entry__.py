@@ -70,11 +70,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from frankensearch_ray.pipelines import ann, chunks, dedup, docsearch, events, textstats
+    from frankensearch_ray.pipelines import (
+        ann,
+        cassearch,
+        chunks,
+        dedup,
+        docsearch,
+        events,
+        textstats,
+    )
 
     return {
         # inverted-index build + query engine (SURVEY §2.1-2.9)
         "term_df": docsearch.term_df,
+        # CASS 15-field schema index (schema.rs:379-497; query.rs:3386-3649)
+        "cass_filter_search": cassearch.cass_filter_search,
+        "cass_prefix_search": cassearch.cass_prefix_search,
         "doc_lengths": docsearch.doc_lengths,
         "boolean_and": docsearch.boolean_and,
         "boolean_or_not": docsearch.boolean_or_not,
@@ -368,6 +379,37 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB)::BIGINT AS n_bytes,
                    (octet_length(text::BLOB) // 256)::BIGINT AS n_frames
             FROM documents ORDER BY doc_id
+        """,
+        # CASS derivation: agent=source, workspace=lang,
+        # created_at = 1700000000 + doc_id*60, origin_kind local iff
+        # doc_id%3=0; a term over the 4 searchable fields matches iff
+        # some content token has the term as a PREFIX (content/title
+        # exact + edge-ngram prefix fields; title tokens ⊆ content)
+        "cass_filter_search": """
+            WITH docs AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     source, lang
+              FROM documents
+            )
+            SELECT doc_id FROM docs
+            WHERE len(list_filter(toks, x -> x LIKE 'merge%')) > 0
+              AND len(list_filter(toks, x -> x LIKE 'join%')) > 0
+              AND source IN ('src1', 'src2')
+              AND (1700000000 + doc_id * 60)
+                    BETWEEN (1700000000 + 100 * 60)
+                        AND (1700000000 + 400 * 60)
+            ORDER BY doc_id
+        """,
+        "cass_prefix_search": """
+            WITH docs AS (
+              SELECT doc_id, string_split(text, ' ') AS toks, lang
+              FROM documents
+            )
+            SELECT doc_id FROM docs
+            WHERE len(list_filter(toks, x -> x LIKE 'mer%')) > 0
+              AND lang IN ('es', 'fr')
+              AND doc_id % 3 = 0
+            ORDER BY doc_id
         """,
         # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
         # approximate or non-SQL-expressible: rows-only checks.

@@ -81,8 +81,26 @@ class BuildConfig:
     numeric_cols: list[str] = field(default_factory=list)  # i64 fast fields
     salt_sample_parts: int = 0  # 0 = auto (all when small, sqrt-ish else)
     input_columns: list[str] = field(default_factory=list)
+    schema_kind: str = "pages"  # "pages" (default 5-field) | "cass" (15-field)
 
     def needed_columns(self) -> list[str]:
+        if self.schema_kind == "cass":
+            from .cassindex import (
+                CASS_KEYWORD_ORDS,
+                CASS_NUMERIC_COLS,
+                CASS_STORED_COLS,
+                CASS_TEXT_ORDS,
+            )
+
+            return sorted(
+                set(
+                    [self.id_col]
+                    + list(CASS_TEXT_ORDS)
+                    + list(CASS_KEYWORD_ORDS)
+                    + CASS_NUMERIC_COLS
+                    + CASS_STORED_COLS
+                )
+            )
         cols = [self.id_col] + list(self.numeric_cols)
         if self.html_col:
             cols.append(self.html_col)
@@ -91,6 +109,22 @@ class BuildConfig:
         if self.content_col:
             cols.append(self.content_col)
         return sorted(set(cols))
+
+    def run_tokenizer(self, table: pa.Table, pindex: int, *, verify: bool = True):
+        """Schema-kind dispatch shared by the sample pass and phase A."""
+        if self.schema_kind == "cass":
+            from .cassindex import cass_tokenize_partition
+
+            return cass_tokenize_partition(table, pindex, id_col=self.id_col)
+        return tokenize_partition(
+            table,
+            pindex,
+            id_col=self.id_col,
+            content_col=self.content_col,
+            html_col=self.html_col,
+            verify_text_col=self.verify_text_col if verify else None,
+            numeric_cols=self.numeric_cols or None,
+        )
 
 
 def plan_partitions(paths: list[str], target_rows: int) -> list[dict]:
@@ -183,13 +217,10 @@ class _SampleDF:
         out = []
         for part in batch.to_pylist():
             cfg = self.cfg
-            result = tokenize_partition(
+            result = cfg.run_tokenizer(
                 _read_part(part, cfg).slice(0, SALT_SAMPLE_ROWS_PER_PART),
                 part["pindex"],
-                id_col=cfg.id_col,
-                content_col=cfg.content_col,
-                html_col=cfg.html_col,
-                verify_text_col=None,  # verification happens in the real pass
+                verify=False,  # verification happens in the real pass
             )
             out.append(
                 df_partials(
@@ -312,6 +343,7 @@ class PhaseATokenizer:
                 int(part["rows"]),
             ],
             "cols": [
+                cfg.schema_kind,
                 cfg.id_col,
                 cfg.content_col,
                 cfg.html_col,
@@ -351,15 +383,7 @@ class PhaseATokenizer:
                                    f"part-{part['pindex']:05d}.parquet")):
             if os.path.exists(stale):
                 os.remove(stale)
-        result = tokenize_partition(
-            _read_part(part, cfg),
-            part["pindex"],
-            id_col=cfg.id_col,
-            content_col=cfg.content_col,
-            html_col=cfg.html_col,
-            verify_text_col=cfg.verify_text_col,
-            numeric_cols=cfg.numeric_cols or None,
-        )
+        result = cfg.run_tokenizer(_read_part(part, cfg), part["pindex"])
         files: list[str] = []
 
         def rel(p: str) -> str:
@@ -435,12 +459,18 @@ class PhaseATokenizer:
         idh_path = idh.part_path(self.index_dir, part["pindex"])
         idh.write_partition_idhash(result["idmap"], idh_path)
         files.append(rel(idh_path))
-        if cfg.numeric_cols:
+        if result.get("numeric") is not None:
             num_path = os.path.join(
                 self.index_dir, "numeric", f"part-{part['pindex']:05d}.parquet"
             )
             _atomic_write_table(result["numeric"], num_path)
             files.append(rel(num_path))
+        if result.get("stored") is not None:
+            stored_path = os.path.join(
+                self.index_dir, "stored", f"part-{part['pindex']:05d}.parquet"
+            )
+            _atomic_write_table(result["stored"], stored_path)
+            files.append(rel(stored_path))
         stats = dict(result["stats"])
         stats["files"] = files
         stats["mode"] = cfg.shuffle_mode
@@ -751,7 +781,7 @@ def build_index(
     if not resume:
         import shutil
 
-        for sub in ("postings", "doclen", "idmap", "idhash", "df", "stats", "shards", "numeric"):
+        for sub in ("postings", "doclen", "idmap", "idhash", "df", "stats", "shards", "numeric", "stored"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     parts = plan_partitions(paths, cfg.target_partition_rows)

@@ -1,0 +1,290 @@
+"""The CASS 15-field semantic schema, end-to-end on the Ray engine.
+
+Reference: ``quill/src/schema.rs:379-497`` (``CASS_SEMANTIC_SCHEMA``) —
+keyword facets (agent / workspace / source_id / origin_kind /
+origin_host), ``msg_idx`` u64 + ``created_at`` i64 fast fields, text
+fields analyzed with ``CassHyphenNormalize`` (positions on) and
+edge-ngram prefix fields with ``CassPrefixNormalize`` (positions off),
+plus stored-only columns carried as STOREDMETA (``segment.rs:44-67``).
+
+Mapping onto the engine:
+
+- text fields ``content``/``title`` keep ords 0/1 so the BM25 path
+  (norms, avgdl, blockmax) applies unchanged — only the analyzer
+  differs (CASS hyphen-decompose + CJK bigrams).
+- prefix + keyword fields are CONST-SCORE postings (tf=1-style match
+  semantics): they exist to filter and prefix-match, not to rank — the
+  relevance signal stays on content/title.  They ride the same shard
+  routing / salting / encode / probe machinery (a keyword facet like
+  ``origin_kind=local`` IS a head term and salts like one).
+- ``created_at`` / ``msg_idx`` are NUMERIC fast sidecars (the existing
+  binary-search range path).
+- stored-only columns land in a ``stored/part-*.parquet`` sidecar as one
+  ``metadata_json`` per docid (positional, winners-only hydration).
+
+CASS filter evaluation (``query.rs:3386-3649``) arrives through
+``contract.cass.parse_cass`` — facet Should-groups, created-range and
+source filters are ANDed onto the root and evaluated by the standard
+kernel.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .contract.analyzer import (
+    analyze_cass_scalar,
+    build_preview,
+    generate_edge_ngrams,
+)
+from .contract.fieldnorm import fieldnorm_to_id
+from .schema import make_docids
+from .stages.tokenize import (
+    DOCLEN_SCHEMA,
+    IDMAP_SCHEMA,
+    POSTINGS_SCHEMA,
+    content_hashes,
+    numeric_table,
+)
+
+# field ords 0/1 MUST stay content/title: the BM25 norms/doclen layout is
+# keyed to them (schema.rs field ids differ; ords here are engine-local)
+CASS_TEXT_ORDS = {"content": 0, "title": 1}
+CASS_PREFIX_ORDS = {"content_prefix": 2, "title_prefix": 3}
+CASS_KEYWORD_ORDS = {
+    "agent": 4,
+    "workspace": 5,
+    "source_id": 6,
+    "origin_kind": 7,
+    "origin_host": 8,
+}
+CASS_NUMERIC_COLS = ["created_at", "msg_idx"]
+CASS_STORED_COLS = [
+    "workspace_original",
+    "source_path",
+    "preview",
+    "conversation_id",
+]
+PREFIX_SOURCE = {"content_prefix": "content", "title_prefix": "title"}
+
+STORED_SCHEMA = pa.schema(
+    [("docid", pa.uint64()), ("metadata_json", pa.string())]
+)
+
+
+def _col(table: pa.Table, name: str) -> pa.Array:
+    a = table[name]
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _scalar_text_postings(
+    texts: pa.Array, field_ord: int, docids: np.ndarray, analyze
+) -> tuple[pa.Table, np.ndarray, int]:
+    """Python-scalar analyzer over a column -> postings rows.
+
+    The CASS analyzers are position/byte-offset state machines
+    (``scribe.rs:799-998``) pinned by goldens — scalar here, vectorized
+    only by batching the groupby; partition-parallelism carries the
+    throughput at scale."""
+    n = len(texts)
+    doc_idx: list[int] = []
+    terms: list[str] = []
+    poss: list[int] = []
+    counts = np.zeros(n, dtype=np.int64)
+    for r, v in enumerate(texts.to_pylist()):
+        toks = analyze(v or "")
+        if toks:
+            counts[r] = toks[-1][1] + 1  # distinct positions emitted
+        for tok, pos, _bf, _bt in toks:
+            doc_idx.append(r)
+            terms.append(tok)
+            poss.append(pos)
+    total = len(terms)
+    if total == 0:
+        return POSTINGS_SCHEMA.empty_table(), counts, 0
+    flat = pa.table(
+        {
+            "doc": pa.array(doc_idx, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "pos": pa.array(poss, pa.uint32()),
+        }
+    )
+    grouped = flat.group_by(["doc", "term"], use_threads=False).aggregate(
+        [("pos", "list"), ("pos", "count")]
+    )
+    g_doc = grouped["doc"].to_numpy()
+    norm_ids = fieldnorm_to_id(counts)
+    out = pa.table(
+        {
+            "field": pa.array(
+                np.full(len(grouped), field_ord, dtype=np.uint8), pa.uint8()
+            ),
+            "term": grouped["term"],
+            "docid": pa.array(docids[g_doc], pa.uint64()),
+            "tf": grouped["pos_count"].cast(pa.uint32()),
+            "norm": pa.array(norm_ids[g_doc], pa.uint8()),
+            "positions": grouped["pos_list"].cast(pa.list_(pa.uint32())),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    return out, counts, total
+
+
+def _keyword_postings(
+    values: pa.Array, field_ord: int, docids: np.ndarray
+) -> pa.Table:
+    """One exact (untokenized) term per non-null row, tf=1, no positions."""
+    vals = values.to_pylist()
+    rows = [(i, str(v)) for i, v in enumerate(vals) if v is not None and v != ""]
+    if not rows:
+        return POSTINGS_SCHEMA.empty_table()
+    idx = np.array([r[0] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "field": pa.array(
+                np.full(len(rows), field_ord, dtype=np.uint8), pa.uint8()
+            ),
+            "term": pa.array([r[1] for r in rows], pa.string()),
+            "docid": pa.array(docids[idx], pa.uint64()),
+            "tf": pa.array(np.ones(len(rows), dtype=np.uint32), pa.uint32()),
+            "norm": pa.array(np.zeros(len(rows), dtype=np.uint8), pa.uint8()),
+            "positions": pa.array([[]] * len(rows), pa.list_(pa.uint32())),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
+def cass_tokenize_partition(
+    table: pa.Table, partition_index: int, *, id_col: str = "id"
+):
+    """CASS-schema analogue of ``tokenize_partition`` — same output
+    contract (postings / doclen / idmap / numeric / stored / stats), so
+    the whole downstream build (salting, shard routing, streamed encode,
+    manifests, maintenance) is shared."""
+    n = len(table)
+    docids = make_docids(partition_index, n)
+    ids = _col(table, id_col)
+    if pa.types.is_integer(ids.type):
+        ids = ids.cast(pa.string())
+
+    parts = []
+    totals = {}
+    counts = {}
+    for name, ord_ in CASS_TEXT_ORDS.items():
+        tbl, cnt, tot = _scalar_text_postings(
+            _col(table, name), ord_, docids, analyze_cass_scalar
+        )
+        parts.append(tbl)
+        totals[name], counts[name] = tot, cnt
+    for name, ord_ in CASS_PREFIX_ORDS.items():
+        src = _col(table, PREFIX_SOURCE[name])
+        tbl, _cnt, _tot = _scalar_text_postings(
+            src,
+            ord_,
+            docids,
+            lambda t: analyze_cass_scalar(
+                generate_edge_ngrams(t), hyphen_decompose=False
+            ),
+        )
+        parts.append(tbl)
+    for name, ord_ in CASS_KEYWORD_ORDS.items():
+        parts.append(_keyword_postings(_col(table, name), ord_, docids))
+
+    postings = pa.concat_tables(parts)
+    doclen = pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "norm_content": pa.array(
+                fieldnorm_to_id(counts["content"]), pa.uint8()
+            ),
+            "norm_title": pa.array(fieldnorm_to_id(counts["title"]), pa.uint8()),
+            "len_content": pa.array(
+                counts["content"].astype(np.uint32), pa.uint32()
+            ),
+            "len_title": pa.array(counts["title"].astype(np.uint32), pa.uint32()),
+        },
+        schema=DOCLEN_SCHEMA,
+    )
+    content_arr = _col(table, "content")
+    idmap = pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "id": ids,
+            "content_hash": pa.array(content_hashes(content_arr), pa.uint64()),
+        },
+        schema=IDMAP_SCHEMA,
+    )
+    stored_cols = [c for c in CASS_STORED_COLS if c in table.column_names]
+    metas = []
+    col_data = {c: _col(table, c).to_pylist() for c in stored_cols}
+    for i in range(n):
+        metas.append(
+            json.dumps(
+                {c: col_data[c][i] for c in stored_cols}, sort_keys=True
+            )
+        )
+    stored = pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "metadata_json": pa.array(metas, pa.string()),
+        },
+        schema=STORED_SCHEMA,
+    )
+    stats = {
+        "partition": partition_index,
+        "rows": n,
+        "content": {"doc_count": n, "total_tokens": totals["content"]},
+        "title": {"doc_count": n, "total_tokens": totals["title"]},
+        "postings_rows": len(postings),
+    }
+    return {
+        "postings": postings,
+        "doclen": doclen,
+        "idmap": idmap,
+        "numeric": numeric_table(table, CASS_NUMERIC_COLS, docids),
+        "stored": stored,
+        "stats": stats,
+    }
+
+
+class CassSearcher:
+    """CASS query surface over a ``schema_kind="cass"`` index: the native
+    grammar + structured filters (``query.rs:3386-3649``) evaluated by
+    the standard kernel, plus STOREDMETA hydration."""
+
+    def __init__(self, index_dir: str):
+        from .search.searcher import LocalSearcher
+
+        self.s = LocalSearcher(index_dir)
+        self._stored_cache: dict[int, pa.Table] = {}
+
+    def search(self, query: str, filters=None, limit: int = 10, offset: int = 0, count: bool = False):
+        from .contract.cass import parse_cass
+
+        parsed = parse_cass(query, filters)
+        return self.s.run_parsed(
+            parsed, limit=limit, offset=offset, count=count
+        )
+
+    def metadata_for(self, docid: int) -> dict:
+        """STOREDMETA round-trip: positional stored-sidecar lookup."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .schema import PARTITION_SHIFT, ROW_MASK
+
+        p = int(docid) >> PARTITION_SHIFT
+        r = int(docid) & ROW_MASK
+        t = self._stored_cache.get(p)
+        if t is None:
+            t = pq.read_table(
+                os.path.join(self.s.index_dir, "stored", f"part-{p:05d}.parquet")
+            )
+            if len(self._stored_cache) >= 64:
+                self._stored_cache.pop(next(iter(self._stored_cache)))
+            self._stored_cache[p] = t
+        return json.loads(t["metadata_json"][r].as_py())

@@ -367,6 +367,14 @@ class LocalSearcher:
             )
         else:
             self.idhash = None
+        # CONST-SCORE field ords beyond the BM25 text fields (CASS prefix
+        # + keyword facets): match/filter semantics, score 1.0 per hit
+        if self.manifest.get("config", {}).get("schema_kind") == "cass":
+            from ..cassindex import CASS_KEYWORD_ORDS, CASS_PREFIX_ORDS
+
+            self.const_field_ords = {**CASS_PREFIX_ORDS, **CASS_KEYWORD_ORDS}
+        else:
+            self.const_field_ords = {}
 
     # --- index access ------------------------------------------------------
 
@@ -527,13 +535,28 @@ class LocalSearcher:
         return union, scores
 
     def _eval_term(self, node: Term, boost: float):
-        parts = [
-            self._eval_term_field(node.text, f.name, f.boost * boost)
-            if f.name in FIELD_ORDS
-            else self._eval_keyword(node.text, f.name)
-            for f in node.fields
-        ]
+        parts = []
+        for f in node.fields:
+            if f.name in FIELD_ORDS:
+                parts.append(
+                    self._eval_term_field(node.text, f.name, f.boost * boost)
+                )
+            elif f.name in self.const_field_ords:
+                parts.append(
+                    self._eval_const_term(node.text, self.const_field_ords[f.name])
+                )
+            else:
+                parts.append(self._eval_keyword(node.text, f.name))
         return self._sum_aligned(parts)
+
+    def _eval_const_term(self, term: str, field_ord: int):
+        """Prefix/keyword-facet term: postings membership, const score 1.0
+        (the filter fields of the CASS schema carry no relevance)."""
+        docids, _tfs, _df, _ = self.postings(field_ord, term)
+        self._charge(len(docids))
+        if len(docids) == 0:
+            return docids, np.zeros(0, np.float32)
+        return docids, np.full(len(docids), _F32_ONE, dtype=np.float32)
 
     def _eval_keyword(self, value: str, field_name: str):
         """Keyword (id) term: bucketed IDHASH probe (const score 1.0);
@@ -794,7 +817,9 @@ class LocalSearcher:
         if regex is None:  # Exact/Prefix lower to terms, not regex
             core = info.get("normalized_term", node.pattern.strip("*").lower())
             fields = [
-                QueryField(f, 1.0) for f in node.fields if f in FIELD_ORDS
+                QueryField(f, 1.0)
+                for f in node.fields
+                if f in FIELD_ORDS or f in self.const_field_ords
             ]
             return self._eval_term(Term(core, fields), boost)
         prog = re.compile(regex)
@@ -977,7 +1002,30 @@ class LocalSearcher:
         (``index.rs:7907-7908``); pruned output is bit-identical to the
         exhaustive kernel.
         """
-        parsed = parse_default(query)
+        return self.run_parsed(
+            parse_default(query),
+            limit=limit,
+            offset=offset,
+            count=count,
+            pruning=pruning,
+            snippets=snippets,
+            raw_query=query,
+        )
+
+    def run_parsed(
+        self,
+        parsed,
+        *,
+        limit: int = 10,
+        offset: int = 0,
+        count: bool = False,
+        pruning: bool = True,
+        snippets: bool = False,
+        raw_query: str = "",
+    ):
+        """Evaluate an already-parsed query (any grammar: default lenient,
+        CASS, or a directly-constructed AST wrapped in ParsedQuery)."""
+        query = raw_query
         self._fuel_used = 0
         if pruning and not count and limit > 0:
             from .wand import search_pruned

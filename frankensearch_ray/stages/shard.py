@@ -64,11 +64,13 @@ def assign_shards(
     uniq_terms = term_dict.dictionary.to_pylist()
 
     # per (unique term code, field) hash + salted flag; field is uint8 so
-    # combine into one key for lookup
+    # combine into one key for lookup.  Sized to the fields actually
+    # present (2 for the default schema, 9 for CASS).
     n_u = len(uniq_terms)
-    hashes = np.empty((n_u, 2), dtype=np.uint64)  # per field 0/1
-    salted_flag = np.zeros((n_u, 2), dtype=bool)
     present_fields = np.unique(field)
+    n_fields = int(present_fields.max()) + 1 if len(present_fields) else 1
+    hashes = np.empty((n_u, n_fields), dtype=np.uint64)
+    salted_flag = np.zeros((n_u, n_fields), dtype=bool)
     for f in present_fields:
         for ti, t in enumerate(uniq_terms):
             hashes[ti, f] = term_hash(int(f), t)
