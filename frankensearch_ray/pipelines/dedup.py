@@ -285,22 +285,71 @@ class MinHashBander:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(
-            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = minhash_signature(text, self.n_perm, self.k, self.params)
+        """Batch-vectorized signatures: hash only the batch's UNIQUE
+        shingle dictionary (blake2b per unique string), then one
+        (n_perm, total_shingles) modular matmul + per-doc segment-min —
+        identical band hashes to the scalar path per row."""
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                }
+            )
+        a, b = self.params
+        per_doc: list[list[str]] = [
+            sorted(_word_shingles((t or "").split(), self.k)) for t in texts
+        ]
+        lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = [s for row in per_doc for s in row]
+        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
+        if flat:
+            de = pc.dictionary_encode(pa.array(flat))
+            vocab_hashes = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            v.encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for v in de.dictionary.to_pylist()
+                ],
+                dtype=np.uint64,
+            )
+            x = vocab_hashes[de.indices.to_numpy()] % np.uint64(1 << 31)
+            prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            nonempty = lens > 0
+            if nonempty.any():
+                # zero-width rows contribute no elements, so reducing at
+                # only the nonempty starts yields exact per-doc segments
+                mins = np.minimum.reduceat(prod, offsets[nonempty], axis=1)
+                sigs[nonempty] = mins.T
+        # empty shingle set: the scalar path hashes the single value 0
+        empty = lens == 0
+        if empty.any():
+            sigs[empty] = (b % np.uint64(_MERSENNE))[None, :]
+        band_hashes = np.empty((n, self.bands), dtype=np.uint64)
+        for d in range(n):
+            srow = sigs[d]
             for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(doc_id)
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(h, "little"))
+                chunk = srow[bi * self.rows : (bi + 1) * self.rows]
+                band_hashes[d, bi] = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
+                    "little",
+                )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hashes.reshape(-1)),
             }
         )
 

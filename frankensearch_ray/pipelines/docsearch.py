@@ -97,10 +97,18 @@ def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
     from ray.data.aggregate import Sum
 
     index_dir = documents_index(sf_dir)
-    import glob as _glob
+    from ..build import load_manifest
+    from ..stages.encode import shard_file_names
 
+    manifest = load_manifest(index_dir)
     shard_files = sorted(
-        _glob.glob(os.path.join(index_dir, "shards", "shard-*.parquet"))
+        os.path.join(
+            index_dir,
+            "shards",
+            e.get("file")
+            or shard_file_names(int(e["index"]), int(e.get("generation", 0) or 0))[0],
+        )
+        for e in manifest["shards"]
     )
     ds = rd.read_parquet(shard_files, columns=["field", "term", "df"])
     agg = (

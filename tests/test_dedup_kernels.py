@@ -41,6 +41,55 @@ class TestSimhashBatch:
         assert list(got) == [simhash64(t) for t in texts]
 
 
+class TestMinHashBander:
+    def test_batch_matches_scalar_signature_path(self):
+        """The vectorized bander must emit the same band hashes as the
+        scalar signature helper, row for row."""
+        import hashlib
+
+        import pyarrow as pa
+
+        from frankensearch_ray.pipelines.dedup import (
+            MinHashBander,
+            minhash_signature,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            None,
+            "a b",
+            "one two three four five six seven eight nine ten",
+            "the quick brown fox jumps over the lazy cat",
+        ]
+        bander = MinHashBander(64, 16, 3, "text", "doc_id")
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = bander(batch).to_pylist()
+        want = []
+        for i, t in enumerate(texts):
+            sig = minhash_signature(t, 64, 3, bander.params)
+            for bi in range(16):
+                chunk = sig[bi * 4 : (bi + 1) * 4]
+                want.append(
+                    {
+                        "doc_id": i,
+                        "band": bi,
+                        "band_hash": int.from_bytes(
+                            hashlib.blake2b(
+                                chunk.tobytes(), digest_size=8
+                            ).digest(),
+                            "little",
+                        ),
+                    }
+                )
+        assert got == want
+
+
 class TestBucketedEmbeddingDedup:
     def test_bucketed_matches_exact(self, ray_session):
         """The bucketed (multi-probe IVF) pair finder must recover every
