@@ -80,22 +80,44 @@ def _col(table: pa.Table, name: str) -> pa.Array:
     return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
 
+import re as _re
+
+# texts of plain ASCII alnum words + spaces take a split() fast path:
+# both CASS analyzers reduce to (lowered word, position=word index) on
+# such input (no hyphens to decompose, no CJK, no mid-token punctuation)
+# — equivalence is pytest-pinned against the scalar state machine
+_SIMPLE_ASCII = _re.compile(r"[A-Za-z0-9 ]*\Z")
+
+
 def _scalar_text_postings(
-    texts: pa.Array, field_ord: int, docids: np.ndarray, analyze
+    texts: pa.Array, field_ord: int, docids: np.ndarray, analyze, pre=None
 ) -> tuple[pa.Table, np.ndarray, int]:
     """Python-scalar analyzer over a column -> postings rows.
 
     The CASS analyzers are position/byte-offset state machines
-    (``scribe.rs:799-998``) pinned by goldens — scalar here, vectorized
-    only by batching the groupby; partition-parallelism carries the
-    throughput at scale."""
+    (``scribe.rs:799-998``) pinned by goldens — scalar here (with a
+    split() fast path for plain word-and-space text, the dominant shape
+    of web corpora after extraction); partition-parallelism carries the
+    throughput at scale.  ``pre`` is a text pre-transform applied before
+    analysis (the prefix fields' edge-ngram expansion)."""
     n = len(texts)
     doc_idx: list[int] = []
     terms: list[str] = []
     poss: list[int] = []
     counts = np.zeros(n, dtype=np.int64)
     for r, v in enumerate(texts.to_pylist()):
-        toks = analyze(v or "")
+        v = v or ""
+        if pre is not None:
+            v = pre(v)
+        if _SIMPLE_ASCII.match(v):
+            words = v.lower().split()
+            if all(len(w) <= 256 for w in words):  # CASS_MAX_TOKEN_BYTES
+                counts[r] = len(words)
+                doc_idx.extend([r] * len(words))
+                terms.extend(words)
+                poss.extend(range(len(words)))
+                continue
+        toks = analyze(v)
         if toks:
             counts[r] = toks[-1][1] + 1  # distinct positions emitted
         for tok, pos, _bf, _bt in toks:
@@ -185,9 +207,8 @@ def cass_tokenize_partition(
             src,
             ord_,
             docids,
-            lambda t: analyze_cass_scalar(
-                generate_edge_ngrams(t), hyphen_decompose=False
-            ),
+            lambda t: analyze_cass_scalar(t, hyphen_decompose=False),
+            pre=generate_edge_ngrams,
         )
         parts.append(tbl)
     for name, ord_ in CASS_KEYWORD_ORDS.items():

@@ -142,6 +142,60 @@ def test_storedmeta_roundtrip(cass):
         assert meta["conversation_id"] == c
 
 
+def test_fast_path_equals_analyzer():
+    """The split() fast path for plain word/space text must emit exactly
+    the analyzer state machine's (term, position) stream."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from frankensearch_ray.cassindex import _scalar_text_postings
+    from frankensearch_ray.contract.analyzer import analyze_cass_scalar
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet="abcXY01 -é一", max_size=40
+            ),  # mixes fast-path and fallback rows
+            max_size=6,
+        )
+    )
+    def drive(rows):
+        texts = pa.array(rows, pa.string())
+        import numpy as np
+
+        docids = np.arange(len(rows), dtype=np.uint64)
+        fast, fcnt, _ = _scalar_text_postings(
+            texts, 0, docids, analyze_cass_scalar
+        )
+        # oracle: force the scalar path by bypassing the regex
+        slow_terms, slow_docs, slow_pos = [], [], []
+        scnt = []
+        for r, t in enumerate(rows):
+            toks = analyze_cass_scalar(t or "")
+            scnt.append(toks[-1][1] + 1 if toks else 0)
+            for tok, pos, _a, _b in toks:
+                slow_terms.append(tok)
+                slow_docs.append(r)
+                slow_pos.append(pos)
+        got = sorted(
+            zip(
+                fast["docid"].to_pylist(),
+                fast["term"].to_pylist(),
+                fast["tf"].to_pylist(),
+            )
+        )
+        import collections
+
+        tf = collections.Counter(zip(slow_docs, slow_terms))
+        want = sorted((d, t, c) for (d, t), c in tf.items())
+        assert got == want
+        assert list(fcnt) == scnt
+
+    drive()
+
+
 def test_msg_idx_numeric_range(cass):
     """msg_idx indexed as a numeric fast field (u64 path)."""
     from frankensearch_ray.contract.query_ast import RangeI64
