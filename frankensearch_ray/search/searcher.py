@@ -96,7 +96,7 @@ class _Norms:
                 t["norm_title"].to_numpy(),
             )
             if len(self._cache) >= self._LRU_MAX:
-                self._cache.pop(next(iter(self._cache)))
+                self._cache.pop(next(iter(self._cache)), None)
             self._cache[p] = got
         return got
 
@@ -246,7 +246,7 @@ class _ShardCache:
         if t is None:
             t = entry["pf"].read_row_group(g)
             if len(self._rg_cache) >= self._RG_CACHE_MAX:
-                self._rg_cache.pop(next(iter(self._rg_cache)))
+                self._rg_cache.pop(next(iter(self._rg_cache)), None)
             self._rg_cache[key] = t
         return t
 
@@ -350,6 +350,9 @@ class LocalSearcher:
         self._numeric_cache: dict[str, tuple] = {}
         self.query_fuel = self.DEFAULT_QUERY_FUEL
         self._fuel_used = 0
+        import threading
+
+        self._fuel_lock = threading.Lock()
         self._idmap_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
@@ -424,7 +427,7 @@ class LocalSearcher:
         result = (docids, tfs, df, (pos_parts if with_positions else None))
         if not with_positions:
             if len(self._post_cache) >= 2048:
-                self._post_cache.pop(next(iter(self._post_cache)))
+                self._post_cache.pop(next(iter(self._post_cache)), None)
             self._post_cache[(field, term)] = result
         return result
 
@@ -456,7 +459,7 @@ class LocalSearcher:
                 "decoded": {},
             }
         if len(self._bm_cache) >= 4096:
-            self._bm_cache.pop(next(iter(self._bm_cache)))
+            self._bm_cache.pop(next(iter(self._bm_cache)), None)
         self._bm_cache[key] = entry
         return entry
 
@@ -497,9 +500,12 @@ class LocalSearcher:
     # --- evaluation --------------------------------------------------------
 
     def _charge(self, units: int) -> None:
-        """Per-query work admission (fuel budget, ``config.rs:34-40``)."""
-        self._fuel_used += int(units)
-        if self._fuel_used > self.query_fuel:
+        """Per-query work admission (fuel budget, ``config.rs:34-40``).
+        Guarded by a lock so clause-thread fan-out never under-counts."""
+        with self._fuel_lock:
+            self._fuel_used += int(units)
+            fuel = self._fuel_used
+        if fuel > self.query_fuel:
             raise QueryFuelExhausted(
                 f"query exceeded {self.query_fuel} work units"
             )
@@ -596,7 +602,7 @@ class LocalSearcher:
                 flat = varint_decode(row["positions"])
                 e.append((d, flat, position_bounds(flat, len(d))))
             if len(self._pos_cache) >= 256:
-                self._pos_cache.pop(next(iter(self._pos_cache)))
+                self._pos_cache.pop(next(iter(self._pos_cache)), None)
             self._pos_cache[key] = e
         return e
 
@@ -879,16 +885,41 @@ class LocalSearcher:
             return self._eval_boolean(node, boost)
         raise TypeError(f"unsupported node {type(node)}")
 
+    # Threads for intra-query clause fan-out (the reference's per-segment
+    # rayon parallelism, ``index.rs:7847-8121`` / gate ``index.rs:9971``):
+    # each Boolean clause evaluates independently and results are folded
+    # in CLAUSE ORDER regardless of completion order, so the f32
+    # accumulation — and therefore every score bit — is unchanged.  The
+    # numpy/pyarrow kernels inside release the GIL, so latency of
+    # multi-clause queries drops on idle cores.  0 = sequential.
+    clause_threads: int = 0
+
+    def _eval_clauses(self, jobs: list[tuple[object, float]]) -> list:
+        if self.clause_threads > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.clause_threads, len(jobs))
+            ) as ex:
+                futs = [ex.submit(self.evaluate, q, b) for q, b in jobs]
+                return [f.result() for f in futs]  # clause order preserved
+        return [self.evaluate(q, b) for q, b in jobs]
+
     def _eval_boolean(self, node: Boolean, boost: float):
+        jobs = [
+            (c.query, boost if c.occur != MUST_NOT else 1.0)
+            for c in node.children
+        ]
+        evaluated = self._eval_clauses(jobs)
         musts, shoulds, nots = [], [], []
-        for c in node.children:
+        for c, res in zip(node.children, evaluated):
             if c.occur == MUST:
-                musts.append(self.evaluate(c.query, boost))
+                musts.append(res)
             elif c.occur == SHOULD:
-                shoulds.append(self.evaluate(c.query, boost))
+                shoulds.append(res)
             elif c.occur == MUST_NOT:
                 # MustNot contributes no score; match set only
-                nots.append(self.evaluate(c.query, 1.0)[0])
+                nots.append(res[0])
         if musts:
             base = musts[0][0]
             for d, _ in musts[1:]:

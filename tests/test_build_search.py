@@ -145,6 +145,24 @@ class TestRankExact:
         res = searcher.search("rust", limit=0, count=True)
         assert res["hits"] == [] and res["total"] > 0
 
+    def test_clause_thread_fanout_bit_identical(
+        self, t1_index, reference_queries
+    ):
+        """Intra-query clause fan-out (the reference's per-segment rayon
+        parallelism, index.rs:7847-8121) must not move a single score
+        bit: results are folded in clause order regardless of thread
+        completion order."""
+        index_dir, _, _ = t1_index
+        seq = LocalSearcher(index_dir)
+        par = LocalSearcher(index_dir)
+        par.clause_threads = 4
+        for q in _queries(reference_queries):
+            a = seq.search(q, limit=10, pruning=False)["hits"]
+            b = par.search(q, limit=10, pruning=False)["hits"]
+            assert [(h["docid"], h["score_bits"]) for h in a] == [
+                (h["docid"], h["score_bits"]) for h in b
+            ], q
+
 
 class TestSaltingDifferential:
     def test_salted_equals_unsalted(
