@@ -82,6 +82,7 @@ class BuildConfig:
     salt_sample_parts: int = 0  # 0 = auto (all when small, sqrt-ish else)
     input_columns: list[str] = field(default_factory=list)
     schema_kind: str = "pages"  # "pages" (default 5-field) | "cass" (15-field)
+    stored_cols: list[str] = field(default_factory=list)  # STOREDMETA json
 
     def needed_columns(self) -> list[str]:
         if self.schema_kind == "cass":
@@ -101,7 +102,7 @@ class BuildConfig:
                     + CASS_STORED_COLS
                 )
             )
-        cols = [self.id_col] + list(self.numeric_cols)
+        cols = [self.id_col] + list(self.numeric_cols) + list(self.stored_cols)
         if self.html_col:
             cols.append(self.html_col)
             if self.verify_text_col:
@@ -124,6 +125,7 @@ class BuildConfig:
             html_col=self.html_col,
             verify_text_col=self.verify_text_col if verify else None,
             numeric_cols=self.numeric_cols or None,
+            stored_cols=self.stored_cols or None,
         )
 
 
@@ -348,6 +350,7 @@ class PhaseATokenizer:
                 cfg.content_col,
                 cfg.html_col,
                 sorted(cfg.numeric_cols or []),
+                sorted(cfg.stored_cols or []),
             ],
         }
 

@@ -238,22 +238,9 @@ def cass_tokenize_partition(
         },
         schema=IDMAP_SCHEMA,
     )
-    stored_cols = [c for c in CASS_STORED_COLS if c in table.column_names]
-    metas = []
-    col_data = {c: _col(table, c).to_pylist() for c in stored_cols}
-    for i in range(n):
-        metas.append(
-            json.dumps(
-                {c: col_data[c][i] for c in stored_cols}, sort_keys=True
-            )
-        )
-    stored = pa.table(
-        {
-            "docid": pa.array(docids, pa.uint64()),
-            "metadata_json": pa.array(metas, pa.string()),
-        },
-        schema=STORED_SCHEMA,
-    )
+    from .stages.tokenize import stored_table
+
+    stored = stored_table(table, CASS_STORED_COLS, docids)
     stats = {
         "partition": partition_index,
         "rows": n,
@@ -280,7 +267,6 @@ class CassSearcher:
         from .search.searcher import LocalSearcher
 
         self.s = LocalSearcher(index_dir)
-        self._stored_cache: dict[int, pa.Table] = {}
 
     def search(self, query: str, filters=None, limit: int = 10, offset: int = 0, count: bool = False):
         from .contract.cass import parse_cass
@@ -291,21 +277,5 @@ class CassSearcher:
         )
 
     def metadata_for(self, docid: int) -> dict:
-        """STOREDMETA round-trip: positional stored-sidecar lookup."""
-        import os
-
-        import pyarrow.parquet as pq
-
-        from .schema import PARTITION_SHIFT, ROW_MASK
-
-        p = int(docid) >> PARTITION_SHIFT
-        r = int(docid) & ROW_MASK
-        t = self._stored_cache.get(p)
-        if t is None:
-            t = pq.read_table(
-                os.path.join(self.s.index_dir, "stored", f"part-{p:05d}.parquet")
-            )
-            if len(self._stored_cache) >= 64:
-                self._stored_cache.pop(next(iter(self._stored_cache)))
-            self._stored_cache[p] = t
-        return json.loads(t["metadata_json"][r].as_py())
+        """STOREDMETA round-trip (shared LocalSearcher hydration)."""
+        return self.s.metadata_for(docid)

@@ -354,6 +354,7 @@ class LocalSearcher:
 
         self._fuel_lock = threading.Lock()
         self._idmap_cache: dict[int, pa.Table] = {}
+        self._stored_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
             for p in self.manifest["partitions"]
@@ -484,6 +485,28 @@ class LocalSearcher:
             np.float32(st["total_tokens"]) / np.float32(n) if n else np.float32(1.0)
         )
         return n, avgdl
+
+    def metadata_for(self, docid: int) -> dict | None:
+        """STOREDMETA hydration (``schema.rs:374-377``,
+        ``segment.rs:44-67``): positional metadata_json lookup in the
+        stored sidecar, winners-only, per-partition LRU.  Returns None
+        when the index carries no stored columns."""
+        import json
+
+        p = int(docid) >> PARTITION_SHIFT
+        r = int(docid) & ROW_MASK
+        t = self._stored_cache.get(p)
+        if t is None:
+            path = os.path.join(
+                self.index_dir, "stored", f"part-{p:05d}.parquet"
+            )
+            if not os.path.exists(path):
+                return None
+            t = pq.read_table(path)
+            if len(self._stored_cache) >= 64:
+                self._stored_cache.pop(next(iter(self._stored_cache)), None)
+            self._stored_cache[p] = t
+        return json.loads(t["metadata_json"][r].as_py())
 
     def ids_for(self, docids: np.ndarray) -> list[str]:
         out = []

@@ -149,6 +149,33 @@ def _field_postings(
     return table, token_counts, total_tokens
 
 
+STORED_SCHEMA = pa.schema(
+    [("docid", pa.uint64()), ("metadata_json", pa.string())]
+)
+
+
+def stored_table(
+    table: pa.Table, stored_cols: list[str], docids: np.ndarray
+) -> pa.Table:
+    """STOREDMETA sidecar (``schema.rs:374-377``, ``segment.rs:44-67``):
+    one ``metadata_json`` per docid from the stored-only columns —
+    positional winners-only hydration, like the reference stored row."""
+    import json
+
+    cols = {c: table[c].to_pylist() for c in stored_cols if c in table.column_names}
+    metas = [
+        json.dumps({c: cols[c][i] for c in cols}, sort_keys=True)
+        for i in range(len(table))
+    ]
+    return pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "metadata_json": pa.array(metas, pa.string()),
+        },
+        schema=STORED_SCHEMA,
+    )
+
+
 def tokenize_partition(
     table: pa.Table,
     partition_index: int,
@@ -158,6 +185,7 @@ def tokenize_partition(
     html_col: str | None = None,
     verify_text_col: str | None = None,
     numeric_cols: list[str] | None = None,
+    stored_cols: list[str] | None = None,
 ):
     """Tokenize one input partition.
 
@@ -235,6 +263,8 @@ def tokenize_partition(
     out = {"postings": postings, "doclen": doclen, "idmap": idmap, "stats": stats}
     if numeric_cols:
         out["numeric"] = numeric_table(table, numeric_cols, docids)
+    if stored_cols:
+        out["stored"] = stored_table(table, stored_cols, docids)
     return out
 
 

@@ -8,6 +8,7 @@ score bits at every rank, for every conformance query, on the t1 corpus
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -144,6 +145,46 @@ class TestRankExact:
     def test_limit_zero(self, searcher):
         res = searcher.search("rust", limit=0, count=True)
         assert res["hits"] == [] and res["total"] > 0
+
+    def test_stored_metadata_roundtrip(self, ray_session, tmp_path, searcher):
+        """STOREDMETA on the default schema: stored_cols round-trip as
+        metadata_json per winner docid; indexes without stored columns
+        hydrate None."""
+        from frankensearch_ray.sources.extract import render_page
+
+        src = tmp_path / "meta_src.parquet"
+        rows = [("m1", "alpha beta", "en", "s0"), ("m2", "alpha gamma", "de", "s1")]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "html": [render_page(f"t {r[0]}", r[1]).encode() for r in rows],
+                    "lang": [r[2] for r in rows],
+                    "source": [r[3] for r in rows],
+                }
+            ),
+            str(src),
+        )
+        idx = str(tmp_path / "meta_idx")
+        build_index(
+            [str(src)],
+            idx,
+            BuildConfig(
+                id_col="url",
+                html_col="html",
+                verify_text_col=None,
+                num_shards=2,
+                stored_cols=["lang", "source"],
+            ),
+            resume=False,
+        )
+        s = LocalSearcher(idx)
+        hits = {h["id"]: h for h in s.search("alpha", limit=5)["hits"]}
+        assert s.metadata_for(hits["m1"]["docid"]) == {"lang": "en", "source": "s0"}
+        assert s.metadata_for(hits["m2"]["docid"]) == {"lang": "de", "source": "s1"}
+        # an index built WITHOUT stored_cols hydrates None
+        h = searcher.search("rust", limit=1)["hits"]
+        assert searcher.metadata_for(h[0]["docid"]) is None
 
     def test_clause_thread_fanout_bit_identical(
         self, t1_index, reference_queries
