@@ -143,7 +143,14 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
 
     p50, p95, p99 = np.percentile(lats, [50, 95, 99])
     pool.shutdown()
+    # replica cache footprint AFTER the whole workload: the evidence that
+    # a serving replica's memory is bounded by its query mix, not by
+    # index size (lazy norms LRU + row-group-pruned shard probes)
+    cache = s.cache_stats()
     return {
+        "replica_cache_mb": round(cache["total_bytes"] / 1e6, 2),
+        "replica_norm_parts": cache["norm_partitions_cached"],
+        "replica_shard_rgs": cache["shard_row_groups_cached"],
         "docs": manifest["metrics"]["docs"],
         "postings": manifest["metrics"]["postings"],
         "build_sec": t_build,

@@ -486,6 +486,36 @@ class LocalSearcher:
         )
         return n, avgdl
 
+    def cache_stats(self) -> dict:
+        """Resident cache footprint in bytes — the evidence that replica
+        memory is bounded by the QUERY MIX (what was actually probed),
+        not the index size."""
+
+        def tbl_bytes(t: pa.Table) -> int:
+            return int(t.nbytes)
+
+        norms_b = sum(
+            sum(a.nbytes for a in entry) for entry in self.norms._cache.values()
+        )
+        rg_b = sum(tbl_bytes(t) for t in self.shards._rg_cache.values())
+        post_b = sum(
+            d.nbytes + f.nbytes
+            for d, f, _df, _p in self._post_cache.values()
+        )
+        idmap_b = sum(tbl_bytes(t) for t in self._idmap_cache.values())
+        stored_b = sum(tbl_bytes(t) for t in self._stored_cache.values())
+        return {
+            "norm_partitions_cached": len(self.norms._cache),
+            "norms_bytes": norms_b,
+            "shard_row_groups_cached": len(self.shards._rg_cache),
+            "shard_bytes": rg_b,
+            "postings_entries": len(self._post_cache),
+            "postings_bytes": post_b,
+            "idmap_bytes": idmap_b,
+            "stored_bytes": stored_b,
+            "total_bytes": norms_b + rg_b + post_b + idmap_b + stored_b,
+        }
+
     def metadata_for(self, docid: int) -> dict | None:
         """STOREDMETA hydration (``schema.rs:374-377``,
         ``segment.rs:44-67``): positional metadata_json lookup in the
