@@ -117,16 +117,20 @@ def ngram_jaccard_pairs(
 
     def shingle_and_bucket(t: pa.Table) -> pa.Table:
         out = _shingle_batch(t, id_col, text_col, k)
-        b = np.array(
+        # hash only the batch's unique shingle dictionary, then map codes
+        de = pc.dictionary_encode(out["shingle"].combine_chunks())
+        vocab = np.array(
             [
                 int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "little",
                 )
                 % n_buckets
-                for s in out["shingle"].to_pylist()
+                for s in de.dictionary.to_pylist()
             ],
             dtype=np.uint32,
         )
+        b = vocab[de.indices.to_numpy()] if len(out) else np.zeros(0, np.uint32)
         return out.append_column("bucket", pa.array(b, pa.uint32()))
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
