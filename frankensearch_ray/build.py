@@ -825,6 +825,13 @@ def build_index(
             .take_all()
         )
         t_phase_a = time.time()
+        # idhash base concat is independent of shard encode: launch it
+        # now and gather at manifest time — overlapped, zero critical path
+        from .state import idhash as idh
+
+        idh_refs, idh_meta = idh.launch_base(
+            index_dir, [p["pindex"] for p in parts]
+        )
         shard_rows = (
             rd.from_items([{"shard": s} for s in range(cfg.num_shards)])
             .map_batches(
@@ -902,7 +909,10 @@ def build_index(
 
     from .state import idhash as idh
 
-    idhash_meta = idh.build_base(index_dir, [p["pindex"] for p in parts])
+    if cfg.shuffle_mode == "fs":
+        idhash_meta = idh.collect_base(idh_refs, idh_meta)
+    else:
+        idhash_meta = idh.build_base(index_dir, [p["pindex"] for p in parts])
 
     n_docs = field_stats["content"]["doc_count"]
     elapsed = time.time() - t0

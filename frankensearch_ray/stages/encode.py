@@ -37,19 +37,30 @@ SHARD_SCHEMA = pa.schema(
 
 
 def encode_shard_table(group: pa.Table) -> pa.Table:
-    """Encode one shard's postings rows into the compressed term table."""
+    """Encode one shard's postings rows into the compressed term table.
+
+    The (field, term, bucket, docid) sort runs as an INTEGER lexsort on
+    dictionary term ranks — strings are compared once per unique term
+    (``pc.array_sort_indices`` over the dictionary, same bytewise
+    comparator as a direct multi-key Arrow sort), so the row permutation
+    and the output bytes are identical to the string sort it replaces."""
     if len(group) == 0:
         return SHARD_SCHEMA.empty_table()
-    order = pc.sort_indices(
-        group,
-        sort_keys=[
-            ("field", "ascending"),
-            ("term", "ascending"),
-            ("bucket", "ascending"),
-            ("docid", "ascending"),
-        ],
+    pre_dict = pc.dictionary_encode(group["term"].combine_chunks())
+    pre_codes = pre_dict.indices.to_numpy()
+    rank_of = np.empty(len(pre_dict.dictionary), dtype=np.int64)
+    rank_of[pc.array_sort_indices(pre_dict.dictionary).to_numpy()] = np.arange(
+        len(pre_dict.dictionary)
     )
-    t = group.take(order)
+    order = np.lexsort(
+        (
+            group["docid"].to_numpy(),
+            group["bucket"].to_numpy(),
+            rank_of[pre_codes],
+            group["field"].to_numpy(),
+        )
+    )
+    t = group.take(pa.array(order))
     field = t["field"].to_numpy()
     bucket = t["bucket"].to_numpy()
     docid = t["docid"].to_numpy()

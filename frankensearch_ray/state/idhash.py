@@ -106,17 +106,16 @@ def _bucket_row_groups(pf: pq.ParquetFile, bucket: int) -> list[int]:
     return out
 
 
-def build_base(
+def launch_base(
     index_dir: str,
     part_indices: list[int],
     n_buckets: int = N_BUCKETS,
     epoch: int = 0,
-) -> dict:
-    """Concat each bucket across partitions -> sorted base bucket files.
-
-    B plain ray tasks (tiny control plane); each reads ONLY its bucket's
-    row groups from every partition idhash file — total bytes read across
-    all tasks = one pass over the idmap."""
+):
+    """Launch the base-build tasks WITHOUT waiting: the bucket concat is
+    independent of shard encode, so ``build_index`` overlaps it with
+    phase B and only gathers at manifest time (zero critical-path
+    cost)."""
     import ray
 
     paths = [part_path(index_dir, p) for p in part_indices]
@@ -154,12 +153,33 @@ def build_base(
         os.replace(tmp, out_path)
         return name
 
-    names = ray.get([one.remote(b) for b in range(n_buckets)])
-    return {
+    refs = [one.remote(b) for b in range(n_buckets)]
+    meta = {
         "buckets": n_buckets,
         "base_partitions": (max(part_indices) + 1) if part_indices else 0,
-        "files": names,
     }
+    return refs, meta
+
+
+def collect_base(refs, meta) -> dict:
+    import ray
+
+    return {**meta, "files": ray.get(refs)}
+
+
+def build_base(
+    index_dir: str,
+    part_indices: list[int],
+    n_buckets: int = N_BUCKETS,
+    epoch: int = 0,
+) -> dict:
+    """Concat each bucket across partitions -> sorted base bucket files.
+
+    B plain ray tasks (tiny control plane); each reads ONLY its bucket's
+    row groups from every partition idhash file — total bytes read
+    across all tasks = one pass over the idmap."""
+    refs, meta = launch_base(index_dir, part_indices, n_buckets, epoch)
+    return collect_base(refs, meta)
 
 
 class IdHashProbe:
