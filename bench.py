@@ -118,7 +118,10 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
 
     from frankensearch_ray.search.pool import SearcherPool
 
-    pool = SearcherPool(index_dir, size=max(2, num_cpus - 2))
+    # replica count PROPORTIONAL to the parallelism level: an N-vs-4N
+    # query-scaling claim is only honest when replicas/cpu is constant
+    # (a -2 offset made the replica ratio 7x for 4x cpus at 4->16)
+    pool = SearcherPool(index_dir, size=num_cpus)
     qs = _bench_queries()
     # full warm pass: replica caches (sidecars, blockmax, postings) are
     # steady-state serving state, not per-query work
