@@ -83,6 +83,9 @@ class BuildConfig:
     input_columns: list[str] = field(default_factory=list)
     schema_kind: str = "pages"  # "pages" (default 5-field) | "cass" (15-field)
     stored_cols: list[str] = field(default_factory=list)  # STOREDMETA json
+    # analyzer registry name or "module:attr" spec (extension.py §2.11);
+    # resolved on the DRIVER and shipped to workers via cloudpickle
+    analyzer: str = "frankensearch_default"
 
     def needed_columns(self) -> list[str]:
         if self.schema_kind == "cass":
@@ -111,8 +114,22 @@ class BuildConfig:
             cols.append(self.content_col)
         return sorted(set(cols))
 
-    def run_tokenizer(self, table: pa.Table, pindex: int, *, verify: bool = True):
-        """Schema-kind dispatch shared by the sample pass and phase A."""
+    def resolve_analyzer(self):
+        """Driver-side analyzer resolution (None = the built-in vectorized
+        default — keep the zero-indirection hot path)."""
+        if self.analyzer in (None, "", "frankensearch_default"):
+            return None
+        from .extension import get_analyzer
+
+        return get_analyzer(self.analyzer)
+
+    def run_tokenizer(
+        self, table: pa.Table, pindex: int, *, verify: bool = True, analyzer=None
+    ):
+        """Schema-kind dispatch shared by the sample pass and phase A.
+        ``analyzer`` must be the driver-resolved object when
+        ``cfg.analyzer`` is non-default (workers don't share the driver's
+        registry)."""
         if self.schema_kind == "cass":
             from .cassindex import cass_tokenize_partition
 
@@ -126,6 +143,7 @@ class BuildConfig:
             verify_text_col=self.verify_text_col if verify else None,
             numeric_cols=self.numeric_cols or None,
             stored_cols=self.stored_cols or None,
+            analyzer=analyzer,
         )
 
 
@@ -214,6 +232,7 @@ class _SampleDF:
     def __init__(self, cfg: BuildConfig, local_cut: int):
         self.cfg = cfg
         self.local_cut = local_cut
+        self._analyzer = cfg.resolve_analyzer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -223,6 +242,7 @@ class _SampleDF:
                 _read_part(part, cfg).slice(0, SALT_SAMPLE_ROWS_PER_PART),
                 part["pindex"],
                 verify=False,  # verification happens in the real pass
+                analyzer=self._analyzer,
             )
             out.append(
                 df_partials(
@@ -294,6 +314,7 @@ class PhaseATokenizer:
         self.salted_ref = salted_ref
         self.ppb = ppb
         self._salted: set | None = None
+        self._analyzer = cfg.resolve_analyzer()
 
     def _salted_set(self) -> set:
         if self._salted is None:
@@ -351,6 +372,7 @@ class PhaseATokenizer:
                 cfg.html_col,
                 sorted(cfg.numeric_cols or []),
                 sorted(cfg.stored_cols or []),
+                cfg.analyzer,
             ],
         }
 
@@ -386,7 +408,9 @@ class PhaseATokenizer:
                                    f"part-{part['pindex']:05d}.parquet")):
             if os.path.exists(stale):
                 os.remove(stale)
-        result = cfg.run_tokenizer(_read_part(part, cfg), part["pindex"])
+        result = cfg.run_tokenizer(
+            _read_part(part, cfg), part["pindex"], analyzer=self._analyzer
+        )
         files: list[str] = []
 
         def rel(p: str) -> str:

@@ -247,7 +247,15 @@ class DefaultQueryParser:
 
     ``parse`` never raises on user input; malformed fragments become
     diagnostics (``query.rs:793-835``).
+
+    ``analyze`` overrides the term-atomization function (query-side hook
+    of the ``extension.Analyzer`` protocol) — an index built with a custom
+    analyzer must atomize queries with the SAME analyzer or terms never
+    match the dictionary.
     """
+
+    def __init__(self, analyze=None):
+        self._analyze = analyze or analyze_query_terms
 
     def parse(self, query: str) -> ParsedQuery:
         original = query
@@ -447,7 +455,7 @@ class DefaultQueryParser:
                 return DROPPED
             node = Term(tok.raw, fields)
         else:
-            terms = analyze_query_terms(tok.raw)
+            terms = self._analyze(tok.raw)
             if not terms:
                 return DROPPED
             if len(terms) == 1:
@@ -461,7 +469,7 @@ class DefaultQueryParser:
     def _lower_bound_value(self, value: str, kind) -> Optional[str]:
         if kind == "keyword":
             return value or None
-        terms = analyze_query_terms(value)
+        terms = self._analyze(value)
         return terms[0] if terms else None
 
     def _lower_range(self, tok: Tok, scope_field, diagnostics):
@@ -518,8 +526,10 @@ def _repair_root_all_negative(node, diagnostics):
 _PARSER = DefaultQueryParser()
 
 
-def parse_default(query: str) -> ParsedQuery:
-    return _PARSER.parse(query)
+def parse_default(query: str, analyze=None) -> ParsedQuery:
+    if analyze is None:
+        return _PARSER.parse(query)
+    return DefaultQueryParser(analyze).parse(query)
 
 
 def classify_query(query: str) -> str:

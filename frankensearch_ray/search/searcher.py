@@ -359,6 +359,18 @@ class LocalSearcher:
             p["index"]: os.path.join(index_dir, "idmap", f"part-{p['index']:05d}.parquet")
             for p in self.manifest["partitions"]
         }
+        # query-side analyzer pinned by the manifest: an index built with
+        # a custom analyzer must atomize queries with the SAME analyzer
+        # (extension.py §2.11) or terms never match the dictionary
+        name = self.manifest.get("config", {}).get(
+            "analyzer", "frankensearch_default"
+        )
+        if name in (None, "", "frankensearch_default"):
+            self._query_analyze = None
+        else:
+            from ..extension import get_analyzer
+
+            self._query_analyze = get_analyzer(name).query_terms
         # hash-bucketed id probe (IDHASH): O(buckets-touched) row-group
         # reads instead of O(partitions) idmap scans; legacy indexes
         # without the sidecar fall back to the scan paths below
@@ -1063,7 +1075,7 @@ class LocalSearcher:
         content field) — driver-side over the tiny winner set."""
         from .snippet import SnippetGenerator
 
-        parsed = parse_default(query)
+        parsed = parse_default(query, analyze=self._query_analyze)
         gen = SnippetGenerator(self._query_terms_df(parsed.query), max_chars)
         return [gen.snippet(self._source_text(h["docid"])) for h in hits]
 
@@ -1087,7 +1099,7 @@ class LocalSearcher:
         exhaustive kernel.
         """
         return self.run_parsed(
-            parse_default(query),
+            parse_default(query, analyze=self._query_analyze),
             limit=limit,
             offset=offset,
             count=count,

@@ -108,12 +108,16 @@ def content_hashes(texts: pa.Array) -> np.ndarray:
 
 
 def _field_postings(
-    texts: pa.Array, field_ord: int, docids: np.ndarray
+    texts: pa.Array, field_ord: int, docids: np.ndarray, analyzer=None
 ) -> tuple[pa.Table, np.ndarray, int]:
     """Tokenize one field column -> (postings table, per-doc token counts,
-    total tokens)."""
+    total tokens).  ``analyzer`` is an ``extension.Analyzer`` (None = the
+    built-in vectorized default)."""
     n_docs = len(texts)
-    tokens, doc_idx, positions = tokenize_column(texts)
+    if analyzer is None:
+        tokens, doc_idx, positions = tokenize_column(texts)
+    else:
+        tokens, doc_idx, positions = analyzer.analyze_column(texts)
     token_counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     total_tokens = int(len(tokens))
     if total_tokens == 0:
@@ -186,6 +190,7 @@ def tokenize_partition(
     verify_text_col: str | None = None,
     numeric_cols: list[str] | None = None,
     stored_cols: list[str] | None = None,
+    analyzer=None,
 ):
     """Tokenize one input partition.
 
@@ -223,14 +228,14 @@ def tokenize_partition(
 
     parts = []
     content_tbl, content_counts, content_total = _field_postings(
-        content_arr, FIELD_CONTENT, docids
+        content_arr, FIELD_CONTENT, docids, analyzer
     )
     parts.append(content_tbl)
     title_counts = np.zeros(n, dtype=np.int64)
     title_total = 0
     if title_arr is not None:
         title_tbl, title_counts, title_total = _field_postings(
-            title_arr, FIELD_TITLE, docids
+            title_arr, FIELD_TITLE, docids, analyzer
         )
         parts.append(title_tbl)
 
