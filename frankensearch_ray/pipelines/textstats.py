@@ -159,32 +159,38 @@ def token_stats(sf_dir: str, text_col: str = "text") -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        """ONE source pass emits both partial kinds: per-batch unique terms
+        (count columns 0) + one stats row (term null) — the 100 TB text
+        column is read once, and only the vocab-sized partials are
+        materialized for the two downstream aggregates."""
         lists = _tokens_of(batch, text_col)
         flat = lists.flatten()
         flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        uniq = pc.unique(flat)
         return pa.table(
             {
-                "n_docs": pa.array([len(batch)], pa.int64()),
-                "total_tokens": pa.array([len(flat)], pa.int64()),
+                "term": pa.concat_arrays(
+                    [uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq,
+                     pa.array([None], pa.string())]
+                ),
+                "n_docs": pa.array([0] * len(uniq) + [len(batch)], pa.int64()),
+                "total_tokens": pa.array(
+                    [0] * len(uniq) + [len(flat)], pa.int64()
+                ),
             }
         )
 
-    ds = rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
-    agg = ds.map_batches(partials, batch_format="pyarrow").sum(
-        ["n_docs", "total_tokens"]
-    )
-    # distinct terms: term-keyed exchange (unique is a shuffle)
-    def terms(batch: pa.Table) -> pa.Table:
-        lists = _tokens_of(batch, text_col)
-        flat = lists.flatten()
-        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
-        return pa.table({"term": pc.unique(flat)})
-
-    distinct = (
+    comb = (
         rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
-        .map_batches(terms, batch_format="pyarrow")
-        .unique("term")
+        .map_batches(partials, batch_format="pyarrow")
+        .materialize()
     )
+    agg = comb.sum(["n_docs", "total_tokens"])
+    # distinct terms: term-keyed exchange over the per-batch vocab only
+    distinct = comb.map_batches(
+        lambda t: t.filter(pc.is_valid(t["term"])).select(["term"]),
+        batch_format="pyarrow",
+    ).unique("term")
     return pa.table(
         {
             "n_docs": pa.array([agg["sum(n_docs)"]], pa.int64()),
