@@ -81,11 +81,17 @@ def _width_for(max_value: int) -> int:
 # --- vectorized LEB128 -----------------------------------------------------
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def varint_encode_ex(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode -> ``(bytes_u8_array, nbytes_per_value)``.
+
+    Exposing per-value byte counts lets batch encoders (one varint pass
+    over MANY terms' concatenated streams) recover each term's byte span
+    without re-encoding — LEB128 is per-value self-delimiting, so the
+    concatenation of per-term encodings equals the encoding of the
+    concatenated stream."""
     v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # byte counts: one 7-bit group per threshold of 128**k
     nbytes = np.ones(len(v), dtype=np.int64)
     for k in range(1, 10):
@@ -101,7 +107,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    return varint_encode_ex(values)[0].tobytes()
 
 
 def varint_decode(buf: memoryview | bytes, max_count: int | None = None) -> np.ndarray:
@@ -289,19 +300,19 @@ def encode_positions(position_lists: list[np.ndarray] | "object") -> bytes:
     return encode_positions_flat(values, offsets)
 
 
-def encode_positions_flat(values: np.ndarray, offsets: np.ndarray) -> bytes:
-    """Vectorized ``encode_positions`` over one flattened list column slice.
+def positions_stream(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """The uint64 ``count, pos0, delta...`` stream for a flattened list slice.
 
-    ``values`` is the concatenation of the per-posting position lists
-    (uint64-castable), ``offsets`` the n+1 list boundaries (absolute values
-    allowed — only differences are used).  Same byte output as
-    ``encode_positions``.
+    Every posting's first value is written ABSOLUTE (deltas never cross a
+    posting boundary), so the stream of a row range equals the
+    concatenation of its sub-ranges' streams — the property the per-shard
+    batch encoder relies on to split one global stream at term boundaries.
     """
     offsets = np.asarray(offsets, dtype=np.int64)
     counts = np.diff(offsets).astype(np.uint64)
     n_lists = len(counts)
     if n_lists == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint64)
     values = np.asarray(values, dtype=np.uint64)
     n_vals = len(values)
     out = np.empty(n_lists + n_vals, dtype=np.uint64)
@@ -317,7 +328,113 @@ def encode_positions_flat(values: np.ndarray, offsets: np.ndarray) -> bytes:
         mask = np.ones(len(out), dtype=bool)
         mask[count_pos] = False
         out[mask] = dv
-    return varint_encode(out)
+    return out
+
+
+def encode_positions_flat(values: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Vectorized ``encode_positions`` over one flattened list column slice.
+
+    ``values`` is the concatenation of the per-posting position lists
+    (uint64-castable), ``offsets`` the n+1 list boundaries (absolute values
+    allowed — only differences are used).  Same byte output as
+    ``encode_positions``.
+    """
+    if len(offsets) <= 1:
+        return b""
+    return varint_encode(positions_stream(values, offsets))
+
+
+def encode_positions_batch(
+    values: np.ndarray, offsets: np.ndarray, group_bounds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode MANY terms' position streams in one varint pass.
+
+    ``offsets`` are the n+1 per-posting list boundaries covering the whole
+    row range; ``group_bounds`` (g+1, int64) are posting-index boundaries of
+    each term.  Returns ``(data_u8, byte_offsets)`` where term ``i``'s
+    payload is ``data[byte_offsets[i]:byte_offsets[i+1]]`` — byte-identical
+    to per-term :func:`encode_positions_flat` calls."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    group_bounds = np.asarray(group_bounds, dtype=np.int64)
+    g = len(group_bounds) - 1
+    if g <= 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    stream = positions_stream(values, offsets)
+    data, nb = varint_encode_ex(stream)
+    # term i's stream span: one count slot per posting + its values
+    post_counts = np.diff(group_bounds)
+    val_counts = offsets[group_bounds[1:]] - offsets[group_bounds[:-1]]
+    sv = post_counts + val_counts
+    stream_starts = np.concatenate(([0], np.cumsum(sv)[:-1]))
+    byte_lens = np.add.reduceat(nb, stream_starts) if len(nb) else np.zeros(g, np.int64)
+    byte_offsets = np.concatenate(([0], np.cumsum(byte_lens)))
+    return data, byte_offsets
+
+
+def encode_postings_short_batch(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    fieldnorm_ids: np.ndarray,
+    group_bounds: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-encode terms whose WHOLE posting list is one partial VINT block
+    (df < ``POSTINGS_PER_BLOCK``) — the Zipf tail, i.e. almost every term.
+
+    Inputs are row-aligned arrays already restricted to the selected terms'
+    rows (docid-sorted within each term), with ``group_bounds`` (g+1) the
+    row boundaries per term.  Returns ``(data_u8, byte_offsets, blockmax)``
+    where term ``i``'s full block stream (header included) is
+    ``data[byte_offsets[i]:byte_offsets[i+1]]`` and ``blockmax[i]`` is its
+    single 16-byte record — byte-identical to :func:`encode_postings`."""
+    group_bounds = np.asarray(group_bounds, dtype=np.int64)
+    g = len(group_bounds) - 1
+    if g <= 0:
+        return (
+            np.zeros(0, dtype=np.uint8),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=_BLOCKMAX_DTYPE),
+        )
+    d = docids.astype(np.uint64, copy=False)
+    f = tfs.astype(np.uint64, copy=False)
+    fn = fieldnorm_ids
+    firsts = group_bounds[:-1]
+    counts = np.diff(group_bounds)
+    assert counts.max() < POSTINGS_PER_BLOCK
+    dv = np.empty(len(d), dtype=np.uint64)
+    if len(d):
+        dv[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=dv[1:])
+        dv[1:] -= np.uint64(1)
+        dv[firsts] = d[firsts]  # absolute first docid per term
+    stream = np.empty(2 * len(d), dtype=np.uint64)
+    stream[0::2] = dv
+    stream[1::2] = f
+    payload, nb = varint_encode_ex(stream)
+    plen = np.add.reduceat(nb, 2 * firsts) if len(nb) else np.zeros(g, np.int64)
+    pay_off = np.concatenate(([0], np.cumsum(plen)))
+    # assemble [kind, count, len_lo, len_hi] headers + payload slices in one
+    # output buffer (4 header bytes per term)
+    out_off = pay_off + 4 * np.arange(g + 1, dtype=np.int64)
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    h = out_off[:-1]
+    out[h] = BLOCK_KIND_VINT
+    out[h + 1] = counts.astype(np.uint8)
+    out[h + 2] = (plen & 0xFF).astype(np.uint8)
+    out[h + 3] = (plen >> 8).astype(np.uint8)
+    if len(payload):
+        term_of_byte = np.repeat(np.arange(g, dtype=np.int64), plen)
+        out[np.arange(len(payload), dtype=np.int64) + 4 * (term_of_byte + 1)] = payload
+    bm = np.empty(g, dtype=_BLOCKMAX_DTYPE)
+    bm["first_doc"] = d[firsts] if len(d) else 0
+    bm["offset"] = 0
+    bm["max_freq_code"] = np.minimum(
+        np.maximum.reduceat(f, firsts) if len(f) else np.zeros(g, np.uint64), 255
+    ).astype(np.uint8)
+    bm["min_fieldnorm_id"] = (
+        np.minimum.reduceat(fn, firsts) if len(fn) else np.zeros(g, np.uint8)
+    )
+    bm["pad"] = 0
+    return out, out_off, bm
 
 
 def position_bounds(flat: np.ndarray, n_postings: int) -> np.ndarray:

@@ -21,7 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codecs import encode_positions_flat, encode_postings
+from ..codecs import (
+    POSTINGS_PER_BLOCK,
+    encode_positions_batch,
+    encode_postings,
+    encode_postings_short_batch,
+)
 
 SHARD_SCHEMA = pa.schema(
     [
@@ -91,21 +96,49 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
     out_field = field[starts]
     out_bucket = bucket[starts]
     out_term_codes = codes[starts]
-    out_df = (ends - starts).astype(np.uint32)
-    post_bufs: list[bytes] = []
-    bm_bufs: list[bytes] = []
-    pos_bufs: list[bytes] = []
+    counts = ends - starts
+    out_df = counts.astype(np.uint32)
+
+    # positions: ONE varint pass over the whole shard's stream, split at
+    # term boundaries (posting-local deltas make concatenation exact)
+    n_terms = len(starts)
+    group_bounds = np.concatenate((starts, [n]))
     pos_values_u64 = pos_values.astype(np.uint64, copy=False)
-    for s, e in zip(starts, ends):
-        p, b = encode_postings(docid[s:e], tf[s:e], norm[s:e])
-        post_bufs.append(p)
-        bm_bufs.append(b)
-        pos_bufs.append(
-            encode_positions_flat(
-                pos_values_u64[pos_offsets[s] : pos_offsets[e]],
-                pos_offsets[s : e + 1],
-            )
+    pos_data, pos_boff = encode_positions_batch(
+        pos_values_u64, pos_offsets, group_bounds
+    )
+    pos_raw = pos_data.tobytes()
+    pos_bufs: list[bytes] = [
+        pos_raw[pos_boff[i] : pos_boff[i + 1]] for i in range(n_terms)
+    ]
+
+    # postings: Zipf-tail terms (single partial VINT block) batch-encode in
+    # one pass; only head terms (df >= 128, multi-block FOR/bitmap) take the
+    # per-term path
+    short = counts < POSTINGS_PER_BLOCK
+    post_bufs: list[bytes] = [b""] * n_terms
+    bm_bufs: list[bytes] = [b""] * n_terms
+    short_idx = np.flatnonzero(short)
+    if len(short_idx):
+        lens = counts[short_idx]
+        row_prefix = np.concatenate(([0], np.cumsum(lens)))
+        row_idx = np.arange(int(row_prefix[-1]), dtype=np.int64) + np.repeat(
+            starts[short_idx] - row_prefix[:-1], lens
         )
+        sdata, soff, sbm = encode_postings_short_batch(
+            docid[row_idx], tf[row_idx], norm[row_idx], row_prefix
+        )
+        sraw = sdata.tobytes()
+        bm_raw = sbm.tobytes()
+        isz = sbm.dtype.itemsize
+        for j, i in enumerate(short_idx):
+            post_bufs[i] = sraw[soff[j] : soff[j + 1]]
+            bm_bufs[i] = bm_raw[j * isz : (j + 1) * isz]
+    for i in np.flatnonzero(~short):
+        s, e = starts[i], ends[i]
+        p, b = encode_postings(docid[s:e], tf[s:e], norm[s:e])
+        post_bufs[i] = p
+        bm_bufs[i] = b
 
     return pa.table(
         {

@@ -204,3 +204,114 @@ class TestBlockKinds:
         d = np.arange(5, dtype=np.uint64)
         p, _ = encode_postings(d, ones(5), norms(5))
         assert p[0] == BLOCK_KIND_VINT
+
+
+class TestBatchEncodeIdentity:
+    """The per-shard batch encoders (one varint pass over many terms) must
+    be byte-identical to the per-term reference path."""
+
+    def _shard_input(self, seed: int):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for _ in range(250):
+            term = f"t{rng.integers(0, 70):03d}"
+            field = int(rng.integers(0, 2))
+            bucket = int(rng.integers(0, 3))
+            df = int(rng.choice([1, 2, 3, 5, 10, 100, 127, 128, 129, 300, 600]))
+            base = int(rng.integers(0, 1 << 40))
+            ds = np.sort(
+                rng.choice(
+                    np.arange(base, base + df * 50, dtype=np.uint64),
+                    size=df,
+                    replace=False,
+                )
+            )
+            for d in ds:
+                npos = int(rng.integers(0, 4))
+                rows.append(
+                    (
+                        field,
+                        term,
+                        bucket,
+                        int(d),
+                        int(rng.integers(1, 9)),
+                        int(rng.integers(0, 256)),
+                        sorted(rng.integers(0, 1000, size=npos).tolist()),
+                    )
+                )
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "field": pa.array(cols[0], pa.uint8()),
+                "term": pa.array(cols[1]),
+                "bucket": pa.array(cols[2], pa.uint32()),
+                "docid": pa.array(cols[3], pa.uint64()),
+                "tf": pa.array(cols[4], pa.uint32()),
+                "norm": pa.array(cols[5], pa.uint8()),
+                "positions": pa.array(cols[6], pa.list_(pa.uint32())),
+            }
+        )
+
+    def test_batch_equals_per_term(self):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from frankensearch_ray.codecs import (
+            encode_positions_flat,
+            encode_postings,
+        )
+        from frankensearch_ray.stages.encode import encode_shard_table
+
+        t = self._shard_input(11)
+        out = encode_shard_table(t)
+
+        pre = pc.dictionary_encode(t["term"].combine_chunks())
+        rank = np.empty(len(pre.dictionary), dtype=np.int64)
+        rank[pc.array_sort_indices(pre.dictionary).to_numpy()] = np.arange(
+            len(pre.dictionary)
+        )
+        order = np.lexsort(
+            (
+                t["docid"].to_numpy(),
+                t["bucket"].to_numpy(),
+                rank[pre.indices.to_numpy()],
+                t["field"].to_numpy(),
+            )
+        )
+        ts = t.take(pa.array(order))
+        field = ts["field"].to_numpy()
+        bucket = ts["bucket"].to_numpy()
+        docid = ts["docid"].to_numpy()
+        tf = ts["tf"].to_numpy()
+        norm = ts["norm"].to_numpy()
+        codes = pc.dictionary_encode(ts["term"].combine_chunks()).indices.to_numpy()
+        posc = ts["positions"].combine_chunks()
+        pv = posc.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        po = posc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = (
+            (field[1:] != field[:-1])
+            | (codes[1:] != codes[:-1])
+            | (bucket[1:] != bucket[:-1])
+        )
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [n]))
+        assert len(out) == len(starts)
+        n_short = n_long = 0
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            p, b = encode_postings(docid[s:e], tf[s:e], norm[s:e])
+            pos = encode_positions_flat(pv[po[s] : po[e]], po[s : e + 1])
+            assert out["postings"][i].as_py() == p
+            assert out["blockmax"][i].as_py() == b
+            assert out["positions"][i].as_py() == pos
+            if e - s < 128:
+                n_short += 1
+            else:
+                n_long += 1
+        assert n_short > 0 and n_long > 0  # both paths exercised
