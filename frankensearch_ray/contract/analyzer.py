@@ -39,6 +39,17 @@ MAX_TERM_BYTES = 65_530  # grimoire.rs:22 — global term admission ceiling
 
 _ASCII_SPLIT_PATTERN = "[^a-z0-9]+"
 
+# Non-ASCII rows vectorize through RE2 [\p{L}\p{Nd}\p{Nl}\p{No}] runs +
+# utf8proc lowercasing, which agree with the scalar contract on every
+# assigned codepoint EXCEPT (swept exhaustively over U+0000..U+10FFFF):
+#   - U+0130 İ: Python per-char lower expands to "i̇", utf8proc cannot
+#     expand one-to-many;
+#   - class membership of ~4.4k astral codepoints >= U+11000 added after
+#     RE2's Unicode tables (unicodedata is newer).
+# Rows containing ANY of those route to the scalar reference path.
+_UNI_SPLIT_PATTERN = r"[^\p{L}\p{Nd}\p{Nl}\p{No}]+"
+_SCALAR_GATE_PATTERN = "[İ\\x{11000}-\\x{10FFFF}]"
+
 
 def _char_is_alphanumeric(ch: str) -> bool:
     o = ord(ch)
@@ -160,18 +171,50 @@ def tokenize_column(texts: pa.Array):
         pos_parts.append(positions)
 
     if len(other_rows):
-        toks, idxs, poss = [], [], []
-        for row in other_rows:
-            text = texts[int(row)].as_py()
-            for token, position, _f, _t in analyze_default_scalar(text):
-                if len(token.encode("utf-8")) > MAX_TERM_BYTES:
-                    continue
-                toks.append(token)
-                idxs.append(row)
-                poss.append(position)
-        tok_parts.append(pa.array(toks, type=pa.string()))
-        idx_parts.append(np.asarray(idxs, dtype=np.int64))
-        pos_parts.append(np.asarray(poss, dtype=np.uint32))
+        sub = texts.take(pa.array(other_rows))
+        hard_mask = pc.match_substring_regex(
+            sub, _SCALAR_GATE_PATTERN
+        ).to_numpy(zero_copy_only=False)
+        easy_rows = other_rows[~hard_mask]
+        hard_rows = other_rows[hard_mask]
+
+        if len(easy_rows):
+            sub2 = texts.take(pa.array(easy_rows))
+            lists = pc.split_pattern_regex(sub2, _UNI_SPLIT_PATTERN)
+            flat = pc.utf8_lower(lists.flatten())
+            sizes = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            doc_idx = np.repeat(easy_rows, sizes)
+            lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+            keep = lens > 0
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            positions = _positions_for_runs(doc_idx)
+            lens = lens[keep]
+            over = lens > MAX_TERM_BYTES
+            if over.any():
+                keep2 = ~over
+                flat = flat.filter(pa.array(keep2))
+                doc_idx = doc_idx[keep2]
+                positions = positions[keep2]
+            tok_parts.append(flat)
+            idx_parts.append(doc_idx)
+            pos_parts.append(positions)
+
+        if len(hard_rows):
+            toks, idxs, poss = [], [], []
+            for row in hard_rows:
+                text = texts[int(row)].as_py()
+                for token, position, _f, _t in analyze_default_scalar(text):
+                    if len(token.encode("utf-8")) > MAX_TERM_BYTES:
+                        continue
+                    toks.append(token)
+                    idxs.append(row)
+                    poss.append(position)
+            tok_parts.append(pa.array(toks, type=pa.string()))
+            idx_parts.append(np.asarray(idxs, dtype=np.int64))
+            pos_parts.append(np.asarray(poss, dtype=np.uint32))
 
     tokens = pa.concat_arrays(
         [p.cast(pa.string()) for p in tok_parts]

@@ -63,21 +63,23 @@ def assign_shards(
     codes = term_dict.indices.to_numpy()
     uniq_terms = term_dict.dictionary.to_pylist()
 
-    # per (unique term code, field) hash + salted flag; field is uint8 so
-    # combine into one key for lookup.  Sized to the fields actually
-    # present (2 for the default schema, 9 for CASS).
-    n_u = len(uniq_terms)
-    present_fields = np.unique(field)
-    n_fields = int(present_fields.max()) + 1 if len(present_fields) else 1
-    hashes = np.empty((n_u, n_fields), dtype=np.uint64)
-    salted_flag = np.zeros((n_u, n_fields), dtype=bool)
-    for f in present_fields:
-        for ti, t in enumerate(uniq_terms):
-            hashes[ti, f] = term_hash(int(f), t)
-            salted_flag[ti, f] = (int(f), t) in salted
+    # hash each (field, term) pair that actually OCCURS — one blake2b per
+    # distinct pair, not per (term x present-field) cross product (title
+    # vocabulary is a small subset of content vocabulary, so the cross
+    # product nearly doubles the hash count)
+    n_fields = int(field.max()) + 1 if len(field) else 1
+    pair_key = codes.astype(np.int64) * n_fields + field
+    uniq_pairs, inv = np.unique(pair_key, return_inverse=True)
+    uh = np.empty(len(uniq_pairs), dtype=np.uint64)
+    us = np.zeros(len(uniq_pairs), dtype=bool)
+    for i, k in enumerate(uniq_pairs):
+        f = int(k % n_fields)
+        t = uniq_terms[int(k // n_fields)]
+        uh[i] = term_hash(f, t)
+        us[i] = (f, t) in salted
 
-    row_hash = hashes[codes, field]
-    row_salted = salted_flag[codes, field]
+    row_hash = uh[inv]
+    row_salted = us[inv]
     partition = (docid >> np.uint64(PARTITION_SHIFT)).astype(np.uint64)
     bucket = np.where(
         row_salted, partition // max(1, partitions_per_bucket), 0
