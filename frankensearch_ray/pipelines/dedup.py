@@ -81,16 +81,27 @@ def _word_shingles(tokens: list[str], k: int) -> set[str]:
 
 
 def _shingle_batch(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
-    ids, shingles = [], []
+    """One row per (doc, DISTINCT shingle), rows of one doc contiguous.
+
+    ``doc_size`` (the doc's distinct-shingle count |A|) rides along on every
+    row so downstream pair counting never needs a separate per-doc size
+    aggregation — a whole groupby exchange removed."""
+    ids, shingles, sizes = [], [], []
     for doc_id, text in zip(
         batch[id_col].to_pylist(), batch[text_col].to_pylist()
     ):
         toks = (text or "").split()
-        for s in _word_shingles(toks, k):
+        sh = _word_shingles(toks, k)
+        for s in sh:
             ids.append(doc_id)
             shingles.append(s)
+            sizes.append(len(sh))
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(shingles)}
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "shingle": pa.array(shingles),
+            "doc_size": pa.array(sizes, pa.int64()),
+        }
     )
 
 
@@ -136,53 +147,61 @@ def ngram_jaccard_pairs(
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
     shingled = ds.map_batches(shingle_and_bucket, batch_format="pyarrow").materialize()
 
-    # |A| per doc stays a DATASET; it is filtered to candidate docs after
-    # pair counting (candidates ≪ corpus), never a full driver-side dict
-    sizes_ds = shingled.groupby("doc_id").count()
-
     def bucket_pair_counts(g: pa.Table) -> pa.Table:
         """Vectorized per-bucket pair expansion: sort by shingle, find runs,
-        emit triangular pairs for runs within the df cap, partial-count."""
+        emit triangular pairs for runs within the df cap, partial-count.
+        Doc sizes ride along with each partial (any row of a doc carries
+        its |A|), so no separate size aggregation or driver dict exists."""
         doc = g["doc_id"].to_numpy()
         de = pc.dictionary_encode(g["shingle"].combine_chunks())
         codes = de.indices.to_numpy()
         order = np.lexsort((doc, codes))
         codes_s, doc_s = codes[order], doc[order]
+        size_s = g["doc_size"].to_numpy()[order]
         bounds = np.flatnonzero(
             np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
         )
         ends = np.concatenate((bounds[1:], [len(codes_s)]))
-        pa_parts, pb_parts = [], []
+        pa_parts, pb_parts, sa_parts, sb_parts = [], [], [], []
         for s, e in zip(bounds, ends):
             n = e - s
             if n < 2 or n > shingle_df_cap:
                 continue
             d = doc_s[s:e]  # unique per shingle by construction
+            sz = size_s[s:e]
             ia, ib = np.triu_indices(n, k=1)
             pa_parts.append(d[ia])
             pb_parts.append(d[ib])
+            sa_parts.append(sz[ia])
+            sb_parts.append(sz[ib])
         if not pa_parts:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int64()),
                 }
             )
         pairs = pa.table(
             {
                 "a": pa.array(np.concatenate(pa_parts), pa.int64()),
                 "b": pa.array(np.concatenate(pb_parts), pa.int64()),
+                "sa": pa.array(np.concatenate(sa_parts), pa.int64()),
+                "sb": pa.array(np.concatenate(sb_parts), pa.int64()),
             }
         )
         agg = pairs.group_by(["a", "b"], use_threads=False).aggregate(
-            [("a", "count")]
+            [("a", "count"), ("sa", "min"), ("sb", "min")]
         )
         return pa.table(
             {
                 "a": agg["a"],
                 "b": agg["b"],
                 "n": agg["a_count"].cast(pa.int64()),
+                "sa": agg["sa_min"].cast(pa.int64()),
+                "sb": agg["sb_min"].cast(pa.int64()),
             }
         )
 
@@ -192,13 +211,12 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     # cross-bucket final sum (different shingles of one pair land in
-    # different buckets)
+    # different buckets); sizes are per-doc constants, min == the value
     pair_counts = (
-        partials.groupby(["a", "b"], as_index=False)["n"]
-        .sum()
-        .rename(columns={"n": "count()"})
+        partials.groupby(["a", "b"], as_index=False)
+        .agg(n=("n", "sum"), sa=("sa", "min"), sb=("sb", "min"))
         if len(partials)
-        else pd.DataFrame({"a": [], "b": [], "count()": []})
+        else pd.DataFrame({"a": [], "b": [], "n": [], "sa": [], "sb": []})
     )
     if len(pair_counts) == 0:
         return pa.table(
@@ -208,23 +226,11 @@ def ngram_jaccard_pairs(
                 "jaccard_pct": pa.array([], pa.int64()),
             }
         )
-    inter = pair_counts["count()"].to_numpy(dtype=np.int64)
+    inter = pair_counts["n"].to_numpy(dtype=np.int64)
     a = pair_counts["a"].to_numpy(dtype=np.int64)
     b = pair_counts["b"].to_numpy(dtype=np.int64)
-    # sizes of CANDIDATE docs only: push the id filter into the sizes
-    # dataset so driver memory is bounded by the pair list, not the corpus
-    cand_ids = pa.array(np.unique(np.concatenate((a, b))))
-    cand_sizes = (
-        sizes_ds.map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .set_index("doc_id")["count()"]
-        .to_dict()
-    )
-    size_a = np.array([cand_sizes[x] for x in a], dtype=np.int64)
-    size_b = np.array([cand_sizes[x] for x in b], dtype=np.int64)
+    size_a = pair_counts["sa"].to_numpy(dtype=np.int64)
+    size_b = pair_counts["sb"].to_numpy(dtype=np.int64)
     union = size_a + size_b - inter
     jac = inter / union
     keep = jac >= threshold
