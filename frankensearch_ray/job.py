@@ -1,0 +1,170 @@
+"""``ray job submit`` entrypoint: build / query an index on a live cluster.
+
+The north-rule deployment surface: the SAME driver script runs unchanged on
+a fixed-size multi-node cluster at any size —
+
+    ray job submit --working-dir . -- \
+        python -m frankensearch_ray.job build \
+        --source /data/pages/*.parquet --index-dir /shared/idx \
+        --num-shards 4096 --id-col url --html-col html
+
+    ray job submit --working-dir . -- \
+        python -m frankensearch_ray.job search \
+        --index-dir /shared/idx --queries queries.txt --limit 10
+
+Inside a submitted job ``ray.init(address="auto")`` attaches to the hosting
+cluster; standalone it honours ``RAY_ADDRESS`` (``local`` in this sandbox).
+Builds resume from per-partition checkpoints by default (``--no-resume`` to
+rebuild), so a pre-empted job re-submitted with the same arguments skips
+finished partitions — the checkpoint fingerprints (source ranges + routing
+config) make a changed config rebuild instead of silently mixing layouts.
+
+Output is one JSON line per command: build emits the manifest metrics
+(docs/s, postings/s, per-shard compressed bytes, phase timings, lineage
+partition count); search emits per-query hits + workload throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto", include_dashboard=False)
+
+
+def _cmd_build(args: argparse.Namespace) -> int:
+    from .build import BuildConfig, build_index
+
+    paths: list[str] = []
+    for pat in args.source:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    if not paths:
+        print(json.dumps({"error": "no source files matched"}), file=sys.stderr)
+        return 2
+    none_if_empty = lambda v: v or None  # "" on the CLI means "not present"
+    cfg = BuildConfig(
+        id_col=args.id_col,
+        content_col=none_if_empty(args.content_col),
+        html_col=none_if_empty(args.html_col),
+        verify_text_col=none_if_empty(args.verify_text_col),
+        num_shards=args.num_shards,
+        salt_threshold=args.salt_threshold,
+        salt_buckets=args.salt_buckets,
+        target_partition_rows=args.target_partition_rows,
+    )
+    _ensure_ray()
+    manifest = build_index(paths, args.index_dir, cfg, resume=not args.no_resume)
+    m = manifest["metrics"]
+    print(
+        json.dumps(
+            {
+                "command": "build",
+                "index_dir": args.index_dir,
+                "partitions": len(manifest["partitions"]),
+                "shards": len(manifest["shards"]),
+                "docs": m["docs"],
+                "postings": m["postings"],
+                "elapsed_sec": round(m["elapsed_sec"], 3),
+                "docs_per_sec": round(m["docs_per_sec"] or 0, 1),
+                "postings_per_sec": round(m["postings_per_sec"] or 0, 1),
+                "salt_sec": round(m["salt_sec"], 3),
+                "phase_a_sec": round(m["phase_a_sec"], 3),
+                "phase_b_sec": round(m["phase_b_sec"], 3),
+                "compressed_bytes_per_shard": m["compressed_bytes_per_shard"],
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_search(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    if args.queries == "-":
+        qs = [ln.strip() for ln in sys.stdin if ln.strip()]
+    else:
+        with open(args.queries) as f:
+            qs = [ln.strip() for ln in f if ln.strip()]
+    if not qs:
+        print(json.dumps({"error": "no queries"}), file=sys.stderr)
+        return 2
+
+    if args.replicas > 1:
+        from .search.pool import SearcherPool
+
+        pool = SearcherPool(args.index_dir, size=args.replicas)
+        t0 = time.time()
+        results = pool.search_many(qs, limit=args.limit)
+        elapsed = time.time() - t0
+        pool.shutdown()
+    else:
+        from .search.searcher import LocalSearcher
+
+        s = LocalSearcher(args.index_dir)
+        t0 = time.time()
+        results = [s.search(q, limit=args.limit) for q in qs]
+        elapsed = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "command": "search",
+                "n_queries": len(qs),
+                "elapsed_sec": round(elapsed, 4),
+                "queries_per_sec": round(len(qs) / elapsed, 1) if elapsed else None,
+                "results": [
+                    {
+                        "query": q,
+                        "hits": [
+                            {"id": h["id"], "score": h["score"]} for h in r["hits"]
+                        ],
+                    }
+                    for q, r in zip(qs, results)
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="python -m frankensearch_ray.job")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--source", nargs="+", required=True, help="parquet paths/globs")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--id-col", default="url")
+    b.add_argument("--content-col", default=None)
+    b.add_argument("--html-col", default="html")
+    b.add_argument("--verify-text-col", default=None)
+    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--salt-threshold", type=int, default=100_000)
+    b.add_argument("--salt-buckets", type=int, default=8)
+    b.add_argument("--target-partition-rows", type=int, default=250_000)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    s = sub.add_parser("search", help="run a query workload")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--queries", required=True, help="file of queries, or - for stdin")
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--replicas", type=int, default=1)
+    s.set_defaults(fn=_cmd_search)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
