@@ -89,6 +89,142 @@ import re as _re
 _SIMPLE_ASCII = _re.compile(r"[A-Za-z0-9 ]*\Z")
 
 
+def _prefix_text_postings(
+    texts: pa.Array, field_ord: int, docids: np.ndarray
+) -> tuple[pa.Table, np.ndarray, int]:
+    """Edge-ngram prefix-field postings, vectorized for simple-ASCII rows.
+
+    The scalar pipeline is ``generate_edge_ngrams`` (per word, prefixes of
+    2..=20 scalars, space-joined) -> ``CassPrefixNormalize``.  For rows of
+    plain ``[A-Za-z0-9 ]`` text (the dominant shape) the composition
+    reduces to: for word ``i`` of char length ``L_i``, emit
+    ``min(L_i,20)-1`` lowered prefixes at consecutive positions — which
+    this builds with 19 ``utf8_slice_codeunits`` passes (one per prefix
+    length) and a segmented cumsum for positions, byte-identical to the
+    scalar path (pytest-pinned differential).  Non-simple rows fall back
+    to the scalar state machine."""
+    import pyarrow.compute as pc
+
+    from .contract.analyzer import (
+        CASS_MAX_EDGE_NGRAM_CHARS,
+        analyze_cass_scalar,
+        generate_edge_ngrams,
+    )
+
+    t = pc.fill_null(
+        texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks(),
+        "",
+    )
+    n = len(t)
+    counts = np.zeros(n, dtype=np.int64)
+    simple = pc.match_substring_regex(t, r"^[A-Za-z0-9 ]*$").to_numpy(
+        zero_copy_only=False
+    )
+    sim_rows = np.flatnonzero(simple)
+    other_rows = np.flatnonzero(~simple)
+
+    doc_parts: list[np.ndarray] = []
+    term_parts: list[pa.Array] = []
+    pos_parts: list[np.ndarray] = []
+
+    if len(sim_rows):
+        sub = pc.ascii_lower(t.take(pa.array(sim_rows)))
+        lists = pc.split_pattern(sub, " ")
+        flat = lists.flatten()
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        word_doc = np.repeat(sim_rows, sizes)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = wl > 0  # split("") artifacts of repeated/edge spaces
+        flat = flat.filter(pa.array(keep))
+        word_doc = word_doc[keep]
+        wl = wl[keep]
+        c = np.maximum(np.minimum(wl, CASS_MAX_EDGE_NGRAM_CHARS) - 1, 0)
+        # positions: prefixes of word i start at the doc-running sum of c
+        P = np.cumsum(c) - c
+        if len(word_doc):
+            run_starts = np.concatenate(
+                ([0], np.flatnonzero(word_doc[1:] != word_doc[:-1]) + 1)
+            )
+            run_lens = np.diff(np.concatenate((run_starts, [len(word_doc)])))
+            P = P - np.repeat(P[run_starts], run_lens)
+            per_doc_total = np.add.reduceat(c, run_starts)
+            counts[word_doc[run_starts]] = per_doc_total
+        for ln in range(2, CASS_MAX_EDGE_NGRAM_CHARS + 1):
+            m = wl >= ln
+            if not m.any():
+                break
+            doc_parts.append(word_doc[m])
+            term_parts.append(pc.utf8_slice_codeunits(flat.filter(pa.array(m)), 0, ln))
+            pos_parts.append((P[m] + (ln - 2)).astype(np.int64))
+
+    if len(other_rows):
+        toks_doc, toks_term, toks_pos = [], [], []
+        for r in other_rows:
+            v = generate_edge_ngrams(t[int(r)].as_py())
+            toks = analyze_cass_scalar(v, hyphen_decompose=False)
+            if toks:
+                counts[r] = toks[-1][1] + 1
+            for tok, pos, _bf, _bt in toks:
+                toks_doc.append(r)
+                toks_term.append(tok)
+                toks_pos.append(pos)
+        doc_parts.append(np.asarray(toks_doc, dtype=np.int64))
+        term_parts.append(pa.array(toks_term, pa.string()))
+        pos_parts.append(np.asarray(toks_pos, dtype=np.int64))
+
+    doc_idx = (
+        np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int64)
+    )
+    total = len(doc_idx)
+    if total == 0:
+        return POSTINGS_SCHEMA.empty_table(), counts, 0
+    terms = pa.concat_arrays(
+        [p.cast(pa.string()) for p in term_parts]
+    ) if len(term_parts) > 1 else term_parts[0].cast(pa.string())
+    poss = np.concatenate(pos_parts)
+    # per-(doc,term) position lists must aggregate ascending, as the
+    # scalar emission order does
+    order = np.lexsort((poss, doc_idx))
+    flat_tbl = pa.table(
+        {
+            "doc": pa.array(doc_idx[order], pa.int64()),
+            "term": pc.take(terms, pa.array(order)),
+            "pos": pa.array(poss[order].astype(np.uint32), pa.uint32()),
+        }
+    )
+    return _group_flat_postings(flat_tbl, field_ord, docids, counts, total)
+
+
+def _group_flat_postings(
+    flat: pa.Table,
+    field_ord: int,
+    docids: np.ndarray,
+    counts: np.ndarray,
+    total: int,
+) -> tuple[pa.Table, np.ndarray, int]:
+    grouped = flat.group_by(["doc", "term"], use_threads=False).aggregate(
+        [("pos", "list"), ("pos", "count")]
+    )
+    g_doc = grouped["doc"].to_numpy()
+    norm_ids = fieldnorm_to_id(counts)
+    out = pa.table(
+        {
+            "field": pa.array(
+                np.full(len(grouped), field_ord, dtype=np.uint8), pa.uint8()
+            ),
+            "term": grouped["term"],
+            "docid": pa.array(docids[g_doc], pa.uint64()),
+            "tf": grouped["pos_count"].cast(pa.uint32()),
+            "norm": pa.array(norm_ids[g_doc], pa.uint8()),
+            "positions": grouped["pos_list"].cast(pa.list_(pa.uint32())),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    return out, counts, total
+
+
 def _scalar_text_postings(
     texts: pa.Array, field_ord: int, docids: np.ndarray, analyze, pre=None
 ) -> tuple[pa.Table, np.ndarray, int]:
@@ -203,13 +339,7 @@ def cass_tokenize_partition(
         totals[name], counts[name] = tot, cnt
     for name, ord_ in CASS_PREFIX_ORDS.items():
         src = _col(table, PREFIX_SOURCE[name])
-        tbl, _cnt, _tot = _scalar_text_postings(
-            src,
-            ord_,
-            docids,
-            lambda t: analyze_cass_scalar(t, hyphen_decompose=False),
-            pre=generate_edge_ngrams,
-        )
+        tbl, _cnt, _tot = _prefix_text_postings(src, ord_, docids)
         parts.append(tbl)
     for name, ord_ in CASS_KEYWORD_ORDS.items():
         parts.append(_keyword_postings(_col(table, name), ord_, docids))

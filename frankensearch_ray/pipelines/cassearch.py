@@ -99,7 +99,10 @@ def derive_cass_source(sf_dir: str) -> str:
         }
     )
     tmp = out + ".tmp"
-    pq.write_table(derived, tmp)
+    # small row groups: plan_partitions splits on row-group boundaries, so
+    # a single-row-group file would serialize the whole CASS build into
+    # one phase-A task
+    pq.write_table(derived, tmp, row_group_size=1000)
     os.replace(tmp, out)
     return out
 

@@ -214,3 +214,71 @@ def test_msg_idx_numeric_range(cass):
         if 10 <= m < 20
     )
     assert got == want and len(got) > 0
+
+
+class TestPrefixVectorizedParity:
+    """_prefix_text_postings (vectorized edge-ngram expansion) must be
+    byte-identical to generate_edge_ngrams -> CassPrefixNormalize."""
+
+    def test_parity_mixed_corpus(self):
+        import random
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from frankensearch_ray.cassindex import (
+            _prefix_text_postings,
+            _scalar_text_postings,
+        )
+        from frankensearch_ray.contract.analyzer import (
+            analyze_cass_scalar,
+            generate_edge_ngrams,
+        )
+
+        rng = random.Random(5)
+        texts = [
+            "Hello World Programming",
+            "a bc def ghij klmnopqrstuvwxyzabcdefgh",
+            "  spaced   out  ",
+            "",
+            None,
+            "naïve café unicode",
+            "hyphen-ated words",
+            "日本語テキスト",
+            "dup dup dup prefix prefixes",
+        ]
+        for _ in range(120):
+            words = [
+                "".join(
+                    rng.choice("abcdefgHIJJKL0123")
+                    for _ in range(rng.randint(1, 25))
+                )
+                for _ in range(rng.randint(0, 12))
+            ]
+            s = " ".join(words)
+            if rng.random() < 0.15:
+                s += " é"
+            texts.append(s)
+        arr = pa.array(texts, pa.string())
+        docids = np.arange(len(texts), dtype=np.uint64)
+        new, cnt_new, tot_new = _prefix_text_postings(arr, 9, docids)
+        old, cnt_old, tot_old = _scalar_text_postings(
+            arr,
+            9,
+            docids,
+            lambda t: analyze_cass_scalar(t, hyphen_decompose=False),
+            pre=generate_edge_ngrams,
+        )
+        assert tot_new == tot_old
+        assert (cnt_new == cnt_old).all()
+
+        def canon(t):
+            return t.take(
+                pc.sort_indices(
+                    t,
+                    sort_keys=[("docid", "ascending"), ("term", "ascending")],
+                )
+            )
+
+        assert canon(new).equals(canon(old))
