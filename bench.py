@@ -90,7 +90,9 @@ def _warm_workers(num_cpus: int) -> None:
     return len(set(pids))
 
 
-def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
+def headline(
+    num_cpus: int, pages_rows: int, workdir: str, warm_build: bool = True
+) -> dict:
     """Fresh pages-index build + BM25 query workload; returns metrics.
 
     The job config is IDENTICAL at every parallelism level (same shards,
@@ -115,9 +117,11 @@ def headline(num_cpus: int, pages_rows: int, workdir: str) -> dict:
     # one untimed warm build of the SAME job: pays per-process lazy-init
     # (worker module imports, arrow kernel/thread-pool setup, input page
     # cache) once, so the timed run reports steady-state throughput —
-    # the same discipline as the scaling path's best-of-N trials
-    build_index(paths, index_dir + "_warm", cfg, resume=False)
-    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    # the same discipline as the scaling path's best-of-N trials (which
+    # skip it after their first trial: later trials are already warm)
+    if warm_build:
+        build_index(paths, index_dir + "_warm", cfg, resume=False)
+        shutil.rmtree(index_dir + "_warm", ignore_errors=True)
     t0 = time.time()
     manifest = build_index(paths, index_dir, cfg, resume=False)
     t_build = time.time() - t0
@@ -239,7 +243,10 @@ def run_worker(num_cpus: int, workdir: str) -> None:
     trials = int(os.environ.get("FSRAY_BENCH_TRIALS", "3"))
     best = None
     for t in range(max(1, trials)):
-        h = headline(num_cpus, PAGES_ROWS, os.path.join(workdir, f"t{t}"))
+        h = headline(
+            num_cpus, PAGES_ROWS, os.path.join(workdir, f"t{t}"),
+            warm_build=(t == 0),
+        )
         if best is None or h["docs_per_sec"] > best["docs_per_sec"]:
             qps = max(h["queries_per_sec"], (best or h)["queries_per_sec"])
             best = h
