@@ -32,7 +32,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_ROWS = int(os.environ.get("FSRAY_BENCH_PAGES", "100000"))
-N_BENCH_QUERIES = 200
+# large enough that the hi scaling leg's replicas each serve a smooth
+# share (1000/16 = 62 queries) instead of a straggler-dominated dozen
+N_BENCH_QUERIES = 1000
 
 
 def _bench_queries() -> list[str]:
