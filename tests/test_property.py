@@ -111,3 +111,30 @@ def test_default_parser_never_raises(text):
 
     parsed = parse_default(text)
     assert parsed.query is not None
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=8))
+def test_tokenize_column_matches_scalar(texts):
+    """The vectorized column analyzer (RE2 runs + utf8proc lower, with the
+    U+0130/astral scalar gate) is token/position-identical to the scalar
+    reference on ARBITRARY unicode rows."""
+    import pyarrow as pa
+
+    from frankensearch_ray.contract.analyzer import (
+        MAX_TERM_BYTES,
+        analyze_default_scalar,
+        tokenize_column,
+    )
+
+    tokens, doc_idx, positions = tokenize_column(pa.array(texts, pa.string()))
+    got: dict[int, list] = {}
+    for t, d, p in zip(tokens.to_pylist(), doc_idx.tolist(), positions.tolist()):
+        got.setdefault(d, []).append((t, p))
+    for i, text in enumerate(texts):
+        want = [
+            (t, p)
+            for t, p, _f, _t in analyze_default_scalar(text)
+            if len(t.encode()) <= MAX_TERM_BYTES
+        ]
+        have = sorted(got.get(i, []), key=lambda x: x[1])
+        assert want == have, (i, text, want[:5], have[:5])
