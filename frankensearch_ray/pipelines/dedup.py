@@ -451,35 +451,62 @@ def minhash_pairs(
     n_pair_buckets = 32
 
     def emit_sets(batch: pa.Table) -> pa.Table:
+        # hash only the batch's UNIQUE shingle dictionary (same trick as
+        # MinHashBander), then slice per-doc segments — identical hash
+        # values to the scalar per-shingle path
         d2p = ray.get(d2p_ref)
-        out_pair, out_role, out_set = [], [], []
-        for doc_id, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            hits = d2p.get(int(doc_id))
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        doc_hits: list[list[tuple[int, int]]] = []
+        per_doc: list[list[str]] = []
+        for i in range(len(ids)):
+            hits = d2p.get(int(ids[i]))
             if not hits:
                 continue
-            sh = _word_shingles((text or "").split(), k)
+            sh = _word_shingles((texts[i] or "").split(), k)
             if not sh:
                 continue  # empty shingle set: pair can never verify
-            hashes = np.unique(
-                np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                s.encode("utf-8"), digest_size=8
-                            ).digest(),
-                            "little",
-                        )
-                        for s in sh
-                    ],
-                    dtype=np.uint64,
+            doc_hits.append(hits)
+            per_doc.append(list(sh))
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+                "role": pa.array([], pa.int8()),
+                "shingles": pa.array([], pa.list_(pa.uint64())),
+            }
+        )
+        if not per_doc:
+            return empty
+        lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = [s for row in per_doc for s in row]
+        de = pc.dictionary_encode(pa.array(flat))
+        vocab_hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
+                    "little",
                 )
-            )
+                for v in de.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        hv = vocab_hashes[de.indices.to_numpy()]
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        doc_sets = [
+            np.unique(hv[starts[d] : starts[d + 1]])
+            for d in range(len(per_doc))
+        ]
+        out_pair, out_role, out_set = [], [], []
+        for d, hits in enumerate(doc_hits):
             for pi, role in hits:
                 out_pair.append(pi)
                 out_role.append(role)
-                out_set.append(hashes)
+                out_set.append(doc_sets[d])
+        values = np.concatenate(out_set) if out_set else np.zeros(0, np.uint64)
+        offsets = np.concatenate(
+            ([0], np.cumsum([len(s) for s in out_set]))
+        ).astype(np.int32)
         return pa.table(
             {
                 "pair": pa.array(out_pair, pa.int64()),
@@ -487,8 +514,8 @@ def minhash_pairs(
                     [p % n_pair_buckets for p in out_pair], pa.int32()
                 ),
                 "role": pa.array(out_role, pa.int8()),
-                "shingles": pa.array(
-                    [s.tolist() for s in out_set], pa.list_(pa.uint64())
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
                 ),
             }
         )
@@ -501,6 +528,8 @@ def minhash_pairs(
         pn = pn[order]
         roles = g["role"].to_numpy()
         sh_col = g["shingles"].combine_chunks()
+        sh_offs = sh_col.offsets.to_numpy()
+        sh_vals = sh_col.values.to_numpy()
         bounds = np.flatnonzero(np.concatenate(([True], pn[1:] != pn[:-1])))
         ends = np.concatenate((bounds[1:], [len(pn)]))
         out_a, out_b, out_j = [], [], []
@@ -510,8 +539,8 @@ def minhash_pairs(
             rr = roles[s:e]
             ia = s + int(np.flatnonzero(rr == 0)[0])
             ib = s + int(np.flatnonzero(rr == 1)[0])
-            sa = np.asarray(sh_col[ia].as_py(), dtype=np.uint64)
-            sb = np.asarray(sh_col[ib].as_py(), dtype=np.uint64)
+            sa = sh_vals[sh_offs[ia] : sh_offs[ia + 1]]
+            sb = sh_vals[sh_offs[ib] : sh_offs[ib + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             jac = inter / (len(sa) + len(sb) - inter)
             if jac >= threshold:
