@@ -87,6 +87,26 @@ class BuildConfig:
     # resolved on the DRIVER and shipped to workers via cloudpickle
     analyzer: str = "frankensearch_default"
 
+    def validate(self) -> None:
+        """Reject invalid configs loudly at build entry (the reference's
+        ``InvalidConfig`` error class, fixture ``behavior-errors-no-panic``)."""
+        if self.num_shards < 1:
+            raise ValueError(f"num_shards must be >= 1, got {self.num_shards}")
+        if self.target_partition_rows < 1:
+            raise ValueError(
+                f"target_partition_rows must be >= 1, got {self.target_partition_rows}"
+            )
+        if self.salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be >= 1, got {self.salt_buckets}")
+        if not self.id_col:
+            raise ValueError("id_col must be set")
+        if self.schema_kind not in ("pages", "cass"):
+            raise ValueError(f"unknown schema_kind {self.schema_kind!r}")
+        if self.shuffle_mode not in ("fs", "groupby"):
+            raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
+        if self.schema_kind == "pages" and not (self.html_col or self.content_col):
+            raise ValueError("one of html_col / content_col must be set")
+
     def needed_columns(self) -> list[str]:
         if self.schema_kind == "cass":
             from .cassindex import (
@@ -793,6 +813,7 @@ def build_index(
     import ray.data as rd
 
     cfg = cfg or BuildConfig()
+    cfg.validate()
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     if resume:
@@ -977,24 +998,50 @@ def build_index(
     return manifest
 
 
+def _manifest_checksum(manifest: dict) -> str:
+    """Content checksum over the canonical JSON body (``_checksum`` key
+    excluded) — the reference's checksummed-manifest durability contract
+    (fixture ``behavior-segments-durability``; manifest CRC in
+    ``keeper.rs``)."""
+    import hashlib
+
+    body = json.dumps(
+        {k: v for k, v in manifest.items() if k != "_checksum"},
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+    return hashlib.sha256(body.encode("utf-8")).hexdigest()
+
+
 def publish_manifest(index_dir: str, manifest: dict) -> None:
     """Two-slot publish (``MANIFEST``/``MANIFEST.prev``, ``keeper.rs:9062``,
-    ``PLAN.md:376``): the previous generation survives a torn write."""
+    ``PLAN.md:376``): the previous generation survives a torn write.
+    The manifest is self-checksummed so corruption that still parses as
+    JSON is detected at open, not just torn writes."""
     path = os.path.join(index_dir, MANIFEST_NAME)
     if os.path.exists(path):
         import shutil
 
         shutil.copyfile(path, path + ".prev")
+    manifest["_checksum"] = _manifest_checksum(manifest)
     _atomic_write_json(manifest, path)
 
 
 def load_manifest(index_dir: str) -> dict:
     """Crash-only open: fall back to the previous slot on a torn/corrupt
-    current manifest (``PLAN.md:450-452``)."""
+    current manifest (``PLAN.md:450-452``).  A manifest carrying a
+    ``_checksum`` must verify; legacy manifests without one load as-is."""
     path = Path(index_dir) / MANIFEST_NAME
+
+    def _read(p) -> dict:
+        with open(p) as f:
+            m = json.load(f)
+        ck = m.get("_checksum")
+        if ck is not None and ck != _manifest_checksum(m):
+            raise ValueError(f"manifest checksum mismatch at {p}")
+        return m
+
     try:
-        with open(path) as f:
-            return json.load(f)
-    except (json.JSONDecodeError, OSError):
-        with open(str(path) + ".prev") as f:
-            return json.load(f)
+        return _read(path)
+    except (json.JSONDecodeError, OSError, ValueError):
+        return _read(str(path) + ".prev")

@@ -855,11 +855,17 @@ def embedding_cosine_pairs(
         rep_ids = np.repeat(ids.astype(np.int64), n_assign)
         rep_cl = near.reshape(-1).astype(np.int32)
         rep_vecs = np.repeat(mn, n_assign, axis=0)
+        dim = rep_vecs.shape[1]
+        offsets = np.arange(len(rep_ids) + 1, dtype=np.int32) * dim
+        vec_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(rep_vecs.reshape(-1), pa.float64()),
+        )
         return pa.table(
             {
                 "cluster": pa.array(rep_cl),
                 "vid": pa.array(rep_ids),
-                "vec": pa.array(list(rep_vecs), pa.list_(pa.float64())),
+                "vec": vec_col,
             }
         )
 

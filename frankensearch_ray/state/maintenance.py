@@ -403,6 +403,29 @@ def delete_documents(
     return maybe_maintain(index_dir) if auto_maintain else manifest
 
 
+def delete_all(index_dir: str, auto_maintain: bool = True) -> dict:
+    """Tombstone every live document (the reference writer's
+    ``delete_all`` contract, fixture ``behavior-writer-mutations``).
+
+    Each partition's doclen sidecar is the authoritative live-docid
+    list; dead rows were already dropped at the last compaction, so the
+    union of doclen docids plus the current tombstone set covers every
+    docid any reader can score.  With ``auto_maintain`` the 100%%
+    tombstone density immediately triggers compaction."""
+    from ..build import _part_paths
+
+    manifest = load_manifest(index_dir)
+    tomb = set(int(x) for x in manifest.get("tombstones", []))
+    for part in manifest["partitions"]:
+        path = _part_paths(index_dir, part["index"])["doclen"]
+        t = pq.read_table(path, columns=["docid"])
+        tomb.update(int(d) for d in t["docid"].to_numpy())
+    manifest["tombstones"] = sorted(tomb)
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    _write_manifest(index_dir, manifest)
+    return maybe_maintain(index_dir) if auto_maintain else manifest
+
+
 def upsert_table(
     index_dir: str, table: pa.Table, auto_maintain: bool = True
 ) -> dict:
