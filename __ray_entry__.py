@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         "sessionize_events": events.sessionize,
+        "window_events": events.window_aggregate,
+        "asof_click_purchase": events.asof_join,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -267,6 +269,41 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_sec
             FROM sessions GROUP BY user_id, session
             ORDER BY user_id, session
+        """,
+        "window_events": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT
+                     AS sum_value_milli
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_click_purchase": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            filled AS (
+              SELECT *,
+                     last_value(CASE WHEN event_type = 'click'
+                                     THEN event_id END IGNORE NULLS)
+                       OVER w AS matched_event_id,
+                     last_value(CASE WHEN event_type = 'click'
+                                     THEN ts_us END IGNORE NULLS)
+                       OVER w AS matched_ts_us
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id::BIGINT AS event_id,
+                   user_id::BIGINT AS user_id,
+                   matched_event_id::BIGINT AS matched_event_id,
+                   (ts_us - matched_ts_us)::BIGINT AS gap_us
+            FROM filled
+            WHERE event_type = 'purchase' AND matched_event_id IS NOT NULL
+            ORDER BY event_id
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id

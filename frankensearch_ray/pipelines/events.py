@@ -12,6 +12,12 @@ user in the bucket at once.
   previous event of the same user exceeds ``gap_minutes``) with
   per-session aggregates — the classic training-data prep step for
   behavioral corpora.
+- ``window_aggregate``: tumbling-window rollup per (window, event_type)
+  with an EXACT distinct-user count via a two-stage shuffle (per-triple
+  partials, then per-window rollup) — never a per-window set on one task.
+- ``asof_join``: per-user as-of join (each ``purchase`` event matched to
+  the most recent ``click`` at-or-before it), vectorized across users
+  within a bucket via forward-fill over the (user, ts, event) sort.
 
 The partitioning assumption is that ONE BUCKET of users fits one task
 (tunable via ``n_buckets``); a single pathological user still co-locates
@@ -105,6 +111,207 @@ def sessionize(
         )
         .to_pandas()
         .sort_values(["user_id", "session"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+def window_aggregate(
+    sf_dir: str,
+    window_minutes: int = 60,
+) -> pa.Table:
+    """Tumbling-window aggregate per (window_start, event_type):
+    event count, EXACT distinct-user count, and an integer-exact value
+    sum (``floor(value*1000)`` summed as int64 so the DuckDB oracle
+    hashes identically — float accumulation order never matters).
+
+    Scale shape: stage 1 pre-aggregates per (window, event_type,
+    user_id) INSIDE each batch (combiner), so the first shuffle moves
+    at most one row per distinct triple; stage 2 rolls triples up to
+    (window, event_type), counting rows for the exact n_users.  No
+    per-window user set is ever materialized on one task.
+    """
+    import ray.data as rd
+
+    win_us = window_minutes * 60 * 1_000_000
+
+    def triple_partials(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        win = (ts // win_us) * (win_us // 1_000_000)  # window start, sec
+        uid = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        milli = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        # combine within the batch: one row per distinct triple
+        et_codes, et_names = _factorize_str(et)
+        key = np.stack([win, uid, et_codes], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(inv, weights=milli.astype(np.float64), minlength=len(uniq))
+        # bincount weights go through f64; milli sums stay exact below 2^53
+        return pa.table(
+            {
+                "window_start": pa.array(uniq[:, 0]),
+                "user_id": pa.array(uniq[:, 1]),
+                "event_type": pa.array(et_names[uniq[:, 2]]),
+                "n_events": pa.array(n),
+                "sum_value_milli": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    def window_partials(t: pa.Table) -> pa.Table:
+        # each input row is one distinct (window, event_type, user) triple
+        win = t["window_start"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        et_codes, et_names = _factorize_str(et)
+        key = np.stack([win, et_codes], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        users = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n = np.bincount(
+            inv, weights=t["n_events"].to_numpy().astype(np.float64),
+            minlength=len(uniq),
+        )
+        s = np.bincount(
+            inv,
+            weights=t["sum_value_milli"].to_numpy().astype(np.float64),
+            minlength=len(uniq),
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(uniq[:, 0]),
+                "event_type": pa.array(et_names[uniq[:, 1]]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_users": pa.array(users),
+                "sum_value_milli": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+    triples = (
+        ds.map_batches(triple_partials, batch_format="pyarrow")
+        .groupby(["window_start", "event_type", "user_id"])
+        .sum(["n_events", "sum_value_milli"])
+        .rename_columns(
+            {
+                "sum(n_events)": "n_events",
+                "sum(sum_value_milli)": "sum_value_milli",
+            }
+        )
+    )
+    out = (
+        triples.map_batches(window_partials, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .sum(["n_events", "n_users", "sum_value_milli"])
+        .rename_columns(
+            {
+                "sum(n_events)": "n_events",
+                "sum(n_users)": "n_users",
+                "sum(sum_value_milli)": "sum_value_milli",
+            }
+        )
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _factorize_str(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Dense integer codes + name table for a string object array."""
+    names, codes = np.unique(arr, return_inverse=True)
+    return codes.astype(np.int64), names
+
+
+def asof_join(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """As-of join Ray Data lacks natively: for every ``left_type`` event,
+    the most recent ``right_type`` event of the SAME user at-or-before it
+    (order key ``(ts, event_id)`` so the result is deterministic under
+    timestamp ties).  Returns (event_id, user_id, matched_event_id,
+    gap_us); lefts with no prior right are dropped.
+
+    Partitioning assumption: both sides co-locate by ``hash(user) %
+    n_buckets`` — one bucket of users per task, with the match computed
+    by a single lexsort + forward-fill vectorized ACROSS the bucket's
+    users (no per-user loop, no per-user pandas group).
+    """
+    import ray.data as rd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
+            n_buckets
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "matched_event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        import pyarrow.compute as pc
+
+        et = g["event_type"]
+        is_right = pc.equal(et, right_type).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        is_left = pc.equal(et, left_type).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_right = is_right[order]
+        is_left = is_left[order]
+
+        # forward-fill the index of the latest right-side row, reset per user
+        idx = np.where(is_right, np.arange(len(uid)), -1)
+        ff = np.maximum.accumulate(idx)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        ustart = np.flatnonzero(new_user)
+        run_len = np.diff(np.concatenate((ustart, [len(uid)])))
+        row_ustart = np.repeat(ustart, run_len)
+        valid = (ff >= row_ustart) & is_left
+        if not valid.any():
+            return empty
+        li = np.flatnonzero(valid)
+        ri = ff[li]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[li].astype(np.int64)),
+                "user_id": pa.array(uid[li].astype(np.int64)),
+                "matched_event_id": pa.array(eid[ri].astype(np.int64)),
+                "gap_us": pa.array((ts[li] - ts[ri]).astype(np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = (
+        ds.filter(
+            expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["event_id"])
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
