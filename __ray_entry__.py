@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": events.sessionize,
         "window_events": events.window_aggregate,
         "asof_click_purchase": events.asof_join,
+        "range_join_events": events.range_join,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -304,6 +305,18 @@ def oracle_sql() -> dict[str, str]:
             FROM filled
             WHERE event_type = 'purchase' AND matched_event_id IS NOT NULL
             ORDER BY event_id
+        """,
+        "range_join_events": """
+            SELECT a.event_id::BIGINT AS event_id,
+                   a.user_id::BIGINT AS user_id,
+                   count(b.event_id)::BIGINT AS n_matches
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id AND b.event_type = 'click'
+             AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000
+             AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+            WHERE a.event_type = 'error'
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id

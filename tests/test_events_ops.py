@@ -176,3 +176,36 @@ class TestEndToEndTiny(object):
         assert c0["sum_value_milli"] == 1000 + 2000 + 3000
         assert recs[(3600, "click")]["n_events"] == 1
         assert recs[(0, "view")]["n_users"] == 1
+
+
+class TestRangeJoin:
+    def _run(self, rows, tmp_path, **kw):
+        import pyarrow.parquet as pq
+
+        t = _tbl(rows).append_column(
+            "value", pa.array([0.0] * len(rows), pa.float64())
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = ev.range_join(str(tmp_path), **kw)
+        return {
+            r["event_id"]: r["n_matches"] for r in out.to_pylist()
+        }
+
+    def test_band_boundaries_inclusive(self, ray_session, tmp_path):
+        band = 5 * 60 * 1_000_000
+        rows = [
+            (1, 10 * band, 7, "error"),
+            (2, 10 * band - band, 7, "click"),  # exactly at -band: in
+            (3, 10 * band + band, 7, "click"),  # exactly at +band: in
+            (4, 10 * band - band - 1, 7, "click"),  # just outside
+            (5, 10 * band + band + 1, 7, "click"),  # just outside
+        ]
+        assert self._run(rows, tmp_path) == {1: 2}
+
+    def test_cross_user_isolation_and_zero_counts(self, ray_session, tmp_path):
+        rows = [
+            (1, 1000, 7, "error"),   # user 7 has no clicks
+            (2, 1000, 8, "click"),
+            (3, 1500, 8, "error"),   # user 8: one click in band
+        ]
+        assert self._run(rows, tmp_path) == {1: 0, 3: 1}
