@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "quality_scores": textstats.quality_scores,
         "token_stats": textstats.token_stats,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "media_features": textstats.media_features,
     }
@@ -317,6 +318,15 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
             WHERE a.event_type = 'error'
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   length(regexp_extract_all(text, '[^\s]+'))::BIGINT
+                     AS n_ws_tokens,
+                   length(regexp_extract_all(text,
+                     ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT
+                     AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id

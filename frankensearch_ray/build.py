@@ -1043,5 +1043,9 @@ def load_manifest(index_dir: str) -> dict:
 
     try:
         return _read(path)
-    except (json.JSONDecodeError, OSError, ValueError):
-        return _read(str(path) + ".prev")
+    except (json.JSONDecodeError, OSError, ValueError) as primary_err:
+        try:
+            return _read(str(path) + ".prev")
+        except FileNotFoundError:
+            # no fallback slot: surface the real failure, not the miss
+            raise primary_err

@@ -109,7 +109,7 @@ def derive_cass_source(sf_dir: str) -> str:
 
 def cass_index(sf_dir: str) -> str:
     """Build (or reuse) the CASS-schema index over the derived corpus."""
-    from ..build import BuildConfig, build_index
+    from ..build import BuildConfig, build_index, publish_manifest
 
     src = derive_cass_source(sf_dir)
     tag = Path(sf_dir).name or "sf"
@@ -136,8 +136,9 @@ def cass_index(sf_dir: str) -> str:
     )
     manifest = build_index([src], index_dir, cfg, resume=False)
     manifest["source_mtime"] = os.path.getmtime(src)
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f)
+    # republish (never raw-write): the manifest is self-checksummed, so a
+    # mutation must go through publish_manifest to recompute _checksum
+    publish_manifest(index_dir, manifest)
     _SEARCHERS.pop(index_dir, None)
     return index_dir
 

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..build import BuildConfig, build_index
+from ..build import BuildConfig, build_index, publish_manifest
 from ..contract.query_ast import (
     MUST,
     MUST_NOT,
@@ -67,8 +67,9 @@ def documents_index(sf_dir: str) -> str:
             pass
     manifest = build_index([src], index_dir, cfg, resume=False)
     manifest["source_mtime"] = os.path.getmtime(src)
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f)
+    # republish (never raw-write): the manifest is self-checksummed, so a
+    # mutation must go through publish_manifest to recompute _checksum
+    publish_manifest(index_dir, manifest)
     _SEARCHERS.pop(index_dir, None)
     return index_dir
 

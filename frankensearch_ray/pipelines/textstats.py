@@ -310,3 +310,39 @@ def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") 
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
     )
+
+# BPE-ish pre-tokenizer pattern (GPT-2-flavored, ASCII-simplified so the
+# DuckDB oracle — also RE2 — matches byte-for-byte): a token is an
+# optionally space-prefixed letter run, digit run, or punctuation run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(sf_dir: str, text_col: str = "text") -> pa.Table:
+    """Per-doc token counts under whitespace AND BPE-ish pre-tokenization
+    — the two standard budget estimators for LLM training corpora.
+
+    Pure Arrow kernel work (`count_substring_regex` is RE2, the same
+    engine DuckDB's `regexp_extract_all` uses, so counts agree exactly);
+    zero Python row loops, no shuffle — embarrassingly parallel."""
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        ws = pc.count_substring_regex(txt, r"[^\s]+")
+        bpe = pc.count_substring_regex(txt, BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": ws.cast(pa.int64()),
+                "n_bpe_tokens": bpe.cast(pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", text_col])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
