@@ -56,7 +56,13 @@ def _hash_texts(batch: pa.Table, text_col: str) -> pa.Table:
         ],
         dtype=np.uint64,
     )
-    return batch.append_column("content_hash", pa.array(h, pa.uint64()))
+    # reinterpret as SIGNED int64 (bijective view): Ray's groupby map
+    # stage round-trips key columns through Python ints, and uint64
+    # values above 2^63 overflow C long there — silently falling back to
+    # PICKLED object blocks, which would be a disaster at scale
+    return batch.append_column(
+        "content_hash", pa.array(h.view(np.int64), pa.int64())
+    )
 
 
 def exact_dedup(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:

@@ -199,18 +199,17 @@ def window_aggregate(
             }
         )
     )
+    # Stage 2 needs NO second distributed shuffle: the stage-1 groupby
+    # already made each triple globally unique, so per-batch partials
+    # (bounded by windows x types per batch) sum correctly, and the final
+    # rollup input is at most n_blocks x windows x types rows — tiny.
     out = (
         triples.map_batches(window_partials, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .sum(["n_events", "n_users", "sum_value_milli"])
-        .rename_columns(
-            {
-                "sum(n_events)": "n_events",
-                "sum(n_users)": "n_users",
-                "sum(sum_value_milli)": "sum_value_milli",
-            }
-        )
         .to_pandas()
+        .groupby(["window_start", "event_type"], as_index=False)[
+            ["n_events", "n_users", "sum_value_milli"]
+        ]
+        .sum()
         .sort_values(["window_start", "event_type"])
         .reset_index(drop=True)
     )
