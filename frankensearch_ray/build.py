@@ -210,6 +210,60 @@ def _part_paths(index_dir: str, pindex: int) -> dict[str, str]:
     }
 
 
+ROLLUP_CHUNK = 1000
+
+
+def _rollup_stats_chunk(index_dir: str, pindices: list[int]) -> dict:
+    """Read one chunk of per-partition stats jsons and combine them."""
+    fs = {
+        "content": {"doc_count": 0, "total_tokens": 0},
+        "title": {"doc_count": 0, "total_tokens": 0},
+    }
+    postings = 0
+    for p in pindices:
+        with open(_part_paths(index_dir, p)["stats"]) as f:
+            s = json.load(f)
+        for fname in ("content", "title"):
+            fs[fname]["doc_count"] += s[fname]["doc_count"]
+            fs[fname]["total_tokens"] += s[fname]["total_tokens"]
+        postings += s["postings_rows"]
+    return {"field_stats": fs, "postings_rows": postings}
+
+
+def rollup_partition_stats(
+    index_dir: str, pindices: list[int], chunk: int = ROLLUP_CHUNK
+) -> tuple[dict, int]:
+    """Combine per-partition stats sidecars into manifest field stats.
+
+    At 10^12 docs there are ~4M stats jsons; reading them serially on the
+    driver is the SCALE.md §5 hazard.  Chunks of ``chunk`` partitions are
+    read inside Ray tasks (storage-parallel; the driver merges only
+    O(n/chunk) partial dicts).  A single-chunk build stays on the driver
+    so small indexes pay no task overhead.  Addition order over chunks
+    matches the serial loop (integer sums — associative), so the result
+    is identical at any chunking.
+    """
+    chunks = [pindices[i : i + chunk] for i in range(0, len(pindices), chunk)]
+    if len(chunks) <= 1:
+        partials = [_rollup_stats_chunk(index_dir, c) for c in chunks]
+    else:
+        import ray
+
+        fn = ray.remote(num_cpus=0.25)(_rollup_stats_chunk)
+        partials = ray.get([fn.remote(index_dir, c) for c in chunks])
+    fs = {
+        "content": {"doc_count": 0, "total_tokens": 0},
+        "title": {"doc_count": 0, "total_tokens": 0},
+    }
+    postings = 0
+    for p in partials:
+        for fname in ("content", "title"):
+            fs[fname]["doc_count"] += p["field_stats"][fname]["doc_count"]
+            fs[fname]["total_tokens"] += p["field_stats"][fname]["total_tokens"]
+        postings += p["postings_rows"]
+    return fs, postings
+
+
 def _atomic_write_table(table: pa.Table, path: str, **kwargs) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -465,11 +519,6 @@ class PhaseATokenizer:
                 )
             )
             routed = routed.take(pa.array(order))
-            shard_np = routed["shard"].to_numpy()
-            bounds = np.flatnonzero(
-                np.concatenate(([True], shard_np[1:] != shard_np[:-1]))
-            )
-            ends = np.concatenate((bounds[1:], [len(shard_np)]))
             # ONE file per partition, ONE row group per destination shard:
             # the row-group footer stats of the `shard` column ARE the
             # exchange's partition index (map-side hash partition without
@@ -478,12 +527,19 @@ class PhaseATokenizer:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
             writer = pq.ParquetWriter(tmp, routed.schema, compression="zstd")
-            for s_i, e_i in zip(bounds, ends):
-                writer.write_table(
-                    routed.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
+            if len(routed):
+                shard_np = routed["shard"].to_numpy()
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], shard_np[1:] != shard_np[:-1]))
                 )
-            if len(bounds) == 0:
-                writer.write_table(routed)  # keep an empty-but-valid file
+                ends = np.concatenate((bounds[1:], [len(shard_np)]))
+                for s_i, e_i in zip(bounds, ends):
+                    writer.write_table(
+                        routed.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
+                    )
+            # zero postings (every doc extracted/tokenized to empty text)
+            # leave a footer-only file — NO row groups, so phase B reads
+            # nothing and shard_stat_of never sees a statless 0-row group
             writer.close()
             os.replace(tmp, path)
             files.append(rel(path))
@@ -923,21 +979,14 @@ def build_index(
         )
         t_phase_b = time.time()
 
-    # stats rollup from the per-partition stats jsons (driver-side, tiny)
-    field_stats = {
-        "content": {"doc_count": 0, "total_tokens": 0},
-        "title": {"doc_count": 0, "total_tokens": 0},
-    }
-    total_postings = 0
+    # stats rollup from the per-partition stats jsons — chunked Ray tasks
+    # above ROLLUP_CHUNK partitions so the driver never does O(partitions)
+    # tiny reads (SCALE.md §5)
+    field_stats, total_postings = rollup_partition_stats(
+        index_dir, [p["pindex"] for p in parts]
+    )
     part_entries = []
     for part in parts:
-        spath = _part_paths(index_dir, part["pindex"])["stats"]
-        with open(spath) as f:
-            s = json.load(f)
-        for fname in ("content", "title"):
-            field_stats[fname]["doc_count"] += s[fname]["doc_count"]
-            field_stats[fname]["total_tokens"] += s[fname]["total_tokens"]
-        total_postings += s["postings_rows"]
         part_entries.append(
             {
                 "index": part["pindex"],

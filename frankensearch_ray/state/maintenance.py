@@ -50,6 +50,7 @@ from ..build import (
     _EncodeShardFS,
     _part_paths,
     load_manifest,
+    rollup_partition_stats,
 )
 from ..schema import PARTITION_SHIFT
 
@@ -174,18 +175,9 @@ def _rollup_and_publish(
     """Recompute field stats, encode shards (delta generation when
     ``new_pindices`` is given, full rebuild otherwise), bump generation,
     write the manifest last (the two-slot publish analogue)."""
-    field_stats = {
-        "content": {"doc_count": 0, "total_tokens": 0},
-        "title": {"doc_count": 0, "total_tokens": 0},
-    }
-    total_postings = 0
-    for part in manifest["partitions"]:
-        with open(_part_paths(index_dir, part["index"])["stats"]) as f:
-            s = json.load(f)
-        for fname in ("content", "title"):
-            field_stats[fname]["doc_count"] += s[fname]["doc_count"]
-            field_stats[fname]["total_tokens"] += s[fname]["total_tokens"]
-        total_postings += s["postings_rows"]
+    field_stats, total_postings = rollup_partition_stats(
+        index_dir, [part["index"] for part in manifest["partitions"]]
+    )
     next_gen = int(manifest.get("generation", 0)) + 1
     if new_pindices is not None:
         shard_rows = _encode_delta_shards(index_dir, cfg, new_pindices, next_gen)

@@ -75,6 +75,32 @@ class TestAppend:
         b = [h for h in before.search("unique3", 5)["hits"]]
         assert [x["docid"] for x in a] == [x["docid"] for x in b]
 
+    def test_append_batch_with_zero_postings(self, small_index):
+        """Docs whose HTML extracts to empty text (no <p> paragraphs)
+        yield a partition with ZERO postings rows — the checkpoint must
+        be a footer-only parquet (no 0-row row group), not a writer
+        crash, and the index must stay fully searchable."""
+        d = small_index
+        n0 = LocalSearcher(d).field_stats["content"]["doc_count"]
+        empty = pa.table(
+            {
+                "url": pa.array(["e1", "e2"], pa.string()),
+                "html": pa.array(
+                    [b"<html><body>no paragraph tags</body></html>", b""],
+                    pa.binary(),
+                ),
+            }
+        )
+        mnt.append_table(d, empty)
+        after = LocalSearcher(d)
+        assert after.field_stats["content"]["doc_count"] == n0 + 2
+        # prior content still searchable, new docs contribute no terms
+        assert _hit_ids(d, "alpha")
+        assert "e1" not in _hit_ids(d, "paragraph")
+        # and a subsequent normal append still lands on top
+        mnt.append_table(d, _pages_table([("d7", "omega postscript")]))
+        assert "d7" in _hit_ids(d, "postscript")
+
     def test_append_duplicate_in_batch_rejected(self, small_index):
         with pytest.raises(ValueError, match="duplicate"):
             mnt.append_table(
