@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         cassearch,
         chunks,
+        chunksearch,
         dedup,
         docsearch,
         events,
@@ -95,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docsearch.bm25_topk,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
+        # FSFS 8-field chunk schema index (schema.rs:300-377)
+        "chunk_search": chunksearch.chunk_search,
         "sessionize_events": events.sessionize,
         "window_events": events.window_aggregate,
         "asof_click_purchase": events.asof_join,
@@ -218,6 +221,72 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM scores
             ORDER BY rank LIMIT 10
+        """,
+        "chunk_search": f"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, text, L,
+                     unnest(range(0,
+                       CASE WHEN L <= 768 THEN 1
+                            ELSE 1 + CAST(ceil((L - 768) / 672.0) AS BIGINT)
+                       END)) AS i
+              FROM d WHERE L > 0
+            ),
+            ch AS (
+              SELECT doc_id, i AS ordinal,
+                     (doc_id * 1000 + i)::BIGINT AS chunk_id,
+                     substr(text, i*672 + 1, least(768, L - i*672)) AS chunk
+              FROM idx
+            ),
+            cdocs AS (
+              SELECT chunk_id, doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(chunk), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks,
+                     len(list_filter(
+                       regexp_split_to_array(chunk, '[^A-Za-z0-9_./:-]+'),
+                       x -> x <> ''))::BIGINT AS token_count
+              FROM ch
+            ),
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM cdocs
+            ),
+            dl AS (
+              SELECT chunk_id,
+                     (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM cdocs
+            ),
+            tf AS (
+              SELECT chunk_id, count(*)::DOUBLE AS tf
+              FROM (SELECT chunk_id, unnest(toks) AS term FROM cdocs)
+              WHERE term = 'merge' GROUP BY chunk_id
+            ),
+            dfreq AS (SELECT count(*)::DOUBLE AS df FROM tf),
+            scores AS (
+              SELECT tf.chunk_id,
+                     ln(1 + ((SELECT n FROM stats) - (SELECT df FROM dfreq)
+                             + 0.5) / ((SELECT df FROM dfreq) + 0.5)) * 2.2
+                     * tf.tf
+                     / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                           / (SELECT n FROM stats))))
+                       AS score
+              FROM tf JOIN dl USING (chunk_id)
+            ),
+            filtered AS (
+              SELECT s.chunk_id, s.score
+              FROM scores s
+              JOIN cdocs c USING (chunk_id)
+              WHERE c.doc_id % 5 = 3 AND c.token_count BETWEEN 10 AND 5000
+            )
+            SELECT chunk_id,
+                   (row_number() OVER (ORDER BY score DESC, chunk_id)
+                    - 1)::BIGINT AS rank
+            FROM filtered ORDER BY rank LIMIT 10
         """,
         "chunk_documents": """
             WITH d AS (

@@ -81,7 +81,8 @@ class BuildConfig:
     numeric_cols: list[str] = field(default_factory=list)  # i64 fast fields
     salt_sample_parts: int = 0  # 0 = auto (all when small, sqrt-ish else)
     input_columns: list[str] = field(default_factory=list)
-    schema_kind: str = "pages"  # "pages" (default 5-field) | "cass" (15-field)
+    # "pages" (default 5-field) | "cass" (15-field) | "fsfs" (8-field chunk)
+    schema_kind: str = "pages"
     stored_cols: list[str] = field(default_factory=list)  # STOREDMETA json
     # analyzer registry name or "module:attr" spec (extension.py §2.11);
     # resolved on the DRIVER and shipped to workers via cloudpickle
@@ -100,7 +101,7 @@ class BuildConfig:
             raise ValueError(f"salt_buckets must be >= 1, got {self.salt_buckets}")
         if not self.id_col:
             raise ValueError("id_col must be set")
-        if self.schema_kind not in ("pages", "cass"):
+        if self.schema_kind not in ("pages", "cass", "fsfs"):
             raise ValueError(f"unknown schema_kind {self.schema_kind!r}")
         if self.shuffle_mode not in ("fs", "groupby"):
             raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
@@ -108,6 +109,16 @@ class BuildConfig:
             raise ValueError("one of html_col / content_col must be set")
 
     def needed_columns(self) -> list[str]:
+        if self.schema_kind == "fsfs":
+            from .fsfsindex import FSFS_KEYWORD_ORDS, FSFS_NUMERIC_COLS
+
+            return sorted(
+                set(
+                    [self.id_col, "content"]
+                    + list(FSFS_KEYWORD_ORDS)
+                    + FSFS_NUMERIC_COLS
+                )
+            )
         if self.schema_kind == "cass":
             from .cassindex import (
                 CASS_KEYWORD_ORDS,
@@ -154,6 +165,10 @@ class BuildConfig:
             from .cassindex import cass_tokenize_partition
 
             return cass_tokenize_partition(table, pindex, id_col=self.id_col)
+        if self.schema_kind == "fsfs":
+            from .fsfsindex import fsfs_tokenize_partition
+
+            return fsfs_tokenize_partition(table, pindex, id_col=self.id_col)
         return tokenize_partition(
             table,
             pindex,

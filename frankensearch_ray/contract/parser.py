@@ -69,6 +69,7 @@ class Tok:
     quoted: bool = False
     unterminated: bool = False
     slop: int = 0
+    prefix: bool = False
     boost: Optional[float] = None
     # range parts
     lower: str = ""
@@ -147,7 +148,13 @@ def _lex(text: str, diagnostics: list[QueryDiagnostic]) -> list[Tok]:
                 )
                 i = n
             else:
-                i = _read_suffixes(text, j + 1, t)
+                # ``"a b"*`` marks a phrase-prefix; ``*`` and ``~slop`` are
+                # mutually exclusive (query.rs:2022-2055 parse_phrase_suffix)
+                end = j + 1
+                if end < n and text[end] == "*":
+                    t.prefix = True
+                    end += 1
+                i = _read_suffixes(text, end, t)
             toks.append(attach_field(t))
             continue
         if ch in "[{":
@@ -461,7 +468,7 @@ class DefaultQueryParser:
             if len(terms) == 1:
                 node = Term(terms[0], fields)
             else:
-                node = Phrase(terms, tok.slop, fields)
+                node = Phrase(terms, tok.slop, fields, prefix=tok.prefix)
         if tok.boost is not None:
             node = Boost(tok.boost, node)
         return node

@@ -32,6 +32,9 @@ import json
 import sys
 import time
 
+# sentinel distinguishing "user typed --html-col html" from the default
+_HTML_COL_DEFAULT = object()
+
 
 def _ensure_ray():
     import ray
@@ -51,10 +54,17 @@ def _cmd_build(args: argparse.Namespace) -> int:
         print(json.dumps({"error": "no source files matched"}), file=sys.stderr)
         return 2
     none_if_empty = lambda v: v or None  # "" on the CLI means "not present"
+    # default html_col: "html" for an HTML corpus, but None when
+    # --content-col names a content-only corpus (ADVICE r02: otherwise a
+    # content-only build reads a nonexistent html column); an explicit
+    # --html-col always wins
+    html_col = args.html_col
+    if html_col is _HTML_COL_DEFAULT:
+        html_col = None if args.content_col else "html"
     cfg = BuildConfig(
         id_col=args.id_col,
         content_col=none_if_empty(args.content_col),
-        html_col=none_if_empty(args.html_col),
+        html_col=none_if_empty(html_col),
         verify_text_col=none_if_empty(args.verify_text_col),
         num_shards=args.num_shards,
         salt_threshold=args.salt_threshold,
@@ -143,7 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--id-col", default="url")
     b.add_argument("--content-col", default=None)
-    b.add_argument("--html-col", default="html")
+    b.add_argument(
+        "--html-col",
+        default=_HTML_COL_DEFAULT,
+        help='html column ("html" unless --content-col is given; '
+        'pass "" to disable explicitly)',
+    )
     b.add_argument("--verify-text-col", default=None)
     b.add_argument("--num-shards", type=int, default=32)
     b.add_argument("--salt-threshold", type=int, default=100_000)

@@ -204,40 +204,97 @@ _FP_BASE = np.uint64(1_000_003)
 _FP_MASK = np.uint64((1 << 63) - 1)
 
 
+def fingerprint_scalar(tokens: list[str]) -> int:
+    """Per-token Python-int reference — kept ONLY as the oracle for the
+    vectorized kernel (pytest-gated identity)."""
+    import hashlib
+
+    base = int(_FP_BASE)
+    mask = int(_FP_MASK)
+    acc = 0
+    p = 1
+    for t in tokens:
+        if not t:
+            continue
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+        )
+        acc = (acc + p * h) & mask
+        p = (p * base) & mask
+    return acc
+
+
+def fingerprint_batch(lists: pa.ListArray) -> np.ndarray:
+    """Vectorized polynomial fingerprints per doc, identical to
+    :func:`fingerprint_scalar` row for row.
+
+    blake2b runs once per UNIQUE token (dictionary-encode trick); base
+    powers and the per-token products accumulate in uint64 with natural
+    mod-2^64 wraparound — exact, because 2^63 | 2^64 means every
+    intermediate agrees with the scalar's mod-2^63 arithmetic after the
+    final ``& (2^63 - 1)``."""
+    import hashlib
+
+    n = len(lists)
+    fps = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return fps
+    flat = lists.flatten()
+    lens = np.diff(lists.offsets.to_numpy())
+    if len(flat) == 0:
+        return fps
+    de = pc.dictionary_encode(flat)
+    vocab = de.dictionary.to_pylist()
+    vocab_hashes = np.array(
+        [
+            0
+            if not v
+            else int.from_bytes(
+                hashlib.blake2b(v.encode(), digest_size=8).digest(), "little"
+            )
+            for v in vocab
+        ],
+        dtype=np.uint64,
+    )
+    codes = de.indices.to_numpy()
+    h = vocab_hashes[codes]
+    # drop empty tokens (the scalar's ``if not t: continue``) BEFORE
+    # position numbering — positions index non-empty tokens only
+    nonempty_vocab = np.array([bool(v) for v in vocab])
+    ne = nonempty_vocab[codes]
+    doc_idx = np.repeat(np.arange(n), lens)[ne]
+    h_ne = h[ne]
+    ne_counts = np.bincount(doc_idx, minlength=n)
+    starts = np.concatenate(([0], np.cumsum(ne_counts)))[:-1]
+    pos = np.arange(len(doc_idx)) - starts[doc_idx]
+    maxp = int(ne_counts.max())
+    if maxp == 0:
+        return fps
+    pows = np.multiply.accumulate(
+        np.concatenate(
+            (np.ones(1, np.uint64), np.full(maxp - 1, _FP_BASE, np.uint64))
+        )
+    )
+    terms = pows[pos] * h_ne
+    nz = ne_counts > 0
+    fps[nz] = np.add.reduceat(terms, starts[nz])
+    return fps & _FP_MASK
+
+
 def doc_fingerprint(
     sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
     """(doc_id, fingerprint): polynomial rolling hash over token bytes —
     ``fp = sum(base^i * h(token_i)) & (2^63 - 1)`` with blake2b-8 token
     hashes.  Deterministic document identity; rows-only oracle."""
-    import hashlib
-
     import ray.data as rd
 
     def fp_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
-        base = int(_FP_BASE)
-        mask = int(_FP_MASK)
-        fps = []
-        for row in lists.to_pylist():
-            # python ints: intentional modular arithmetic without numpy
-            # overflow warnings
-            acc = 0
-            p = 1
-            for t in row:
-                if not t:
-                    continue
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "little",
-                )
-                acc = (acc + p * h) & mask
-                p = (p * base) & mask
-            fps.append(acc)
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
-                "fingerprint": pa.array(fps, pa.uint64()),
+                "fingerprint": pa.array(fingerprint_batch(lists), pa.uint64()),
             }
         )
 

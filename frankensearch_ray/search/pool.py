@@ -27,8 +27,14 @@ def _make_actor_cls():
 
     @ray.remote(num_cpus=1)
     class SearcherReplica:
-        def __init__(self, index_dir: str):
+        def __init__(self, index_dir: str, segment_threads: int = 0):
             self.searcher = LocalSearcher(index_dir)
+            # intra-replica segment fan-out for single-query latency:
+            # bit-identical (local heaps + total-order merge), gated on
+            # the reference thresholds in wand.search_pruned, so small
+            # queries never pay thread setup.  A 1-cpu replica keeps it
+            # off by default; pools sized below the machine can opt in.
+            self.searcher.segment_threads = int(segment_threads)
 
         def warm(self) -> bool:
             return True
@@ -45,9 +51,11 @@ def _make_actor_cls():
 class SearcherPool:
     """N query replicas over one index dir; round-robin query routing."""
 
-    def __init__(self, index_dir: str, size: int = 4):
+    def __init__(self, index_dir: str, size: int = 4, segment_threads: int = 0):
         cls = _make_actor_cls()
-        self.actors = [cls.remote(index_dir) for _ in range(size)]
+        self.actors = [
+            cls.remote(index_dir, segment_threads) for _ in range(size)
+        ]
         import ray
 
         ray.get([a.warm.remote() for a in self.actors])

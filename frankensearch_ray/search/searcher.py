@@ -154,6 +154,11 @@ class _ShardCache:
         self.shards_dir = shards_dir
         self._entries: dict[int, dict | None] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
+        # key-column-only row groups for glob/range termdict probes
+        self._kv_cache: dict[tuple[str, int], pa.Table] = {}
+        # physical (cache-miss) key-column row-group reads — pytest gate
+        # asserts these stay O(matching groups) for bounded probes
+        self.kv_groups_read = 0
         # the snapshot is EXACTLY the shard list the atomically-published
         # manifest names (index + generation + file recorded at publish),
         # never an os.listdir race against concurrent appends/compaction:
@@ -296,7 +301,9 @@ class _ShardCache:
         return out
 
     def iter_terms(self, shard_id: int, field: int):
-        """Stream term texts of one field (range/set scans only)."""
+        """Stream term texts of one field (unbounded full-vocabulary scan —
+        kept for tests/diagnostics; query paths use
+        :meth:`iter_terms_range`)."""
         entries = self._load(shard_id)
         if not entries:
             return
@@ -310,10 +317,98 @@ class _ShardCache:
                 for term in t.filter(pa.array(mask))["term"].to_pylist():
                     yield term
 
+    def _kv_group(self, entry: dict, g: int) -> pa.Table:
+        """(field, term)-only row group, separately cached: termdict probes
+        must never pull postings blobs."""
+        key = (entry["path"], g)
+        t = self._kv_cache.get(key)
+        if t is None:
+            t = entry["pf"].read_row_group(g, columns=["field", "term"])
+            if len(self._kv_cache) >= self._RG_CACHE_MAX:
+                self._kv_cache.pop(next(iter(self._kv_cache)), None)
+            self._kv_cache[key] = t
+            self.kv_groups_read += 1
+        return t
+
+    def iter_terms_range(
+        self,
+        shard_id: int,
+        field: int,
+        lower: str | None = None,
+        upper: str | None = None,
+        lower_inc: bool = True,
+        upper_inc: bool = True,
+    ):
+        """Stream term texts of one field restricted to [lower, upper] —
+        the ``_keys`` sidecar (first key of every 2048-row group, (field,
+        term, bucket)-sorted) binary-searches to the COVERING row groups,
+        so a bounded probe reads O(matching groups), never the whole
+        vocabulary (VERDICT r02 #3; the reference probes a two-level
+        prefix-compressed dict the same way, ``grimoire.rs:1269-1362``).
+        ``lower``/``upper`` of None mean unbounded on that side (still
+        pruned to the field's own groups).  May yield a term once per
+        salt bucket; callers dedup."""
+        import bisect
+
+        entries = self._load(shard_id)
+        if not entries:
+            return
+        for entry in entries:
+            keys = entry["keys"]
+            if not keys:
+                continue
+            if lower is not None:
+                lo_g = bisect.bisect_right(keys, (field, lower, float("inf"))) - 1
+            else:
+                lo_g = bisect.bisect_left(keys, (field,)) - 1
+            lo_g = max(lo_g, 0)
+            if upper is not None:
+                hi_g = bisect.bisect_right(keys, (field, upper, float("inf")))
+            else:
+                hi_g = bisect.bisect_left(keys, (field + 1,))
+            hi_g = max(hi_g, lo_g)
+            for g in range(lo_g, hi_g):
+                t = self._kv_group(entry, g)
+                fields = t["field"].to_numpy()
+                f_lo = int(np.searchsorted(fields, field, side="left"))
+                f_hi = int(np.searchsorted(fields, field, side="right"))
+                if f_hi <= f_lo:
+                    continue
+                terms = (
+                    t["term"].combine_chunks().slice(f_lo, f_hi - f_lo).to_pylist()
+                )
+                s, e = 0, len(terms)
+                if lower is not None:
+                    s = (
+                        bisect.bisect_left(terms, lower)
+                        if lower_inc
+                        else bisect.bisect_right(terms, lower)
+                    )
+                if upper is not None:
+                    e = (
+                        bisect.bisect_right(terms, upper)
+                        if upper_inc
+                        else bisect.bisect_left(terms, upper)
+                    )
+                for term in terms[s:e]:
+                    yield term
+
 
 class QueryFuelExhausted(RuntimeError):
     """Raised when one query exceeds its work budget
     (``config.rs:34-40`` — default 10,000,000 coarse work units)."""
+
+
+class UnsupportedQuery(ValueError):
+    """Typed rejection of query shapes the engine does not execute —
+    phrase slop != 0 and phrase-prefix, exactly like the reference
+    (``quill/src/index.rs:10637-10641`` QuillIndexError::UnsupportedQuery).
+    A ``"foo bar"~2`` query must surface this error, never silently
+    evaluate as slop-0 adjacency."""
+
+    def __init__(self, detail: str):
+        super().__init__(detail)
+        self.detail = detail
 
 
 class LocalSearcher:
@@ -385,10 +480,15 @@ class LocalSearcher:
             self.idhash = None
         # CONST-SCORE field ords beyond the BM25 text fields (CASS prefix
         # + keyword facets): match/filter semantics, score 1.0 per hit
-        if self.manifest.get("config", {}).get("schema_kind") == "cass":
+        schema_kind = self.manifest.get("config", {}).get("schema_kind")
+        if schema_kind == "cass":
             from ..cassindex import CASS_KEYWORD_ORDS, CASS_PREFIX_ORDS
 
             self.const_field_ords = {**CASS_PREFIX_ORDS, **CASS_KEYWORD_ORDS}
+        elif schema_kind == "fsfs":
+            from ..fsfsindex import FSFS_KEYWORD_ORDS
+
+            self.const_field_ords = dict(FSFS_KEYWORD_ORDS)
         else:
             self.const_field_ords = {}
 
@@ -550,16 +650,25 @@ class LocalSearcher:
             self._stored_cache[p] = t
         return json.loads(t["metadata_json"][r].as_py())
 
+    def _idmap_ids(self, p: int) -> pa.Table:
+        """Idmap partition for winners-only id materialization: column-
+        pruned to ``["id"]`` and capped at 64 partitions like
+        ``_stored_cache`` — a long-lived replica serving diverse winners
+        stays bounded (VERDICT r02 #7)."""
+        t = self._idmap_cache.get(p)
+        if t is None:
+            t = pq.read_table(self._idmap_paths[p], columns=["id"])
+            if len(self._idmap_cache) >= 64:
+                self._idmap_cache.pop(next(iter(self._idmap_cache)), None)
+            self._idmap_cache[p] = t
+        return t
+
     def ids_for(self, docids: np.ndarray) -> list[str]:
         out = []
         for docid in docids:
             p = int(docid) >> PARTITION_SHIFT
             r = int(docid) & ROW_MASK
-            t = self._idmap_cache.get(p)
-            if t is None:
-                t = pq.read_table(self._idmap_paths[p])
-                self._idmap_cache[p] = t
-            out.append(t["id"][r].as_py())
+            out.append(self._idmap_ids(p)["id"][r].as_py())
         return out
 
     # --- evaluation --------------------------------------------------------
@@ -640,11 +749,10 @@ class LocalSearcher:
                 return np.zeros(0, np.uint64), np.zeros(0, np.float32)
             return d.astype(np.uint64), np.full(len(d), _F32_ONE, dtype=np.float32)
         matches = []
+        # legacy sidecar-less fallback: stream partitions UNCACHED — a
+        # full-corpus scan must never pin the whole idmap in one replica
         for p in sorted(self._idmap_paths):
-            t = self._idmap_cache.get(p)
-            if t is None:
-                t = pq.read_table(self._idmap_paths[p])
-                self._idmap_cache[p] = t
+            t = pq.read_table(self._idmap_paths[p], columns=["id", "docid"])
             mask = pc.equal(t["id"], value)
             d = t.filter(mask)["docid"].to_numpy()
             if len(d):
@@ -730,6 +838,10 @@ class LocalSearcher:
         return docids, scores
 
     def _eval_phrase(self, node: Phrase, boost: float):
+        if node.slop != 0 or getattr(node, "prefix", False):
+            raise UnsupportedQuery(
+                f"phrase slop={node.slop} prefix={str(bool(getattr(node, 'prefix', False))).lower()}"
+            )
         parts = [
             self._eval_phrase_field(node.terms, f.name, f.boost * boost, node.slop)
             for f in node.fields
@@ -774,11 +886,11 @@ class LocalSearcher:
                 d = np.sort(d.astype(np.uint64))
                 return d, np.full(len(d), _F32_ONE, dtype=np.float32)
             matches = []
+            # same legacy fallback: uncached column-pruned streaming scan
             for p in sorted(self._idmap_paths):
-                t = self._idmap_cache.get(p)
-                if t is None:
-                    t = pq.read_table(self._idmap_paths[p])
-                    self._idmap_cache[p] = t
+                t = pq.read_table(
+                    self._idmap_paths[p], columns=["id", "docid"]
+                )
                 ids = t["id"]
                 if isinstance(node, SetStr):
                     mask = pc.is_in(ids, value_set=pa.array(node.values))
@@ -809,29 +921,30 @@ class LocalSearcher:
         return docs.astype(np.uint64), np.full(len(docs), _F32_ONE, dtype=np.float32)
 
     def _terms_matching(self, ford: int, node) -> list[str]:
-        out = []
-        for sid in range(self.num_shards):
-            for term in self.shards.iter_terms(sid, ford):
-                if isinstance(node, SetStr):
-                    if term in node.values:
-                        out.append(term)
-                else:
-                    ok = True
-                    if node.lower is not None:
-                        ok &= (
-                            term >= node.lower.value
-                            if node.lower.bound == "Included"
-                            else term > node.lower.value
-                        )
-                    if node.upper is not None:
-                        ok &= (
-                            term <= node.upper.value
-                            if node.upper.bound == "Included"
-                            else term < node.upper.value
-                        )
-                    if ok:
-                        out.append(term)
-        return sorted(set(out))
+        """Terms of one field matching a RangeStr/SetStr — bounded
+        ``_keys``-sidecar probes, never a full-vocabulary stream
+        (VERDICT r02 #3).  Sets probe each value exactly; ranges read
+        only the covering row groups."""
+        out: set[str] = set()
+        if isinstance(node, SetStr):
+            for sid in range(self.num_shards):
+                for v in node.values:
+                    for term in self.shards.iter_terms_range(
+                        sid, ford, lower=v, upper=v
+                    ):
+                        out.add(term)
+        else:
+            lo = node.lower.value if node.lower is not None else None
+            lo_inc = node.lower is None or node.lower.bound == "Included"
+            hi = node.upper.value if node.upper is not None else None
+            hi_inc = node.upper is None or node.upper.bound == "Included"
+            for sid in range(self.num_shards):
+                for term in self.shards.iter_terms_range(
+                    sid, ford, lo, hi, lo_inc, hi_inc
+                ):
+                    out.add(term)
+        self._charge(len(out))
+        return sorted(out)
 
     def _numeric(self, field_name: str):
         """(values sorted, docids) of one numeric fast field, cached."""
@@ -894,12 +1007,19 @@ class LocalSearcher:
             ]
             return self._eval_term(Term(core, fields), boost)
         prog = re.compile(regex)
+        # Complex-class patterns with a literal head ("ab*cd") bound the
+        # scan to the head's prefix range; Suffix/Substring scan the whole
+        # field vocabulary and are charged fuel per term scanned
+        from ..contract.cass import parse_wildcard
+
+        _, core = parse_wildcard(node.pattern)
+        literal_prefix = core.split("*", 1)[0] if info["class"] == "Complex" else ""
         matched: list[str] = []
         for fname in node.fields:
             ford = FIELD_ORDS.get(fname)
             if ford is None:
                 continue
-            for term in self._terms_matching_pred(ford, prog):
+            for term in self._terms_matching_pred(ford, prog, literal_prefix):
                 matched.append(term)
                 if len(matched) >= self.GLOB_EXPANSION_LIMIT:
                     break
@@ -916,11 +1036,28 @@ class LocalSearcher:
             len(docs), _F32_ONE, dtype=np.float32
         )
 
-    def _terms_matching_pred(self, ford: int, prog):
+    def _terms_matching_pred(self, ford: int, prog, literal_prefix: str = ""):
+        """Regex termdict scan, prefix-bounded when the pattern has a
+        literal head; every scanned term is charged against the query's
+        fuel budget (the residual Complex/Suffix/Substring scan cost is
+        metered, VERDICT r02 #3)."""
+        lower = upper = None
+        upper_inc = True
+        if literal_prefix:
+            lower = literal_prefix
+            last = literal_prefix[-1]
+            if ord(last) < 0x10FFFF:  # exclusive prefix-successor bound
+                upper = literal_prefix[:-1] + chr(ord(last) + 1)
+                upper_inc = False
         for sid in range(self.num_shards):
-            for term in self.shards.iter_terms(sid, ford):
+            scanned = 0
+            for term in self.shards.iter_terms_range(
+                sid, ford, lower, upper, True, upper_inc
+            ):
+                scanned += 1
                 if prog.fullmatch(term):
                     yield term
+            self._charge(scanned)
 
     def _eval_all(self, boost: float):
         d = self.norms.all_docids
@@ -958,6 +1095,13 @@ class LocalSearcher:
     # numpy/pyarrow kernels inside release the GIL, so latency of
     # multi-clause queries drops on idle cores.  0 = sequential.
     clause_threads: int = 0
+
+    # Threads for intra-replica SEGMENT-RANGE fan-out inside the pruned
+    # top-k sweep (``wand.search_pruned``): a one-clause head-term query
+    # scores partition ranges in parallel with local heaps and merges on
+    # the total-order key — bit-identical, gated like the reference
+    # (``index.rs:9971-9986``).  0 = sequential.
+    segment_threads: int = 0
 
     def _eval_clauses(self, jobs: list[tuple[object, float]]) -> list:
         if self.clause_threads > 1 and len(jobs) > 1:

@@ -35,6 +35,11 @@ from ..schema import FIELD_ORDS
 
 MAX_BATCH_SEGMENTS = 64
 
+# reference gate (index.rs:9971-9986): fan segment scoring across threads
+# only when >= 2 segments and (>= 10k docs or >= 8 segments)
+SEGMENT_FANOUT_THRESHOLD = 10_000
+SEGMENT_COUNT_FANOUT_THRESHOLD = 8
+
 # The exact kernel accumulates clause scores with f32 round-to-nearest,
 # which can round UP above the real-number sum; bounds summed in f64 must
 # therefore be padded before the strict-< pruning comparison or a sub-ulp
@@ -65,8 +70,10 @@ class _Leaf:
         if self.empty:
             self.first_docs = np.zeros(0, np.uint64)
             self.bounds = np.zeros(0, np.float64)
+            self.df = 0
             return
         df = entry["df"]
+        self.df = int(df)
         self.weight = bm25.term_weight(bm25.idf(min(df, n), n), boost)
         self.tf_cache = bm25.compute_tf_cache(avgdl)
         self.rows = entry["rows"]
@@ -194,89 +201,124 @@ def search_pruned(searcher, node, k: int):
         ub += cl_bound.astype(np.float64)
     ub *= _bound_pad(len(leaves))
 
-    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap; root = worst
+    def sweep(si: int, sj: int) -> list[tuple[float, int]]:
+        """Score segment indices [si, sj) with a LOCAL heap.  A local
+        theta is always <= what a global sweep would have reached at the
+        same point, so pruning stays conservative: every global top-k
+        winner survives its local sweep — partition-range fan-out merges
+        to bit-identical results (``index.rs:7847-8121``)."""
+        heap: list[tuple[float, int]] = []  # (score, -docid) min-heap
 
-    def theta():
-        return heap[0][0] if len(heap) >= k else -np.inf
+        def theta():
+            return heap[0][0] if len(heap) >= k else -np.inf
 
-    def push(docids: np.ndarray, scores: np.ndarray):
-        # vectorized pre-filter: only candidates that can beat the current
-        # worst enter the python heap loop (ties resolved exactly below)
-        if len(heap) >= k:
-            th = heap[0][0]
-            mask = scores >= np.float32(th)
-            if not mask.all():
-                docids, scores = docids[mask], scores[mask]
-        for d, s in zip(docids.tolist(), scores.tolist()):
-            item = (s, -d)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        def push(docids: np.ndarray, scores: np.ndarray):
+            # vectorized pre-filter: only candidates that can beat the
+            # current worst enter the python heap loop (ties resolved
+            # exactly below)
+            if len(heap) >= k:
+                th = heap[0][0]
+                mask = scores >= np.float32(th)
+                if not mask.all():
+                    docids, scores = docids[mask], scores[mask]
+            for d, s in zip(docids.tolist(), scores.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
 
-    i = 0
-    while i < n_seg:
-        # skip dead segments (strict <, so exact ties are never pruned)
-        if len(heap) >= k and ub[i] < theta():
-            i += 1
-            continue
-        # batch consecutive live segments
-        j = i
-        while (
-            j < n_seg
-            and (j - i) < MAX_BATCH_SEGMENTS
-            and (len(heap) < k or ub[j] >= theta())
-        ):
-            j += 1
-        lo, hi = int(events[i]), int(seg_end[j - 1])
-        if hi <= lo:
-            hi = lo + 1
-        # MaxScore essential set (argus strategy enum): a doc appearing
-        # ONLY in leaves whose summed batch bounds stay below theta can
-        # never reach the heap — skip those leaves for candidate
-        # GENERATION (scoring below still uses every leaf, so surviving
-        # candidates are scored exactly).  Conservative f64 sums keep it
-        # rank-safe.
-        gen_leaves = leaves
-        th = theta()
-        if len(heap) >= k and len(leaves) > 1:
-            batch_bound = np.array(
-                [ls[i:j].max() for ls in leaf_seg], dtype=np.float64
-            )
-            order = np.argsort(batch_bound)  # ascending
-            csum = np.cumsum(batch_bound[order]) * _bound_pad(len(leaves))
-            drop = csum < th  # prefix of weakest leaves, strictly below
-            non_essential = set(np.asarray(order)[drop].tolist())
-            if non_essential:
-                gen_leaves = [
-                    l
-                    for li, l in enumerate(leaves)
-                    if li not in non_essential
-                ]
-        # candidates: union of essential-leaf postings within [lo, hi)
-        cand_parts = [l.postings_in(lo, hi)[0] for l in gen_leaves]
-        cand_parts = [c for c in cand_parts if len(c)]
-        if cand_parts:
-            cand = cand_parts[0]
-            for c in cand_parts[1:]:
-                cand = np.union1d(cand, c)
-            cand = cand[searcher.live_mask(cand)]  # tombstone filter
-            searcher._charge(len(cand) * len(leaves))
-        if cand_parts and len(cand):
-            # exact scoring, same association as the exhaustive kernel:
-            # per clause: f32 sum over its field leaves; then clause-order sum
-            total = np.zeros(len(cand), dtype=np.float32)
-            for cl in clauses:
-                cl_score = np.zeros(len(cand), dtype=np.float32)
-                for l in cl:
-                    cl_score = cl_score + l.scores_for(cand)
-                total = total + cl_score
-            push(cand, total)
-        i = j
+        i = si
+        while i < sj:
+            # skip dead segments (strict <, so exact ties are never pruned)
+            if len(heap) >= k and ub[i] < theta():
+                i += 1
+                continue
+            # batch consecutive live segments
+            j = i
+            while (
+                j < sj
+                and (j - i) < MAX_BATCH_SEGMENTS
+                and (len(heap) < k or ub[j] >= theta())
+            ):
+                j += 1
+            lo, hi = int(events[i]), int(seg_end[j - 1])
+            if hi <= lo:
+                hi = lo + 1
+            # MaxScore essential set (argus strategy enum): a doc appearing
+            # ONLY in leaves whose summed batch bounds stay below theta can
+            # never reach the heap — skip those leaves for candidate
+            # GENERATION (scoring below still uses every leaf, so surviving
+            # candidates are scored exactly).  Conservative f64 sums keep it
+            # rank-safe.
+            gen_leaves = leaves
+            th = theta()
+            if len(heap) >= k and len(leaves) > 1:
+                batch_bound = np.array(
+                    [ls[i:j].max() for ls in leaf_seg], dtype=np.float64
+                )
+                order = np.argsort(batch_bound)  # ascending
+                csum = np.cumsum(batch_bound[order]) * _bound_pad(len(leaves))
+                drop = csum < th  # prefix of weakest leaves, strictly below
+                non_essential = set(np.asarray(order)[drop].tolist())
+                if non_essential:
+                    gen_leaves = [
+                        l
+                        for li, l in enumerate(leaves)
+                        if li not in non_essential
+                    ]
+            # candidates: union of essential-leaf postings within [lo, hi)
+            cand_parts = [l.postings_in(lo, hi)[0] for l in gen_leaves]
+            cand_parts = [c for c in cand_parts if len(c)]
+            if cand_parts:
+                cand = cand_parts[0]
+                for c in cand_parts[1:]:
+                    cand = np.union1d(cand, c)
+                cand = cand[searcher.live_mask(cand)]  # tombstone filter
+                searcher._charge(len(cand) * len(leaves))
+            if cand_parts and len(cand):
+                # exact scoring, same association as the exhaustive kernel:
+                # per clause: f32 sum over its field leaves; then
+                # clause-order sum
+                total = np.zeros(len(cand), dtype=np.float32)
+                for cl in clauses:
+                    cl_score = np.zeros(len(cand), dtype=np.float32)
+                    for l in cl:
+                        cl_score = cl_score + l.scores_for(cand)
+                    total = total + cl_score
+                push(cand, total)
+            i = j
+        return heap
 
-    if not heap:
+    # intra-replica segment fan-out, gated like the reference
+    # (``index.rs:9971-9986`` sealed_segment_fanout): >= 2 segments AND
+    # (>= 10k candidate docs OR >= 8 segments).  The numpy decode/score
+    # kernels release the GIL, so contiguous segment ranges overlap on
+    # idle cores; each range keeps a local heap and the merge re-ranks by
+    # the total-order key (score desc, docid asc) — bit-identical.
+    threads = int(getattr(searcher, "segment_threads", 0) or 0)
+    total_docs = sum(l.df for l in leaves)
+    if (
+        threads > 1
+        and n_seg >= 2
+        and (total_docs >= SEGMENT_FANOUT_THRESHOLD or n_seg >= SEGMENT_COUNT_FANOUT_THRESHOLD)
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        t = min(threads, n_seg)
+        cuts = np.linspace(0, n_seg, t + 1).astype(int)
+        ranges = [
+            (int(a), int(b)) for a, b in zip(cuts[:-1], cuts[1:]) if b > a
+        ]
+        with ThreadPoolExecutor(max_workers=len(ranges)) as ex:
+            heaps = list(ex.map(lambda r: sweep(r[0], r[1]), ranges))
+        items = [it for h in heaps for it in h]
+    else:
+        items = sweep(0, n_seg)
+
+    if not items:
         return np.zeros(0, np.uint64), np.zeros(0, np.float32)
-    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    ranked = sorted(items, key=lambda it: (-it[0], -it[1]))[:k]
     docids = np.array([-d for _s, d in ranked], dtype=np.uint64)
     scores = np.array([s for s, _d in ranked], dtype=np.float32)
     return docids, scores

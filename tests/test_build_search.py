@@ -204,6 +204,31 @@ class TestRankExact:
                 (h["docid"], h["score_bits"]) for h in b
             ], q
 
+    def test_segment_fanout_bit_identical(self, t1_index, reference_queries):
+        """Intra-replica segment-range fan-out in the pruned sweep
+        (VERDICT r02 #9; index.rs:7847-8121 with gate 9971-9986): local
+        heaps merged on the total-order key must not move a single score
+        bit vs the sequential sweep, pruned or exhaustive."""
+        import frankensearch_ray.search.wand as wand
+
+        index_dir, _, _ = t1_index
+        seq = LocalSearcher(index_dir)
+        par = LocalSearcher(index_dir)
+        par.segment_threads = 4
+        # t1 is tiny: drop the doc-count gate so the fan-out path actually
+        # runs (the segment-count gate still requires >= 2 segments)
+        old = wand.SEGMENT_FANOUT_THRESHOLD
+        wand.SEGMENT_FANOUT_THRESHOLD = 0
+        try:
+            for q in _queries(reference_queries):
+                a = seq.search(q, limit=10)["hits"]
+                b = par.search(q, limit=10)["hits"]
+                assert [(h["docid"], h["score_bits"]) for h in a] == [
+                    (h["docid"], h["score_bits"]) for h in b
+                ], q
+        finally:
+            wand.SEGMENT_FANOUT_THRESHOLD = old
+
 
 class TestSaltingDifferential:
     def test_salted_equals_unsalted(
@@ -397,6 +422,22 @@ class TestNoPanic:
         for q in garbage:
             res = searcher.search(q, limit=5)
             assert isinstance(res["hits"], list), repr(q)
+
+    def test_phrase_slop_rejected_typed(self, searcher):
+        """Slop != 0 / phrase-prefix surface the reference's typed
+        UnsupportedQuery (index.rs:10637-10641) end-to-end — never a
+        silent slop-0 evaluation."""
+        from frankensearch_ray.search.searcher import UnsupportedQuery
+
+        with pytest.raises(UnsupportedQuery) as ei:
+            searcher.search('"quick brown"~2', limit=5)
+        assert "slop=2" in str(ei.value)
+        with pytest.raises(UnsupportedQuery) as ei:
+            searcher.search('"quick brown"*', limit=5)
+        assert "prefix=true" in str(ei.value)
+        # slop-0 phrases still execute
+        res = searcher.search('"quick brown"', limit=5)
+        assert isinstance(res["hits"], list)
 
     def test_garbage_cass_queries_never_raise(self):
         from frankensearch_ray.contract.cass import parse_cass

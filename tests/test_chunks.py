@@ -40,3 +40,41 @@ class TestChunkText:
         assert count_lexical_tokens("...") == 1
         assert count_lexical_tokens("   ") == 0
         assert count_lexical_tokens("é é") == 2
+
+
+class TestFsfsChunkIndex:
+    """FSFS 8-field chunk schema end-to-end (schema.rs:300-377,
+    VERDICT r02 #8): parent_id keyword facet + token_count fast field on
+    the chunk index."""
+
+    def test_parent_facet_filters_to_one_parent(self, ray_session):
+        from frankensearch_ray.contract.query_ast import QueryField, Term
+        from frankensearch_ray.pipelines import chunksearch
+
+        s = chunksearch._searcher("/root/testdata/sf0.001")
+        docids, scores = s.evaluate(Term("7", [QueryField("parent_id", 1.0)]))
+        assert len(docids) > 0
+        ids = s.ids_for(docids)
+        # chunk id = parent*1000 + ordinal
+        assert all(int(i) // 1000 == 7 for i in ids)
+        # const-score facet: 1.0 per hit, never BM25
+        assert all(float(x) == 1.0 for x in scores)
+
+    def test_token_count_fast_field_range(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.contract.query_ast import RangeI64
+        from frankensearch_ray.pipelines import chunksearch
+
+        sf = "/root/testdata/sf0.001"
+        s = chunksearch._searcher(sf)
+        docids, _ = s.evaluate(
+            RangeI64(
+                "token_count",
+                {"value": 50, "bound": "Included"},
+                None,
+            )
+        )
+        src = pq.read_table(chunksearch.derive_chunk_source(sf))
+        want = sum(1 for c in src["token_count"].to_pylist() if c >= 50)
+        assert len(docids) == want

@@ -242,3 +242,58 @@ class TestAnalyzer:
                 assert len(out) == case["expected_chars"]
                 if "expected_bytes" in case:
                     assert len(out.encode("utf-8")) == case["expected_bytes"]
+
+
+class TestScalarGateSweep:
+    """ADVICE r02: the _SCALAR_GATE_PATTERN encodes an empirical sweep
+    ("only U+0130 and >= U+11000 disagree") pinned to the installed
+    Arrow/RE2 + Python unicodedata.  Re-run the sweep so a library
+    upgrade fails THIS test loudly instead of silently drifting from the
+    scalar contract."""
+
+    def test_exhaustive_codepoint_sweep(self):
+        import unicodedata
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from frankensearch_ray.contract.analyzer import (
+            _SCALAR_GATE_PATTERN,
+            _char_is_alphanumeric,
+        )
+
+        # every non-surrogate codepoint below the gate's astral cutoff,
+        # minus the gated U+0130 — these all take the vectorized path
+        cps = [
+            cp
+            for cp in range(0x11000)
+            if not (0xD800 <= cp <= 0xDFFF) and cp != 0x0130
+        ]
+        chars = [chr(cp) for cp in cps]
+        arr = pa.array(chars, pa.string())
+
+        # 0) none of them may match the gate (else they'd route scalar
+        #    and the sweep below would be vacuous for them)
+        gate = pc.match_substring_regex(arr, _SCALAR_GATE_PATTERN)
+        assert pc.sum(gate.cast(pa.int64())).as_py() == 0
+
+        # 1) RE2 class membership == the scalar contract's class
+        re2_class = pc.match_substring_regex(
+            arr, r"[\p{L}\p{Nd}\p{Nl}\p{No}]"
+        ).to_numpy(zero_copy_only=False)
+        py_class = np.fromiter(
+            (_char_is_alphanumeric(c) for c in chars), bool, len(chars)
+        )
+        diff = np.flatnonzero(re2_class != py_class)
+        assert diff.size == 0, [hex(cps[i]) for i in diff[:20]]
+
+        # 2) utf8proc lowercase == Python str.lower for every codepoint
+        #    that can appear inside a token
+        kept = [c for c, k in zip(chars, py_class) if k]
+        low_arrow = pc.utf8_lower(pa.array(kept, pa.string())).to_pylist()
+        bad = [
+            (hex(ord(c)), la, c.lower())
+            for c, la in zip(kept, low_arrow)
+            if la != c.lower()
+        ]
+        assert bad == [], bad[:20]

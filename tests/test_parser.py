@@ -69,3 +69,26 @@ def test_truncation():
 )
 def test_empty_queries(query, expected_type):
     assert parse_default(query).query.to_json()["type"] == expected_type
+
+
+def test_phrase_slop_parsed_into_tree():
+    """``"a b"~2`` parses to a Phrase carrying slop=2 — the EVALUATOR
+    rejects it with UnsupportedQuery (index.rs:10637-10641); the lenient
+    parser itself keeps the tree faithful."""
+    q = parse_default('"quick brown"~2').query.to_json()
+    assert q["type"] == "Phrase" and q["slop"] == 2
+    assert "prefix" not in q
+
+
+def test_phrase_prefix_parsed_into_tree():
+    """``"a b"*`` parses to a Phrase with prefix=true
+    (query.rs:144, parse_phrase_suffix query.rs:2022-2055)."""
+    q = parse_default('"quick brown"*').query.to_json()
+    assert q["type"] == "Phrase" and q["slop"] == 0
+    assert q.get("prefix") is True
+
+
+def test_phrase_prefix_then_boost():
+    q = parse_default('"quick brown"*^3').query.to_json()
+    assert q["type"] == "Boost" and q["factor"] == 3.0
+    assert q["query"].get("prefix") is True
