@@ -25,6 +25,47 @@ _TOKS = (
 )
 _DOCS_CTE = f"docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
 
+# word-3-shingle exact-Jaccard pair CTEs (stop-shingle df cap 1000,
+# threshold 0.8) — shared by dedup_ngram_jaccard and dedup_clusters so
+# the cluster oracle closes over EXACTLY the pair set the pair oracle
+# reports; terminal CTE is ``jpairs(doc_a, doc_b, jaccard_pct)``
+_NGRAM_PAIR_CTES = """ndocs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             FOR i IN range(1, len(toks) - 1)]) AS shingle
+              FROM ndocs WHERE len(toks) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
+              FROM ndocs WHERE len(toks) < 3 AND len(toks) > 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            ok_sh AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(DISTINCT doc_id) <= 1000
+            ),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+              WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            jpairs AS (
+              SELECT doc_a, doc_b,
+                     floor(100.0 * i / (sa.sz + sb.sz - i) + 1e-9)::BIGINT
+                       AS jaccard_pct
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.8
+            )"""
+
 
 def _fieldnorm_values_sql() -> str:
     from frankensearch_ray.contract.fieldnorm import FIELD_NORMS_TABLE
@@ -105,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_cosine_pairs,
@@ -388,7 +430,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.event_type = 'error'
             GROUP BY 1, 2 ORDER BY 1
         """,
-        "bpe_token_counts": """
+        "bpe_token_counts": r"""
             SELECT doc_id::BIGINT AS doc_id,
                    length(regexp_extract_all(text, '[^\s]+'))::BIGINT
                      AS n_ws_tokens,
@@ -401,42 +443,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS doc_id
             FROM documents GROUP BY text ORDER BY doc_id
         """,
-        "dedup_ngram_jaccard": """
-            WITH docs AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, ' '),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                             FOR i IN range(1, len(toks) - 1)]) AS shingle
-              FROM docs WHERE len(toks) >= 3
-              UNION
-              SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS shingle
-              FROM docs WHERE len(toks) < 3 AND len(toks) > 0
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            ok_sh AS (
-              SELECT shingle FROM sh GROUP BY shingle
-              HAVING count(DISTINCT doc_id) <= 1000
-            ),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
-                   AND a.doc_id < b.doc_id
-              WHERE a.shingle IN (SELECT shingle FROM ok_sh)
-              GROUP BY a.doc_id, b.doc_id
-            )
-            SELECT doc_a, doc_b,
-                   floor(100.0 * i / (sa.sz + sb.sz - i) + 1e-9)::BIGINT
-                     AS jaccard_pct
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.8
+        "dedup_ngram_jaccard": f"""
+            WITH {_NGRAM_PAIR_CTES}
+            SELECT doc_a, doc_b, jaccard_pct FROM jpairs
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            e AS (
+              SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION ALL SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(n, m) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+            ),
+            roots AS (
+              SELECT n AS doc, least(n, min(m)) AS cluster
+              FROM reach GROUP BY n
+            )
+            SELECT d.doc_id, coalesce(r.cluster, d.doc_id)::BIGINT AS cluster
+            FROM documents d LEFT JOIN roots r ON r.doc = d.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_embedding": """
             WITH pairs AS (

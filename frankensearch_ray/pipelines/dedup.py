@@ -262,28 +262,35 @@ def ngram_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Min, Sum
-
     partials = shingled.groupby("bucket").map_groups(
         bucket_pair_counts, batch_format="pyarrow"
     )
-    # cross-bucket final sum (different shingles of one pair land in
-    # different buckets) as a DISTRIBUTED groupby — never a driver-side
-    # pandas pass over the pair-candidate set; sizes are per-doc
-    # constants so min == the value
-    pair_counts = partials.groupby(["a", "b"]).aggregate(
-        Sum("n", alias_name="n"),
-        Min("sa", alias_name="sa"),
-        Min("sb", alias_name="sb"),
-    )
 
-    def jaccard_filter(t: pa.Table) -> pa.Table:
-        inter = t["n"].to_numpy().astype(np.int64)
-        a = t["a"].to_numpy().astype(np.int64)
-        b = t["b"].to_numpy().astype(np.int64)
+    # cross-bucket final sum (different shingles of one pair land in
+    # different buckets) as a DISTRIBUTED pair-hash-bucketed exchange —
+    # never a driver-side pandas pass over the pair-candidate set.  A
+    # pair's partials all share a pshard, so the in-group sum is exact
+    # and the jaccard filter runs before anything reaches the driver.
+    # (A single-int64-key sort groupby + arrow group_by inside the task
+    # measures ~4x faster than Ray's multi-key hash aggregate here.)
+    def add_pshard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pshard",
+            pa.array(
+                _pair_hash(t["a"].to_numpy(), t["b"].to_numpy(), n_buckets)
+            ),
+        )
+
+    def sum_and_filter(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["a", "b"], use_threads=False).aggregate(
+            [("n", "sum"), ("sa", "min"), ("sb", "min")]
+        )
+        inter = agg["n_sum"].to_numpy().astype(np.int64)
+        a = agg["a"].to_numpy().astype(np.int64)
+        b = agg["b"].to_numpy().astype(np.int64)
         union = (
-            t["sa"].to_numpy().astype(np.int64)
-            + t["sb"].to_numpy().astype(np.int64)
+            agg["sa_min"].to_numpy().astype(np.int64)
+            + agg["sb_min"].to_numpy().astype(np.int64)
             - inter
         )
         jac = inter / union
@@ -299,7 +306,12 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = pair_counts.map_batches(jaccard_filter, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.map_batches(add_pshard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(sum_and_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
     if len(out) == 0:
         return pa.table(
             {
@@ -310,6 +322,178 @@ def ngram_jaccard_pairs(
         )
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    max_iters: int = 64,
+) -> pa.Table:
+    """Connected-component near-dup clusters: every doc labeled with the
+    SMALLEST doc_id reachable through the ngram-Jaccard pair graph — the
+    unit a 100 TB dedup job keeps one representative of.
+
+    Distributed hash-min label propagation (BSP connected components):
+    only edge ENDPOINTS participate in the supersteps (singletons are
+    their own cluster by construction and never enter the loop).  Each
+    superstep is two bucketed exchanges — (1) labels + edges co-partition
+    on ``node % K`` and every edge forwards its source's current label to
+    its target, (2) per-node min over the messages — and labels only
+    decrease, so a stable global label sum is the fixpoint test;
+    convergence takes O(component diameter) rounds.  The final merge
+    (endpoint labels ∪ all-doc identity labels, per-node min) is one more
+    bucketed exchange, never a driver-side dict.
+    """
+    import ray.data as rd
+
+    n_docs = _parquet_num_rows(_doc_path(sf_dir))
+    K = _scaled_shards(n_docs, 8192)
+    pairs = ngram_jaccard_pairs(
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
+    )
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+
+    def identity_labels(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
+
+    all_docs = rd.read_parquet(_doc_path(sf_dir), columns=[id_col]).map_batches(
+        identity_labels, batch_format="pyarrow"
+    )
+
+    if len(a) == 0:
+        out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+                "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
+            }
+        )
+
+    # both directions; endpoints start labeled with themselves
+    u = np.concatenate((a, b))
+    v = np.concatenate((b, a))
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "jb": pa.array(u % K),
+                "kind": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+                "node": pa.array(u),
+                "other": pa.array(v),
+                "label": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+    ).materialize()
+    endpoints = np.unique(u)
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "jb": pa.array(endpoints % K),
+                "kind": pa.array(np.ones(len(endpoints), np.int8), pa.int8()),
+                "node": pa.array(endpoints),
+                "other": pa.array(np.zeros(len(endpoints), np.int64)),
+                "label": pa.array(endpoints),
+            }
+        )
+    ).materialize()
+
+    def propagate(g: pa.Table) -> pa.Table:
+        """Messages of one bucket: each node's current label to itself and
+        to every neighbor of every edge sourced at it."""
+        kind = g["kind"].to_numpy()
+        node = g["node"].to_numpy()
+        lab_rows = np.flatnonzero(kind == 1)
+        lab_node = node[lab_rows]
+        lab_val = g["label"].to_numpy()[lab_rows]
+        order = np.argsort(lab_node, kind="stable")
+        lab_node, lab_val = lab_node[order], lab_val[order]
+        edge_rows = np.flatnonzero(kind == 0)
+        src = node[edge_rows]
+        dst = g["other"].to_numpy()[edge_rows]
+        pos = np.searchsorted(lab_node, src)
+        ok = (pos < len(lab_node)) & (
+            lab_node[np.minimum(pos, max(len(lab_node) - 1, 0))] == src
+        )
+        msg_node = np.concatenate((lab_node, dst[ok]))
+        msg_lab = np.concatenate((lab_val, lab_val[pos[ok]]))
+        return pa.table(
+            {
+                "mb": pa.array((msg_node % K).astype(np.int64)),
+                "node": pa.array(msg_node.astype(np.int64)),
+                "label": pa.array(msg_lab.astype(np.int64)),
+            }
+        )
+
+    def min_per_node(g: pa.Table, jb: bool = True) -> pa.Table:
+        node = g["node"].to_numpy()
+        lab = g["label"].to_numpy()
+        order = np.lexsort((lab, node))
+        node, lab = node[order], lab[order]
+        first = np.concatenate(([True], node[1:] != node[:-1]))
+        node, lab = node[first], lab[first]
+        t = pa.table(
+            {"node": pa.array(node.astype(np.int64)), "label": pa.array(lab)}
+        )
+        if jb:  # shape for the next superstep's tagged union
+            t = pa.table(
+                {
+                    "jb": pa.array((node % K).astype(np.int64)),
+                    "kind": pa.array(np.ones(len(node), np.int8), pa.int8()),
+                    "node": t["node"],
+                    "other": pa.array(np.zeros(len(node), np.int64)),
+                    "label": t["label"],
+                }
+            )
+        return t
+
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = (
+            edges.union(labels)
+            .groupby("jb")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("mb")
+            .map_groups(min_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev_sum:  # labels only decrease: stable sum = fixpoint
+            break
+        prev_sum = cur
+
+    # final merge: endpoint labels ∪ identity labels, per-node min
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["node", "label"])
+
+    merged = (
+        labels.map_batches(strip, batch_format="pyarrow")
+        .union(all_docs)
+        .map_batches(
+            lambda t: t.append_column(
+                "mb", pa.array(t["node"].to_numpy() % K)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("mb")
+        .map_groups(
+            lambda g: min_per_node(g, jb=False), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(merged["node"].to_numpy(), pa.int64()),
+            "cluster": pa.array(merged["label"].to_numpy(), pa.int64()),
+        }
+    )
 
 
 # --- MinHash ---------------------------------------------------------------
@@ -542,8 +726,10 @@ def minhash_pairs(
 
     1. band+shard groupby on ``gkey = band * shards + band_hash % shards``
        (pairs only form within equal band_hash, so sharding is exact);
-    2. candidate dedup per pair-hash shard (a pair found by several bands
-       collapses to one row WITHOUT a driver pass);
+    2. candidate pairs flow straight into the verify join; cross-band
+       duplicates collapse INSIDE the join buckets (duplicate member
+       rows always share a bucket) — exact global dedup with no driver
+       pass and no dedicated exchange;
     3. verify routing via a distributed bucketed join (tagged union of
        pair-member rows and per-doc shingle sets, co-partitioned on
        ``doc_id % shards``, matched locally per bucket) — no driver dict,
@@ -574,36 +760,6 @@ def minhash_pairs(
         )
 
     cand = banded.groupby("gkey").map_groups(band_pairs, batch_format="pyarrow")
-
-    # distributed candidate dedup: a pair found by several bands lands in
-    # ONE pair-hash shard, where np.unique collapses it exactly
-    def add_pshard(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy()
-        b = t["b"].to_numpy()
-        return t.append_column(
-            "pshard", pa.array(_pair_hash(a, b, lsh_shards))
-        )
-
-    def dedup_shard(g: pa.Table) -> pa.Table:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.concatenate(
-            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
-        )
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-            }
-        )
-
-    uniq = (
-        cand.map_batches(add_pshard, batch_format="pyarrow")
-        .groupby("pshard")
-        .map_groups(dedup_shard, batch_format="pyarrow")
-    )
 
     # each candidate pair -> two member rows keyed by doc_id, each
     # carrying the full pair identity (pa_, pb_) — no pair-index table.
@@ -643,7 +799,11 @@ def minhash_pairs(
             pa.array([b""] * len(did), pa.large_binary()),
         )
 
-    sides = uniq.map_batches(emit_sides, batch_format="pyarrow")
+    # cross-band duplicate candidates ride along: a duplicate member row
+    # has identical (doc_id, pa_, pb_), so it lands in the SAME jb bucket
+    # and match_bucket collapses it locally — exact global pair dedup
+    # without a dedicated exchange
+    sides = cand.map_batches(emit_sides, batch_format="pyarrow")
 
     def emit_sets(batch: pa.Table) -> pa.Table:
         st = _shingle_set_table(
@@ -677,6 +837,25 @@ def minhash_pairs(
         )
         if len(set_rows) == 0 or len(side_rows) == 0:
             return empty
+        # collapse cross-band duplicate member rows (same doc, pa_, pb_):
+        # exact global dedup because duplicates always share this bucket
+        pa_all = g["pa_"].to_numpy()
+        pb_all = g["pb_"].to_numpy()
+        sd = doc[side_rows]
+        sa_ = pa_all[side_rows]
+        sb_ = pb_all[side_rows]
+        order = np.lexsort((sb_, sa_, sd))
+        side_rows = side_rows[order]
+        sd, sa_, sb_ = sd[order], sa_[order], sb_[order]
+        uniq_mask = np.concatenate(
+            (
+                [True],
+                (sd[1:] != sd[:-1])
+                | (sa_[1:] != sa_[:-1])
+                | (sb_[1:] != sb_[:-1]),
+            )
+        )
+        side_rows = side_rows[uniq_mask]
         set_doc = doc[set_rows]
         order = np.argsort(set_doc, kind="stable")
         set_doc = set_doc[order]
