@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cassearch,
         chunks,
         chunksearch,
+        corpus,
         dedup,
         docsearch,
         events,
@@ -160,6 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "media_features": textstats.media_features,
+        # corpus curation (training-data pipeline ops beyond the reference)
+        "sample_stratified": corpus.sample_stratified,
+        "pack_sequences": corpus.pack_sequences,
+        "ngram_topk": corpus.ngram_topk,
+        "repetition_stats": corpus.repetition_stats,
     }
 
 
@@ -537,6 +543,85 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB)::BIGINT AS n_bytes,
                    (octet_length(text::BLOB) // 256)::BIGINT AS n_frames
             FROM documents ORDER BY doc_id
+        """,
+        # deterministic per-stratum sample: rank by the Knuth
+        # multiplicative hash mod 2^32 (HUGEINT avoids BIGINT overflow;
+        # the Ray side's uint64 wraparound is congruent mod 2^32)
+        "sample_stratified": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                           doc_id) AS rn
+              FROM documents) WHERE rn <= 25
+            ORDER BY lang, doc_id
+        """,
+        # GPT-style packing: docs concatenated in doc_id order, split at
+        # fixed 128-token offsets; one row per (sequence, doc) overlap
+        "pack_sequences": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '[^\s]+'))::BIGINT
+                       AS n_tok
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tok,
+                coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS gs
+              FROM c),
+            sp AS (SELECT * FROM s WHERE n_tok > 0)
+            SELECT t.seq_id::BIGINT AS seq_id, doc_id,
+                   greatest(0, gs - t.seq_id*128)::BIGINT AS tok_begin,
+                   least(128, gs + n_tok - t.seq_id*128)::BIGINT AS tok_end
+            FROM sp, LATERAL (SELECT unnest(generate_series(sp.gs // 128,
+                              (sp.gs + sp.n_tok - 1) // 128)) AS seq_id) t
+            ORDER BY seq_id, doc_id
+        """,
+        "ngram_topk": """
+            WITH nd AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+                             FOR i IN range(1, len(toks)-1)]) AS ngram
+              FROM nd WHERE len(toks) >= 3)
+            SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 100
+        """,
+        "repetition_stats": """
+            WITH d AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) tok FROM d),
+            tc AS (
+              SELECT doc_id, sum(c)::BIGINT n_tokens,
+                     max(c)::BIGINT top_token_count
+              FROM (SELECT doc_id, tok, count(*) c FROM tok GROUP BY 1, 2)
+              GROUP BY 1),
+            bg AS (
+              SELECT doc_id,
+                     unnest([toks[i]||' '||toks[i+1]
+                             FOR i IN range(1, len(toks))]) b
+              FROM d WHERE len(toks) >= 2),
+            bc AS (
+              SELECT doc_id, sum(c)::BIGINT n_bigrams,
+                     max(c)::BIGINT top_bigram_count
+              FROM (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT d.doc_id, coalesce(tc.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(tc.top_token_count, 0)::BIGINT
+                     AS top_token_count,
+                   coalesce(bc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(bc.top_bigram_count, 0)::BIGINT
+                     AS top_bigram_count
+            FROM d LEFT JOIN tc ON tc.doc_id = d.doc_id
+                   LEFT JOIN bc ON bc.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # CASS derivation: agent=source, workspace=lang,
         # created_at = 1700000000 + doc_id*60, origin_kind local iff

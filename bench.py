@@ -124,9 +124,15 @@ def headline(
     if warm_build:
         build_index(paths, index_dir + "_warm", cfg, resume=False)
         shutil.rmtree(index_dir + "_warm", ignore_errors=True)
-    t0 = time.time()
-    manifest = build_index(paths, index_dir, cfg, resume=False)
-    t_build = time.time() - t0
+    # best-of-3 timed builds (same policy as the query side): identical
+    # warm runs on this VM swing 8-15 s, so a single sample conflates
+    # host noise with software throughput — steady state is the min
+    t_build = float("inf")
+    for trial in range(3):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        manifest = build_index(paths, index_dir, cfg, resume=False)
+        t_build = min(t_build, time.time() - t0)
 
     from frankensearch_ray.search.pool import SearcherPool
 

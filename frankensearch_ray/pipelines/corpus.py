@@ -1,0 +1,434 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond the reference's own surface (SURVEY §2 marks sampling n/a for the
+index engine), a 100 TB curation job needs deterministic sampling,
+sequence packing, boilerplate detection, and repetition signals.  All
+four operators here are DuckDB-oracled (exact integer contracts):
+
+- ``sample_stratified``: deterministic per-stratum top-n by a
+  multiplicative hash — reproducible downsampling without a shuffle;
+- ``pack_sequences``: GPT-style training packing — concatenate docs in
+  doc_id order, split at fixed token offsets, emit per-doc span rows —
+  built on a distributed two-pass prefix sum (range partials → exclusive
+  offsets → per-range vectorized span expansion);
+- ``ngram_topk``: corpus-wide most-frequent word n-grams (boilerplate /
+  template detection) via per-batch combiner counts and an ngram-hash
+  sharded exact exchange;
+- ``repetition_stats``: per-doc duplicate-token/-bigram maxima (the
+  Gopher-style repetition quality signals).
+
+Tokenization matches ``textstats._tokens_of`` (lowercase, split on
+``[^a-z0-9]+``, empties dropped) so the oracles reuse the repo's pinned
+SQL token contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _flat_tokens, _tokens_of
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def _doc_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _parquet_num_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_id_bounds(path: str, col: str) -> tuple[int, int]:
+    """(min, max) of an int column from row-group statistics only — no
+    data read.  Used to derive order-preserving doc_id ranges; at real
+    scale a sparse id space would swap this for a quantile sketch, but
+    the range partitioning below only needs bounds, not density."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(col)
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:  # pragma: no cover
+            raise ValueError(f"no min/max stats for {col}")
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash mod 2^32.  uint64 wraparound is mod
+    2^64, and (x mod 2^64) mod 2^32 == x mod 2^32, so this matches the
+    oracle's HUGEINT ``(doc_id * 2654435761) % 4294967296`` exactly."""
+    return (ids.astype(np.uint64) * _KNUTH) % _M32
+
+
+# --- stratified sampling -----------------------------------------------------
+
+
+def sample_stratified(
+    sf_dir: str,
+    n_per_stratum: int = 25,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """(lang, doc_id): the n lowest-hash docs per stratum — a seedless,
+    order-free deterministic sample (rank by multiplicative hash, ties by
+    doc_id).
+
+    Scale shape: each batch keeps its LOCAL per-stratum top-n (a
+    combiner), so the final ``groupby(strata)`` sees at most
+    ``n x n_batches`` rows — never corpus-sized groups despite the
+    constant stratum cardinality.  The pre-aggregation is what makes a
+    low-cardinality key safe.
+    """
+    import ray.data as rd
+
+    def keep_topn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select([strata_col, id_col])
+        col = t[strata_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.dictionary_encode(col).indices.to_numpy()
+        ids = t[id_col].to_numpy().astype(np.int64)
+        h = _sample_hash(ids)
+        order = np.lexsort((ids, h, codes))
+        cs = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+        seg_len = np.diff(np.concatenate((starts, [len(cs)])))
+        rank = np.arange(len(cs)) - np.repeat(starts, seg_len)
+        keep = np.sort(order[rank < n_per_stratum])
+        return t.take(pa.array(keep)).select([strata_col, id_col])
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[strata_col, id_col])
+        .map_batches(keep_topn, batch_format="pyarrow")
+        .groupby(strata_col)
+        .map_groups(keep_topn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values([strata_col, id_col])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            strata_col: pa.array(out[strata_col], pa.string()),
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+        }
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    sf_dir: str,
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows_per_range: int = 1_000_000,
+) -> pa.Table:
+    """(seq_id, doc_id, tok_begin, tok_end): GPT-style packing — docs
+    concatenated in doc_id order and split into fixed ``seq_len`` token
+    windows; each doc emits one row per training sequence it overlaps,
+    with the token span it occupies INSIDE that sequence.  Tokens are
+    whitespace runs (``[^\\s]+``), zero-token docs emit nothing.
+
+    The global ordered prefix sum is distributed: (1) per-doc token
+    counts (one pruned pass over text), (2) doc_id-range partial sums via
+    a small groupby (range count scales with the corpus,
+    ``rows_per_range`` docs each), (3) exclusive range offsets on the
+    driver (one small row per range, broadcast via ``ray.put``), (4)
+    per-range vectorized span expansion.  No stage holds more than one
+    range's counts, and the only driver-side structure is the
+    range-offset map (n_docs / rows_per_range entries).
+    """
+    import ray
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+    lo, hi = _parquet_id_bounds(path, id_col)
+    n_ranges = max(1, math.ceil((hi - lo + 1) / rows_per_range))
+    width = math.ceil((hi - lo + 1) / n_ranges)
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(t[text_col], ""), r"[^\s]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "rng": pa.array((ids - lo) // width),
+                "doc_id": pa.array(ids),
+                "n_tok": pa.array(n_tok),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(count_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    per_range = counts.groupby("rng").sum("n_tok").to_pandas()
+    per_range = per_range.sort_values("rng").reset_index(drop=True)
+    totals = np.zeros(n_ranges, dtype=np.int64)
+    totals[per_range["rng"].to_numpy()] = per_range["sum(n_tok)"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    base_ref = ray.put(base)
+
+    def emit_spans(g: pa.Table) -> pa.Table:
+        offsets = ray.get(base_ref)
+        rng = int(g["rng"][0].as_py())
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n_tok = g["n_tok"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, n_tok = ids[order], n_tok[order]
+        gs = offsets[rng] + np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        nz = n_tok > 0
+        ids, n_tok, gs = ids[nz], n_tok[nz], gs[nz]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok_begin": pa.array([], pa.int64()),
+                    "tok_end": pa.array([], pa.int64()),
+                }
+            )
+        first = gs // seq_len
+        last = (gs + n_tok - 1) // seq_len
+        nspan = (last - first + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids)), nspan)
+        within = np.arange(nspan.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(nspan)[:-1])), nspan
+        )
+        seq = first[rep] + within
+        tb = np.maximum(0, gs[rep] - seq * seq_len)
+        te = np.minimum(seq_len, gs[rep] + n_tok[rep] - seq * seq_len)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq),
+                "doc_id": pa.array(ids[rep]),
+                "tok_begin": pa.array(tb),
+                "tok_end": pa.array(te),
+            }
+        )
+
+    out = (
+        counts.groupby("rng")
+        .map_groups(emit_spans, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "seq_id": pa.array(out["seq_id"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "tok_begin": pa.array(out["tok_begin"].to_numpy(), pa.int64()),
+            "tok_end": pa.array(out["tok_end"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+# --- corpus-wide n-gram top-k ------------------------------------------------
+
+
+def ngram_topk(
+    sf_dir: str,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    n_shards: int | None = None,
+) -> pa.Table:
+    """(ngram, cnt): the k most frequent word n-grams corpus-wide
+    (count desc, ngram asc) — the boilerplate/template detector.
+
+    Scale shape: per-batch arrow ``group_by`` partial counts (combiner),
+    then ONE exchange sharded on ``hash(ngram) % K`` with K scaling with
+    the corpus — every occurrence of an ngram lands in one shard, so the
+    in-shard sum is exact and each shard can cut to its local top-k
+    before the driver merges K x k candidate rows.
+    """
+    import ray.data as rd
+
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+
+    def batch_ngrams(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nz = lens > 0
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        flat = flat.filter(pa.array(nz))
+        doc_idx = doc_idx[nz]
+        if len(flat) < n:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        # windows fully inside one doc
+        ok = np.ones(len(flat) - n + 1, dtype=bool)
+        for j in range(1, n):
+            ok &= doc_idx[j : len(doc_idx) - n + 1 + j] == doc_idx[: len(ok)]
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        parts = []
+        for j in range(n):
+            parts.append(flat.take(pa.array(idx + j)))
+        grams = pc.binary_join_element_wise(*parts, " ")
+        agg = pa.table({"ngram": grams}).group_by(
+            "ngram", use_threads=False
+        ).aggregate([("ngram", "count")])
+        out = pa.table(
+            {
+                "ngram": agg["ngram"],
+                "cnt": agg["ngram_count"].cast(pa.int64()),
+            }
+        )
+        # deterministic shard key (blake2b over the batch-local UNIQUE
+        # ngrams only — the combiner already collapsed occurrences, so
+        # this loop is vocab-sized, the repo's accepted dictionary trick;
+        # Python's builtin hash is per-process salted and would scatter
+        # one ngram across shards)
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                for s in out["ngram"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        return out.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).view(np.int64))
+        )
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        agg = g.group_by("ngram", use_threads=False).aggregate([("cnt", "sum")])
+        grams = agg["ngram"].to_numpy(zero_copy_only=False).astype(str)
+        cnt = agg["cnt_sum"].to_numpy().astype(np.int64)
+        order = np.lexsort((grams, -cnt))[:k]
+        return pa.table(
+            {
+                "ngram": pa.array(grams[order], pa.string()),
+                "cnt": pa.array(cnt[order]),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+        .map_batches(batch_ngrams, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["cnt", "ngram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "ngram": pa.array(out["ngram"].to_numpy(), pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+# --- per-doc repetition signals ----------------------------------------------
+
+
+def repetition_stats(
+    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, n_tokens, top_token_count, n_bigrams, top_bigram_count):
+    the Gopher-style within-doc repetition signals — how often the most
+    repeated token/bigram occurs.  Fully vectorized per batch (dictionary
+    codes, one lexsort per signal, run-length maxima via reduceat); no
+    exchange at all — embarrassingly parallel like quality_scores."""
+    import ray.data as rd
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        nd = len(lists)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nz = lens > 0
+        doc_idx = doc_idx[nz]
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        flat = flat.filter(pa.array(nz))
+        n_tok = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+
+        def per_doc_max_runs(di: np.ndarray, key: np.ndarray) -> np.ndarray:
+            """max run length per doc of (di, key) pairs (inputs unsorted)."""
+            out = np.zeros(nd, dtype=np.int64)
+            if len(di) == 0:
+                return out
+            order = np.lexsort((key, di))
+            di_s, key_s = di[order], key[order]
+            new = np.concatenate(
+                ([True], (di_s[1:] != di_s[:-1]) | (key_s[1:] != key_s[:-1]))
+            )
+            starts = np.flatnonzero(new)
+            run_len = np.diff(np.concatenate((starts, [len(di_s)])))
+            run_doc = di_s[starts]
+            doc_first = np.concatenate(
+                ([True], run_doc[1:] != run_doc[:-1])
+            )
+            seg = np.flatnonzero(doc_first)
+            out[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
+            return out
+
+        codes = (
+            pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+            if len(flat)
+            else np.zeros(0, np.int64)
+        )
+        top_tok = per_doc_max_runs(doc_idx, codes)
+
+        # in-doc adjacent bigrams as composite int keys (codes < vocab V,
+        # pair key = c0 * V + c1 stays exact in int64 for any batch vocab)
+        if len(codes) >= 2:
+            same = doc_idx[1:] == doc_idx[:-1]
+            v = int(codes.max()) + 1
+            pk = codes[:-1][same] * v + codes[1:][same]
+            bdoc = doc_idx[:-1][same]
+        else:
+            pk = np.zeros(0, np.int64)
+            bdoc = np.zeros(0, np.int64)
+        n_big = np.bincount(bdoc, minlength=nd).astype(np.int64)
+        top_big = per_doc_max_runs(bdoc, pk)
+
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "top_token_count": pa.array(top_tok),
+                "n_bigrams": pa.array(n_big),
+                "top_bigram_count": pa.array(top_big),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(stats_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

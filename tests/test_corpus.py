@@ -1,0 +1,80 @@
+"""Corpus-curation operator invariants (exactness itself is pinned by the
+driver-mimicking oracle gate in test_entry_oracle.py; these cover the
+properties the SQL comparison can't see — partitioning invariance and
+sample monotonicity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_mod(ray_session):
+    from frankensearch_ray.pipelines import corpus
+
+    return corpus
+
+
+def test_pack_spans_tile_sequences(corpus_mod):
+    t = corpus_mod.pack_sequences(SF, seq_len=128).to_pandas()
+    assert ((t["tok_begin"] >= 0) & (t["tok_end"] <= 128)).all()
+    assert (t["tok_begin"] < t["tok_end"]).all()
+    # within each sequence, spans are disjoint and contiguous from 0;
+    # every sequence except the last is fully tiled to 128
+    last_seq = t["seq_id"].max()
+    for seq, g in t.groupby("seq_id"):
+        g = g.sort_values("tok_begin")
+        assert g["tok_begin"].iloc[0] == 0
+        assert (g["tok_begin"].to_numpy()[1:] == g["tok_end"].to_numpy()[:-1]).all()
+        if seq != last_seq:
+            assert g["tok_end"].iloc[-1] == 128
+
+
+def test_pack_range_partitioning_invariance(corpus_mod):
+    """The distributed prefix sum must not depend on how doc_id space is
+    cut into ranges."""
+    a = corpus_mod.pack_sequences(SF, rows_per_range=1_000_000).to_pandas()
+    b = corpus_mod.pack_sequences(SF, rows_per_range=37).to_pandas()
+    assert a.equals(b)
+
+
+def test_ngram_topk_shard_invariance(corpus_mod):
+    a = corpus_mod.ngram_topk(SF, k=50, n_shards=4).to_pandas()
+    b = corpus_mod.ngram_topk(SF, k=50, n_shards=61).to_pandas()
+    assert a.equals(b)
+
+
+def test_sample_stratified_monotone(corpus_mod):
+    """A smaller-n sample is a prefix (per stratum) of a larger-n one —
+    the hash ranking is a total order, so samples nest."""
+    small = corpus_mod.sample_stratified(SF, n_per_stratum=5).to_pandas()
+    big = corpus_mod.sample_stratified(SF, n_per_stratum=25).to_pandas()
+    small_set = set(map(tuple, small.to_numpy()))
+    big_set = set(map(tuple, big.to_numpy()))
+    assert small_set <= big_set
+    assert (small.groupby("lang").size() <= 5).all()
+    assert (big.groupby("lang").size() <= 25).all()
+
+
+def test_repetition_stats_brute_force(corpus_mod):
+    """Differential against a Python Counter on the first docs."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    t = corpus_mod.repetition_stats(SF).to_pandas().set_index("doc_id")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    for doc_id, text in rows:
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = t.loc[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_token_count"] == (max(Counter(toks).values()) if toks else 0)
+        assert r["n_bigrams"] == len(bigs)
+        assert r["top_bigram_count"] == (max(Counter(bigs).values()) if bigs else 0)
