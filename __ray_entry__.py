@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "media_features": textstats.media_features,
+        "media_frame_sample": textstats.media_frame_sample,
         # corpus curation (training-data pipeline ops beyond the reference)
         "sample_stratified": corpus.sample_stratified,
         "pack_sequences": corpus.pack_sequences,
@@ -543,6 +544,19 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::BLOB)::BIGINT AS n_bytes,
                    (octet_length(text::BLOB) // 256)::BIGINT AS n_frames
             FROM documents ORDER BY doc_id
+        """,
+        # frame-sample plumbing: every 4th 256-byte frame incl. the
+        # partial tail frame (ceil), one row per sampled frame
+        "media_frame_sample": """
+            SELECT doc_id, t.fi::BIGINT AS frame_idx,
+                   (t.fi * 256)::BIGINT AS frame_off,
+                   least(256, octet_length(text::BLOB)
+                              - t.fi * 256)::BIGINT AS frame_len
+            FROM documents, LATERAL (
+              SELECT unnest(generate_series(
+                0, ((octet_length(text::BLOB) + 255) // 256) - 1, 4)) AS fi
+            ) t
+            ORDER BY doc_id, frame_idx
         """,
         # deterministic per-stratum sample: rank by the Knuth
         # multiplicative hash mod 2^32 (HUGEINT avoids BIGINT overflow;

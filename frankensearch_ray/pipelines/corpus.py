@@ -138,7 +138,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     rows_per_range: int = 1_000_000,
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(seq_id, doc_id, tok_begin, tok_end): GPT-style packing — docs
     concatenated in doc_id order and split into fixed ``seq_len`` token
     windows; each doc emits one row per training sequence it overlaps,
@@ -226,10 +227,14 @@ def pack_sequences(
             }
         )
 
+    spans = counts.groupby("rng").map_groups(emit_spans, batch_format="pyarrow")
+    if output_path is not None:
+        # library-scale sink: span rows (one per doc-sequence overlap,
+        # corpus-sized) stream to partitioned parquet, never the driver
+        spans.write_parquet(output_path)
+        return None
     out = (
-        counts.groupby("rng")
-        .map_groups(emit_spans, batch_format="pyarrow")
-        .to_pandas()
+        spans.to_pandas()
         .sort_values(["seq_id", "doc_id"])
         .reset_index(drop=True)
     )

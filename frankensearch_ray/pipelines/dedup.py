@@ -153,7 +153,7 @@ def _shingle_batch(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Ta
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_pairs_ds(
     sf_dir: str,
     threshold: float = 0.8,
     k: int = 3,
@@ -161,8 +161,10 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int | None = None,
-) -> pa.Table:
-    """Exact all-pairs word-k-shingle Jaccard >= threshold.
+):
+    """Exact all-pairs word-k-shingle Jaccard >= threshold, as a LAZY
+    Dataset of (doc_a, doc_b, jaccard_pct) — the pair set never touches
+    the driver.
 
     Distributed set-similarity join: explode (shingle, doc), drop shingles
     with df > cap (contractual stop-shingle rule), co-occurrence counts per
@@ -306,12 +308,30 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = (
+    return (
         partials.map_batches(add_pshard, batch_format="pyarrow")
         .groupby("pshard")
         .map_groups(sum_and_filter, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Driver-entry wrapper around :func:`_ngram_pairs_ds` — materializes
+    the (small, near-dup-rate-bounded) pair table and sorts it for the
+    oracle comparison.  Library consumers that feed pairs onward
+    (``dedup_clusters``) use the Dataset form and never pull pairs to the
+    driver."""
+    out = _ngram_pairs_ds(
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
+    ).to_pandas()
     if len(out) == 0:
         return pa.table(
             {
@@ -348,16 +368,18 @@ def dedup_clusters(
     convergence takes O(component diameter) rounds.  The final merge
     (endpoint labels ∪ all-doc identity labels, per-node min) is one more
     bucketed exchange, never a driver-side dict.
+
+    The pair graph stays a DATASET end-to-end: edges and the initial
+    endpoint labels are batch transforms of :func:`_ngram_pairs_ds` —
+    no driver-side structure proportional to the pair count.
     """
     import ray.data as rd
 
     n_docs = _parquet_num_rows(_doc_path(sf_dir))
     K = _scaled_shards(n_docs, 8192)
-    pairs = ngram_jaccard_pairs(
+    pairs_ds = _ngram_pairs_ds(
         sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
     )
-    a = pairs["doc_a"].to_numpy().astype(np.int64)
-    b = pairs["doc_b"].to_numpy().astype(np.int64)
 
     def identity_labels(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
@@ -367,20 +389,14 @@ def dedup_clusters(
         identity_labels, batch_format="pyarrow"
     )
 
-    if len(a) == 0:
-        out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
+    def emit_edges(t: pa.Table) -> pa.Table:
+        """Both directions of each pair in the tagged-union superstep
+        schema (kind 0 = edge rows)."""
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        u = np.concatenate((a, b))
+        v = np.concatenate((b, a))
         return pa.table(
-            {
-                "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
-                "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
-            }
-        )
-
-    # both directions; endpoints start labeled with themselves
-    u = np.concatenate((a, b))
-    v = np.concatenate((b, a))
-    edges = rd.from_arrow(
-        pa.table(
             {
                 "jb": pa.array(u % K),
                 "kind": pa.array(np.zeros(len(u), np.int8), pa.int8()),
@@ -389,19 +405,33 @@ def dedup_clusters(
                 "label": pa.array(np.zeros(len(u), np.int64)),
             }
         )
-    ).materialize()
-    endpoints = np.unique(u)
-    labels = rd.from_arrow(
-        pa.table(
+
+    def emit_identity(t: pa.Table) -> pa.Table:
+        """kind-1 self-label rows for the batch's endpoints.  Only
+        batch-LOCAL dedup: cross-batch duplicate identity rows are
+        harmless (equal labels; the first superstep's per-node min
+        collapses them) so no global unique() pass is needed."""
+        nodes = np.unique(t["node"].to_numpy())
+        return pa.table(
             {
-                "jb": pa.array(endpoints % K),
-                "kind": pa.array(np.ones(len(endpoints), np.int8), pa.int8()),
-                "node": pa.array(endpoints),
-                "other": pa.array(np.zeros(len(endpoints), np.int64)),
-                "label": pa.array(endpoints),
+                "jb": pa.array(nodes % K),
+                "kind": pa.array(np.ones(len(nodes), np.int8), pa.int8()),
+                "node": pa.array(nodes),
+                "other": pa.array(np.zeros(len(nodes), np.int64)),
+                "label": pa.array(nodes),
             }
         )
-    ).materialize()
+
+    edges = pairs_ds.map_batches(emit_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+                "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
+            }
+        )
+    labels = edges.map_batches(emit_identity, batch_format="pyarrow").materialize()
 
     def propagate(g: pa.Table) -> pa.Table:
         """Messages of one bucket: each node's current label to itself and

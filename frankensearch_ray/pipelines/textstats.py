@@ -341,6 +341,81 @@ class MediaDecoder:
         )
 
 
+class MediaFrameSampler:
+    """Actor-pool frame sampler: every ``stride``-th fixed-size frame of an
+    opaque binary payload, including the partial tail frame.  Emits one row
+    per sampled frame (doc_id, frame_idx, frame_off, frame_len) — the
+    layout a real video/audio frame-sample stage hands to a downstream
+    feature extractor.  Like MediaDecoder the codec is a length-arithmetic
+    stub (no media libs in this container); the actor lifecycle, Arrow
+    binary batches, and the row-per-frame fan-out schema are real."""
+
+    FRAME_BYTES = 256
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride  # stands in for decoder/codec state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes = pc.binary_length(batch["payload"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        fb, st = self.FRAME_BYTES, self.stride
+        n_frames = -(-n_bytes // fb)  # ceil: tail partial frame counts
+        n_samp = -(-n_frames // st)
+        rep = np.repeat(np.arange(len(ids)), n_samp)
+        within = np.arange(n_samp.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_samp)[:-1])), n_samp
+        )
+        fi = within * st
+        off = fi * fb
+        ln = np.minimum(fb, n_bytes[rep] - off)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rep]),
+                "frame_idx": pa.array(fi),
+                "frame_off": pa.array(off),
+                "frame_len": pa.array(ln),
+            }
+        )
+
+
+def media_frame_sample(
+    sf_dir: str, id_col: str = "doc_id", text_col: str = "text", stride: int = 4
+) -> pa.Table:
+    """(doc_id, frame_idx, frame_off, frame_len): every ``stride``-th
+    256-byte frame per payload — the frame-sample half of the multimodal
+    plumbing (MediaDecoder covers decode/feature-extract).  Actor pool so
+    a real codec's init cost is paid once per actor, row-per-frame fan-out
+    so downstream batches re-block to frame granularity."""
+    import ray.data as rd
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "payload": pc.cast(pc.fill_null(batch[text_col], ""), pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            MediaFrameSampler,
+            fn_constructor_kwargs={"stride": stride},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Multimodal plumbing demo: text bytes as opaque payload -> actor-pool
     decode -> (doc_id, n_bytes, n_frames)."""

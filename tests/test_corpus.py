@@ -41,6 +41,21 @@ def test_pack_range_partitioning_invariance(corpus_mod):
     assert a.equals(b)
 
 
+def test_pack_sink_matches_table_path(corpus_mod, tmp_path):
+    import pyarrow.parquet as pq
+
+    table = corpus_mod.pack_sequences(SF).to_pandas()
+    out = str(tmp_path / "packed")
+    assert corpus_mod.pack_sequences(SF, output_path=out) is None
+    sink = (
+        pq.read_table(out)
+        .to_pandas()[["seq_id", "doc_id", "tok_begin", "tok_end"]]
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert sink.equals(table)
+
+
 def test_ngram_topk_shard_invariance(corpus_mod):
     a = corpus_mod.ngram_topk(SF, k=50, n_shards=4).to_pandas()
     b = corpus_mod.ngram_topk(SF, k=50, n_shards=61).to_pandas()
