@@ -49,7 +49,7 @@ def _make_actor_cls():
 
 
 class SearcherPool:
-    """N query replicas over one index dir; round-robin query routing."""
+    """N query replicas over one index dir; dynamic chunked routing."""
 
     def __init__(self, index_dir: str, size: int = 4, segment_threads: int = 0):
         cls = _make_actor_cls()
@@ -61,27 +61,60 @@ class SearcherPool:
         ray.get([a.warm.remote() for a in self.actors])
 
     def search_many(
-        self, queries: list[str], limit: int = 10, offset: int = 0
+        self,
+        queries: list[str],
+        limit: int = 10,
+        offset: int = 0,
+        chunk_size: int | None = None,
     ) -> list[dict]:
-        """Evaluate queries across the pool; results in input order."""
+        """Evaluate queries across the pool; results in input order.
+
+        Dispatch is DYNAMIC: queries go out in small chunks to whichever
+        replica frees up (``ray.wait``), with two chunks in flight per
+        replica so actor-call latency pipelines.  A static 1/N split
+        makes the pool's wall time the SLOWEST replica's whole share —
+        query cost is heavily skewed (head-term unions vs. cheap
+        conjunctions), and at 16+ replicas a straggler share dominates
+        (this was the 0.55 query-scaling signature at 800k pages).
+        Results are identical either way: every replica evaluates the
+        same pinned kernel over the same snapshot generation.
+        """
         import ray
 
         n = len(self.actors)
-        chunks: list[list[str]] = [[] for _ in range(n)]
-        owners: list[list[int]] = [[] for _ in range(n)]
-        for i, q in enumerate(queries):
-            chunks[i % n].append(q)
-            owners[i % n].append(i)
-        futs = [
-            a.search_many.remote(c, limit, offset)
-            for a, c in zip(self.actors, chunks)
-            if c
-        ]
+        if not queries or n == 0:
+            return []
+        if chunk_size is None:
+            # ~8 waves per replica levels out cost skew; floor keeps
+            # tiny workloads from paying per-chunk dispatch overhead
+            chunk_size = max(4, len(queries) // (n * 8) or 1)
         out: list[dict | None] = [None] * len(queries)
-        live_owner = [o for o, c in zip(owners, chunks) if c]
-        for owner, res in zip(live_owner, ray.get(futs)):
-            for i, r in zip(owner, res):
-                out[i] = r
+        starts = list(range(0, len(queries), chunk_size))
+        next_chunk = 0
+        pending: dict = {}  # future -> (actor_idx, chunk_start)
+
+        def submit(ai: int) -> bool:
+            nonlocal next_chunk
+            if next_chunk >= len(starts):
+                return False
+            s = starts[next_chunk]
+            next_chunk += 1
+            f = self.actors[ai].search_many.remote(
+                queries[s : s + chunk_size], limit, offset
+            )
+            pending[f] = (ai, s)
+            return True
+
+        for ai in range(n):
+            for _ in range(2):
+                if not submit(ai):
+                    break
+        while pending:
+            done, _ = ray.wait(list(pending.keys()), num_returns=1)
+            ai, s = pending.pop(done[0])
+            for i, r in enumerate(ray.get(done[0])):
+                out[s + i] = r
+            submit(ai)
         return out  # type: ignore[return-value]
 
     def shutdown(self) -> None:

@@ -124,6 +124,27 @@ class TestRankExact:
             f"{q!r}\n want {w}\n got  {g}" for q, w, g in failures
         )
 
+    def test_pool_identical_to_driver(
+        self, t1_index, searcher, reference_queries
+    ):
+        """Actor-pool replicas return bit-identical hits to the driver
+        searcher, in input order, regardless of the dynamic chunk
+        routing (small chunk_size forces multi-wave work stealing)."""
+        from frankensearch_ray.search.pool import SearcherPool
+
+        index_dir, _, _ = t1_index
+        qs = _queries(reference_queries)
+        pool = SearcherPool(index_dir, size=3)
+        try:
+            got = pool.search_many(qs, limit=10, chunk_size=2)
+        finally:
+            pool.shutdown()
+        for q, res in zip(qs, got):
+            want = searcher.search(q, limit=10)["hits"]
+            g = [(h["docid"], h["score_bits"]) for h in res["hits"]]
+            w = [(h["docid"], h["score_bits"]) for h in want]
+            assert g == w, q
+
     def test_pagination_consistency(self, searcher, oracle):
         q = "rust ownership"
         full = searcher.search(q, limit=20)["hits"]
