@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_ivf": ann.knn_ivf,
+        "knn_lsh": ann.knn_lsh,
         # text analysis + multimodal plumbing
         "lang_id": textstats.lang_id,
         "quality_scores": textstats.quality_scores,

@@ -247,3 +247,85 @@ def knn_ivf(
     ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(IvfScorer(), batch_format="pyarrow", batch_size=512)
     return _merge_topk(partials.to_pandas(), k)
+
+
+def knn_lsh(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> pa.Table:
+    """Signed-random-projection LSH approximate cosine top-k: a vector is
+    a candidate for a query iff they share a bucket code in ANY of the
+    ``n_tables`` hash tables (each table = ``n_bits`` random hyperplane
+    signs).  Zero shuffle; hyperplanes + query codes broadcast once.
+
+    At 100 TB the same codes become the PARTITION KEY: vectors land in
+    bucket-partitioned parquet at ingest and a query reads only its
+    (multi-probed) buckets — the in-pass mask here is the single-node
+    proxy of that read-pruning.  The synthetic embeddings are
+    near-uniform (worst case for LSH — no cluster structure), so defaults
+    are loose (4 bits x 16 tables, candidate mass ~64%; clustered real
+    corpora run far tighter); pytest gates recall@10 vs bruteforce.
+    """
+    import ray
+    import ray.data as rd
+
+    q_ids, qm = _read_queries(sf_dir, query_ids)
+    dim = qm.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def codes_of(m: np.ndarray) -> np.ndarray:
+        """(rows, n_tables) int64 bucket codes."""
+        # (T, bits, dim) @ (rows, dim).T -> (T, bits, rows)
+        s = np.einsum("tbd,rd->tbr", planes, m) >= 0.0
+        return np.einsum("tbr,b->tr", s.astype(np.int64), pw).T
+
+    q_codes = codes_of(qm)  # (Q, T)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    refs = ray.put((q_ids, qn, q_codes))
+
+    class LshScorer:
+        """Stateless task body (broadcast state, no actor launch cost)."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q_ids_, qn_, q_codes_ = ray.get(refs)
+            ids, m = _batch_matrix(batch)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            b_codes = codes_of(m)  # (B, T)
+            # (Q, B): candidate iff codes collide in >= 1 table
+            allowed = (q_codes_[:, None, :] == b_codes[None, :, :]).any(axis=2)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.where(allowed, qn_ @ mn.T, -np.inf)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(sims.shape[0]):
+                for bi in part[qi]:
+                    if sims[qi, bi] == -np.inf:
+                        continue
+                    out_q.append(int(q_ids_[qi]))
+                    out_n.append(int(ids[bi]))
+                    out_s.append(float(sims[qi, bi]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(LshScorer(), batch_format="pyarrow", batch_size=512)
+    return _merge_topk(partials.to_pandas(), k)

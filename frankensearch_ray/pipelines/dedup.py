@@ -344,6 +344,47 @@ def ngram_jaccard_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _merge_cluster_labels(labels_ds, all_docs, K: int) -> pa.Table:
+    """(component labels ∪ all-doc identity labels) → per-node min via one
+    ``node % K`` bucketed exchange; the driver only receives the final
+    (doc_id, cluster) rows."""
+
+    def add_mb(t: pa.Table) -> pa.Table:
+        t = t.select(["node", "label"])
+        return t.append_column(
+            "mb", pa.array(t["node"].to_numpy().astype(np.int64) % K)
+        )
+
+    def min_node(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy()
+        lab = g["label"].to_numpy()
+        order = np.lexsort((lab, node))
+        node, lab = node[order], lab[order]
+        first = np.concatenate(([True], node[1:] != node[:-1]))
+        return pa.table(
+            {
+                "node": pa.array(node[first].astype(np.int64)),
+                "label": pa.array(lab[first].astype(np.int64)),
+            }
+        )
+
+    merged = (
+        labels_ds.union(all_docs)
+        .map_batches(add_mb, batch_format="pyarrow")
+        .groupby("mb")
+        .map_groups(min_node, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(merged["node"].to_numpy(), pa.int64()),
+            "cluster": pa.array(merged["label"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def dedup_clusters(
     sf_dir: str,
     threshold: float = 0.8,
@@ -353,25 +394,36 @@ def dedup_clusters(
     text_col: str = "text",
     n_buckets: int | None = None,
     max_iters: int = 64,
+    mode: str = "auto",
+    local_edge_budget: int = 5_000_000,
 ) -> pa.Table:
     """Connected-component near-dup clusters: every doc labeled with the
     SMALLEST doc_id reachable through the ngram-Jaccard pair graph — the
     unit a 100 TB dedup job keeps one representative of.
 
-    Distributed hash-min label propagation (BSP connected components):
-    only edge ENDPOINTS participate in the supersteps (singletons are
-    their own cluster by construction and never enter the loop).  Each
-    superstep is two bucketed exchanges — (1) labels + edges co-partition
-    on ``node % K`` and every edge forwards its source's current label to
-    its target, (2) per-node min over the messages — and labels only
-    decrease, so a stable global label sum is the fixpoint test;
-    convergence takes O(component diameter) rounds.  The final merge
-    (endpoint labels ∪ all-doc identity labels, per-node min) is one more
-    bucketed exchange, never a driver-side dict.
+    Two component solvers behind one contract (``mode``, pytest-pinned
+    identical):
 
-    The pair graph stays a DATASET end-to-end: edges and the initial
-    endpoint labels are batch transforms of :func:`_ngram_pairs_ds` —
-    no driver-side structure proportional to the pair count.
+    - ``local`` — the edge set (near-dup-rate-bounded, NOT corpus-sized)
+      fits one task's budget: one Ray task runs vectorized min-label
+      pointer-jumping over the whole graph.  O(E) memory on ONE worker,
+      zero supersteps.
+    - ``bsp`` — distributed hash-min label propagation: only edge
+      ENDPOINTS participate (singletons never enter the loop), each
+      superstep is two ``node % K`` bucketed exchanges ((1) every edge
+      forwards its source's label to its target, (2) per-node min), and
+      labels only decrease so a stable global label sum is the fixpoint
+      test; O(component diameter) rounds.
+    - ``auto`` (default) — ``local`` while the measured edge count is
+      within ``local_edge_budget``, else ``bsp``.  A 100 TB corpus with
+      a pathological duplicate rate overflows the budget and degrades
+      gracefully to the superstep path instead of OOMing one worker.
+
+    Either way the final merge (component labels ∪ all-doc identity
+    labels, per-node min) is one bucketed exchange, and the pair graph
+    stays a DATASET end-to-end: edges are batch transforms of
+    :func:`_ngram_pairs_ds` — no driver-side structure proportional to
+    the pair count.
     """
     import ray.data as rd
 
@@ -423,7 +475,8 @@ def dedup_clusters(
         )
 
     edges = pairs_ds.map_batches(emit_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
         return pa.table(
             {
@@ -431,6 +484,41 @@ def dedup_clusters(
                 "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
             }
         )
+    if mode == "auto":
+        mode = "local" if n_edges <= local_edge_budget else "bsp"
+
+    def uf_block(t: pa.Table) -> pa.Table:
+        """Whole-graph min-label pointer jumping in one task: O(log n)
+        in-memory sweeps, no supersteps."""
+        u = t["node"].to_numpy().astype(np.int64)
+        v = t["other"].to_numpy().astype(np.int64)
+        nodes, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+        iu, iv = inv[: len(u)], inv[len(u) :]
+        lab = np.arange(len(nodes))
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, iu, lab[iv])  # edges carry both directions
+            new = np.minimum(new, new[new])  # pointer jump halves depth
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pa.table(
+            {
+                "node": pa.array(nodes),
+                "label": pa.array(nodes[lab]),
+            }
+        )
+
+    if mode == "local":
+        labels_final = edges.repartition(1).map_batches(
+            uf_block, batch_format="pyarrow"
+        )
+        return _merge_cluster_labels(labels_final, all_docs, K)
+
+    # BSP path: coalesce the edge blocks first — the pair pipeline leaves
+    # one (often tiny) block per pshard, and each superstep's sort
+    # exchange pays per-block overhead x rounds otherwise
+    edges = edges.repartition(K).materialize()
     labels = edges.map_batches(emit_identity, batch_format="pyarrow").materialize()
 
     def propagate(g: pa.Table) -> pa.Table:
@@ -498,31 +586,12 @@ def dedup_clusters(
         prev_sum = cur
 
     # final merge: endpoint labels ∪ identity labels, per-node min
-    def strip(t: pa.Table) -> pa.Table:
-        return t.select(["node", "label"])
-
-    merged = (
-        labels.map_batches(strip, batch_format="pyarrow")
-        .union(all_docs)
-        .map_batches(
-            lambda t: t.append_column(
-                "mb", pa.array(t["node"].to_numpy() % K)
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("mb")
-        .map_groups(
-            lambda g: min_per_node(g, jb=False), batch_format="pyarrow"
-        )
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
-    return pa.table(
-        {
-            "doc_id": pa.array(merged["node"].to_numpy(), pa.int64()),
-            "cluster": pa.array(merged["label"].to_numpy(), pa.int64()),
-        }
+    return _merge_cluster_labels(
+        labels.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        ),
+        all_docs,
+        K,
     )
 
 

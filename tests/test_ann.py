@@ -31,6 +31,27 @@ class TestIvfRecall:
         recall = sum(recalls) / len(recalls)
         assert recall >= 0.9, f"IVF recall@10 = {recall:.2f}"
 
+    def test_lsh_recall_vs_bruteforce(self, ray_session, sf_dir):
+        """SRP-LSH with default bits/tables must reach recall@10 >= 0.9
+        against brute force (deterministic: seeded hyperplanes over the
+        fixed synthetic embeddings)."""
+        from frankensearch_ray.pipelines.ann import knn_bruteforce, knn_lsh
+
+        exact = knn_bruteforce(sf_dir)
+        approx = knn_lsh(sf_dir)
+
+        def neighbor_sets(t):
+            out = {}
+            for r in t.to_pylist():
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return out
+
+        e, a = neighbor_sets(exact), neighbor_sets(approx)
+        assert set(e) == set(a)
+        recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+        recall = sum(recalls) / len(recalls)
+        assert recall >= 0.9, f"LSH recall@10 = {recall:.2f}"
+
 
 class TestEmbeddingDedup:
     def test_pairs_match_duckdb(self, ray_session, sf_dir):

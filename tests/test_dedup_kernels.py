@@ -139,6 +139,17 @@ class TestShardInvariance:
         assert base.num_rows > 0
         assert base.equals(varied)
 
+    def test_cluster_local_equals_bsp(self, ray_session):
+        """The one-task pointer-jumping solver and the distributed BSP
+        label-propagation solver are the same contract."""
+        from frankensearch_ray.pipelines.dedup import dedup_clusters
+
+        local = dedup_clusters(self.SF, mode="local").to_pandas()
+        bsp = dedup_clusters(self.SF, mode="bsp").to_pandas()
+        assert len(local) > 0
+        assert (local["cluster"] != local["doc_id"]).any()  # real merges
+        assert local.equals(bsp)
+
 
 class TestBucketedEmbeddingDedup:
     def test_bucketed_matches_exact(self, ray_session):
