@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textstats.token_stats,
         "bpe_token_counts": textstats.bpe_token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "distinct_sketch": textstats.distinct_terms_sketch,
         "media_features": textstats.media_features,
         "media_frame_sample": textstats.media_frame_sample,
         # corpus curation (training-data pipeline ops beyond the reference)

@@ -478,3 +478,57 @@ def bpe_token_counts(sf_dir: str, text_col: str = "text") -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def distinct_terms_sketch(
+    sf_dir: str, text_col: str = "text", k: int = 1024
+) -> pa.Table:
+    """(distinct_terms_est, sketch_k): KMV (k-minimum-values) distinct
+    term estimate — the shuffle-FREE alternative to ``token_stats``'s
+    exact term-keyed exchange.  Each batch contributes its k smallest
+    64-bit term hashes (a mergeable partial; blake2b over the batch-local
+    unique dictionary only), the driver merges k-smallest-of-union, and
+    the estimator is ``(k-1) / h_(k)`` on the unit interval.  Everything
+    is deterministic (seedless hash, order-free min), so the estimate is
+    reproducible bit-for-bit; pytest gates it within 10% of the exact
+    count.  At 10^12 docs this replaces a vocabulary-sized exchange with
+    k numbers per block."""
+    import hashlib
+
+    import ray.data as rd
+
+    def kmv_partial(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        flat = lists.flatten()
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        uniq = pc.unique(flat)
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "little",
+                )
+                for s in uniq.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        h = np.unique(h)[:k]  # sorted ascending; keep k smallest
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    parts = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+        .map_batches(kmv_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    h = np.unique(parts["h"].to_numpy().view(np.uint64))
+    if len(h) < k:  # fewer distinct terms than k: the sketch is exact
+        est = len(h)
+    else:
+        hk = h[k - 1]
+        est = int(round((k - 1) * (float(2**64) / float(hk + 1))))
+    return pa.table(
+        {
+            "distinct_terms_est": pa.array([est], pa.int64()),
+            "sketch_k": pa.array([k], pa.int64()),
+        }
+    )

@@ -74,6 +74,39 @@ def test_sample_stratified_monotone(corpus_mod):
     assert (big.groupby("lang").size() <= 25).all()
 
 
+def test_kmv_sketch_within_10pct_of_exact(ray_session):
+    from frankensearch_ray.pipelines.textstats import (
+        distinct_terms_sketch,
+        token_stats,
+    )
+
+    exact = token_stats(SF)["distinct_terms"][0].as_py()
+    est = distinct_terms_sketch(SF)["distinct_terms_est"][0].as_py()
+    assert abs(est - exact) / exact <= 0.10, (est, exact)
+    # deterministic: same sketch twice is bit-identical
+    assert est == distinct_terms_sketch(SF)["distinct_terms_est"][0].as_py()
+
+
+def test_kmv_estimator_branch_large_vocab(ray_session, tmp_path):
+    """The testdata vocab (~31 terms) only hits the exact small-set
+    branch; this synthesizes 20k distinct terms so the (k-1)/h_(k)
+    estimator itself is exercised (KMV stderr ~ 1/sqrt(k-1) ~ 3%)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines.textstats import distinct_terms_sketch
+
+    docs = [
+        " ".join(f"w{d * 10 + j}" for j in range(10)) for d in range(2000)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(2000)), "text": docs}),
+        str(tmp_path / "documents.parquet"),
+    )
+    est = distinct_terms_sketch(str(tmp_path))["distinct_terms_est"][0].as_py()
+    assert abs(est - 20000) / 20000 <= 0.10, est
+
+
 def test_repetition_stats_brute_force(corpus_mod):
     """Differential against a Python Counter on the first docs."""
     import re
