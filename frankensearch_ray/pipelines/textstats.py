@@ -381,8 +381,12 @@ class MediaFrameSampler:
 
 
 def media_frame_sample(
-    sf_dir: str, id_col: str = "doc_id", text_col: str = "text", stride: int = 4
-) -> pa.Table:
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = 4,
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, frame_idx, frame_off, frame_len): every ``stride``-th
     256-byte frame per payload — the frame-sample half of the multimodal
     plumbing (MediaDecoder covers decode/feature-extract).  Actor pool so
@@ -399,17 +403,19 @@ def media_frame_sample(
         )
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    out = (
-        ds.map_batches(to_payload, batch_format="pyarrow")
-        .map_batches(
-            MediaFrameSampler,
-            fn_constructor_kwargs={"stride": stride},
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=2,
-        )
-        .to_pandas()
+    frames = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        MediaFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
     )
+    if output_path is not None:
+        # library-scale sink: frames >> docs, so the row-per-frame fan-out
+        # streams to partitioned parquet and never lands on the driver
+        frames.write_parquet(output_path)
+        return None
+    out = frames.to_pandas()
     return pa.Table.from_pandas(
         out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True),
         preserve_index=False,
