@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        # same contract through the distributed BSP label-propagation
+        # solver (the >budget path at 100 TB); oracle shared with
+        # dedup_clusters so the driver pins mode-equivalence too
+        "dedup_clusters_bsp": partial(dedup.dedup_clusters, mode="bsp"),
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_cosine_pairs,
@@ -169,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": corpus.pack_sequences,
         "ngram_topk": corpus.ngram_topk,
         "repetition_stats": corpus.repetition_stats,
+        "decontaminate": corpus.decontaminate,
+        "doc_keywords": corpus.doc_keywords,
     }
 
 
@@ -178,7 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS
     docs = _DOCS_CTE
-    return {
+    sqls = {
         "term_df": f"""
             WITH {docs},
             t AS (SELECT doc_id, unnest(toks) AS term FROM docs)
@@ -670,6 +676,50 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id % 3 = 0
             ORDER BY doc_id
         """,
+        # benchmark decontamination: distinct 3-gram overlap of training
+        # docs vs the eval suite (doc_id % 97 == 0)
+        "decontaminate": f"""
+            WITH {docs},
+            g AS (
+              SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             FOR i IN range(1, len(toks) - 1)]) AS gram
+              FROM docs WHERE len(toks) >= 3
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT DISTINCT g.doc_id, g.gram
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
+            FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
+        # integer-exact keyword extraction: per doc the lowest-df term,
+        # ties by tf desc then term asc (tf-idf argmax with a rational
+        # comparator — no float ln in the contract)
+        "doc_keywords": f"""
+            WITH {docs},
+            t AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM t GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ),
+            r AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY dfreq.df, tf.tf DESC, tf.term) AS rn
+              FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, term, tf, df FROM r WHERE rn = 1
+            ORDER BY doc_id
+        """,
         # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
         # approximate or non-SQL-expressible: rows-only checks.
     }
+    # the BSP solver must reproduce the local solver's labels exactly
+    sqls["dedup_clusters_bsp"] = sqls["dedup_clusters"]
+    return sqls

@@ -248,6 +248,255 @@ def pack_sequences(
     )
 
 
+# --- word n-gram windows (shared) --------------------------------------------
+
+
+def _doc_ngrams(t: pa.Table, text_col: str, n: int):
+    """(grams, doc_idx): every word ``n``-gram fully inside one doc of the
+    batch, as space-joined strings, plus the batch-local row index each
+    gram came from.  Returns ``(None, None)`` when the batch has no
+    window.  Vectorized: one boolean AND per window offset, ``n`` takes,
+    one ``binary_join_element_wise``."""
+    lists = _tokens_of(t, text_col)
+    flat, doc_idx, _ = _flat_tokens(lists)
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    nz = lens > 0
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    flat = flat.filter(pa.array(nz))
+    doc_idx = doc_idx[nz]
+    if len(flat) < n:
+        return None, None
+    ok = np.ones(len(flat) - n + 1, dtype=bool)
+    for j in range(1, n):
+        ok &= doc_idx[j : len(doc_idx) - n + 1 + j] == doc_idx[: len(ok)]
+    idx = np.flatnonzero(ok)
+    if len(idx) == 0:
+        return None, None
+    parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, doc_idx[idx]
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = 3,
+    eval_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """(doc_id, n_hit_ngrams): training docs that share at least one word
+    ``n``-gram with the eval set (docs where ``doc_id % eval_mod == 0``),
+    with the count of DISTINCT shared n-grams — the standard
+    train/benchmark contamination check an LLM data pipeline runs before
+    training.
+
+    Scale shape: the eval suite is small by definition (benchmarks are
+    MBs, the corpus is TBs), so its distinct gram set is collected once
+    from a pruned pass and broadcast via ``ray.put``; the corpus pass is
+    then embarrassingly parallel — per batch one vectorized window
+    expansion, one ``pc.is_in`` membership probe, one composite-key
+    ``np.unique`` for the per-doc distinct count.  NO exchange at all.
+    At extreme eval sizes the broadcast set would become a bloom/KMV
+    filter over gram hashes with a second exact verify pass (same
+    two-phase shape as dedup_minhash's verify).
+    """
+    import ray
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_hit_ngrams": pa.array([], pa.int64())}
+    )
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"gram": pa.array([], pa.string())})
+        grams, _d = _doc_ngrams(t.filter(pa.array(mask)), text_col, n)
+        if grams is None:
+            return pa.table({"gram": pa.array([], pa.string())})
+        return pa.table({"gram": pc.unique(grams)})
+
+    ev = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(eval_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    eval_set = pa.array(sorted(set(ev["gram"].tolist())), pa.string())
+    ev_ref = ray.put(eval_set)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        keep = ids % eval_mod != 0
+        if not keep.any():
+            return empty
+        sub = t.filter(pa.array(keep))
+        ids = ids[keep]
+        grams, didx = _doc_ngrams(sub, text_col, n)
+        if grams is None:
+            return empty
+        hit = pc.is_in(grams, value_set=ray.get(ev_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        didx = didx[hit]
+        if didx.size == 0:
+            return empty
+        codes = (
+            pc.dictionary_encode(grams.filter(pa.array(hit)))
+            .indices.to_numpy()
+            .astype(np.int64)
+        )
+        v = int(codes.max()) + 1
+        uniq_docs = (np.unique(didx * v + codes) // v).astype(np.int64)
+        cnt = np.bincount(uniq_docs, minlength=len(sub))
+        rows = np.flatnonzero(cnt > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows]),
+                "n_hit_ngrams": pa.array(cnt[rows].astype(np.int64)),
+            }
+        )
+
+    out = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(scan, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- per-doc keyword extraction -----------------------------------------------
+
+
+def doc_keywords(
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+) -> pa.Table:
+    """(doc_id, term, tf, df): each doc's most DISTINCTIVE term — lowest
+    corpus-wide doc frequency, ties broken by highest in-doc tf then term
+    asc — integer-exact keyword extraction (the tf-idf argmax with a
+    rational comparator instead of floats, so the oracle can't drift by
+    one ulp of ``ln``).
+
+    Scale shape: a distributed tf⨝df join with no broadcast and no
+    constant-cardinality group.  Stage 1 emits (term, doc_id, tf)
+    partials per batch (composite-key ``np.unique`` — one row per
+    distinct doc-term pair) sharded on ``blake2b(term) % K`` where K
+    scales with the corpus; every row of a term lands in one shard, so
+    the in-shard df count is exact and rides each row out.  Stage 2
+    re-shards by ``doc_id % K`` and takes the per-doc lexsort argmin.
+    Both exchanges are hash-sharded with corpus-proportional
+    cardinality; no task ever holds more than one shard.
+    """
+    import ray.data as rd
+
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nz = lens > 0
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        flat = flat.filter(pa.array(nz))
+        doc_idx = doc_idx[nz]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tshard": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        vocab = denc.dictionary
+        v = len(vocab)
+        uk, cnt = np.unique(doc_idx * v + codes, return_counts=True)
+        d = (uk // v).astype(np.int64)
+        c = (uk % v).astype(np.int64)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        # deterministic shard per UNIQUE term only (dictionary trick)
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                for s in vocab.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        shard = (h % np.uint64(n_shards)).view(np.int64)
+        return pa.table(
+            {
+                "tshard": pa.array(shard[c]),
+                "term": vocab.take(pa.array(c)),
+                "doc_id": pa.array(ids[d]),
+                "tf": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        codes = pc.dictionary_encode(term).indices.to_numpy().astype(np.int64)
+        # one partial per (doc, term) pair exists corpus-wide after the
+        # term-shard exchange, so the rows-per-term count IS the df
+        df = np.bincount(codes)[codes].astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array((ids % n_shards).astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "term": term,
+                "tf": g["tf"].cast(pa.int64()),
+                "df": pa.array(df),
+            }
+        )
+
+    def pick(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        df = g["df"].to_numpy().astype(np.int64)
+        term = g["term"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((term, -tf, df, doc))
+        doc_s = doc[order]
+        sel = order[np.concatenate(([True], doc_s[1:] != doc_s[:-1]))]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel]),
+                "term": pa.array(term[sel].tolist(), pa.string()),
+                "tf": pa.array(tf[sel]),
+                "df": pa.array(df[sel]),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(tf_batch, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- corpus-wide n-gram top-k ------------------------------------------------
 
 
@@ -273,30 +522,11 @@ def ngram_topk(
         n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
 
     def batch_ngrams(t: pa.Table) -> pa.Table:
-        lists = _tokens_of(t, text_col)
-        flat, doc_idx, _ = _flat_tokens(lists)
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        nz = lens > 0
-        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-        flat = flat.filter(pa.array(nz))
-        doc_idx = doc_idx[nz]
-        if len(flat) < n:
+        grams, _d = _doc_ngrams(t, text_col, n)
+        if grams is None:
             return pa.table(
                 {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
             )
-        # windows fully inside one doc
-        ok = np.ones(len(flat) - n + 1, dtype=bool)
-        for j in range(1, n):
-            ok &= doc_idx[j : len(doc_idx) - n + 1 + j] == doc_idx[: len(ok)]
-        idx = np.flatnonzero(ok)
-        if len(idx) == 0:
-            return pa.table(
-                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
-            )
-        parts = []
-        for j in range(n):
-            parts.append(flat.take(pa.array(idx + j)))
-        grams = pc.binary_join_element_wise(*parts, " ")
         agg = pa.table({"ngram": grams}).group_by(
             "ngram", use_threads=False
         ).aggregate([("ngram", "count")])

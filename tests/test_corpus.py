@@ -62,6 +62,23 @@ def test_ngram_topk_shard_invariance(corpus_mod):
     assert a.equals(b)
 
 
+def test_doc_keywords_shard_invariance(corpus_mod):
+    """The tf⨝df join must not depend on how terms or docs are sharded."""
+    a = corpus_mod.doc_keywords(SF, n_shards=4).to_pandas()
+    b = corpus_mod.doc_keywords(SF, n_shards=61).to_pandas()
+    assert a.equals(b)
+
+
+def test_decontaminate_excludes_eval_docs(corpus_mod):
+    t = corpus_mod.decontaminate(SF).to_pandas()
+    assert (t["doc_id"] % 97 != 0).all()
+    assert (t["n_hit_ngrams"] >= 1).all()
+    # a 1-gram overlap check is a superset of the 3-gram one (every
+    # contaminated doc shares at least the grams' constituent tokens)
+    t1 = corpus_mod.decontaminate(SF, n=1).to_pandas()
+    assert set(t["doc_id"]) <= set(t1["doc_id"])
+
+
 def test_sample_stratified_monotone(corpus_mod):
     """A smaller-n sample is a prefix (per stratum) of a larger-n one —
     the hash ranking is a total order, so samples nest."""
