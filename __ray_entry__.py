@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         "doc_keywords": corpus.doc_keywords,
+        "curate_filter": corpus.curate_filter,
     }
 
 
@@ -715,6 +716,37 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfreq USING (term)
             )
             SELECT doc_id, term, tf, df FROM r WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        # fused curation pass: the docs surviving length window, max word
+        # length, digit ratio, top-token repetition ratio, and lang-ID
+        # allowlist — all integer-exact thresholds
+        "curate_filter": f"""
+            WITH {docs},
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+            tc AS (
+              SELECT doc_id, max(c)::BIGINT AS top_token_count
+              FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+              GROUP BY doc_id
+            ),
+            q AS (
+              SELECT d.doc_id,
+                     len(d.toks)::BIGINT AS n_tokens,
+                     coalesce(tc.top_token_count, 0) AS top_token_count,
+                     len(list_filter(d.toks,
+                         x -> regexp_full_match(x, '[0-9]+')))::BIGINT
+                       AS digit_tokens,
+                     coalesce(list_max(list_transform(d.toks,
+                         x -> length(x))), 0)::BIGINT AS max_word_len,
+                     {_lang_counts_sql().replace('toks', 'd.toks')}
+              FROM docs d LEFT JOIN tc USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, top_token_count FROM q
+            WHERE n_tokens BETWEEN 20 AND 100000
+              AND max_word_len <= 20
+              AND digit_tokens * 100 <= n_tokens * 10
+              AND top_token_count * 100 <= n_tokens * 20
+              AND (en > 0 AND en >= de AND en >= fr AND en >= es)
             ORDER BY doc_id
         """,
         # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are

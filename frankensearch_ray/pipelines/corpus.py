@@ -371,6 +371,112 @@ def decontaminate(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- fused curation filter ----------------------------------------------------
+
+
+def curate_filter(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_word_len: int = 20,
+    digit_pct_max: int = 10,
+    top_token_pct_max: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens, top_token_count): the docs that SURVIVE the
+    standard webtext curation gauntlet — length window, max word length,
+    digit-token ratio, top-token repetition ratio (all integer-exact,
+    ``x * 100 <= n * pct`` so no float thresholds), and language-ID
+    allowlist — in ONE fused pass.
+
+    This is the pipeline a 100 TB curation job actually runs: instead of
+    materializing quality_scores + repetition_stats + lang_id as three
+    corpus passes and joining them, every signal is computed per batch
+    from ONE tokenization (the kernels are the same vectorized primitives
+    those operators pin individually) and the filter applies before
+    anything leaves the task — zero exchange, output is survivors only.
+    ``output_path`` streams survivors to partitioned parquet for
+    corpus-sized results.
+    """
+    import ray.data as rd
+
+    from .textstats import LANG_ORDER, LANG_PROFILES
+
+    lang_allow = np.array(sorted(set(langs)))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lists = _tokens_of(batch, text_col)
+        n = len(lists)
+        flat, doc_idx, off = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = lens > 0
+        n_tok = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+        digit_mask = pc.match_substring_regex(flat, "^[0-9]+$").to_numpy(
+            zero_copy_only=False
+        )
+        digits = np.bincount(doc_idx[digit_mask], minlength=n).astype(np.int64)
+        max_len = (
+            np.maximum.reduceat(lens, off[:-1]).astype(np.int64)
+            if len(lens)
+            else np.zeros(n, np.int64)
+        )
+        top_tok = np.zeros(n, np.int64)
+        if nonempty.any():
+            fc = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            codes = pc.dictionary_encode(fc).indices.to_numpy()
+            di, cd = doc_idx[nonempty], codes[nonempty]
+            order = np.lexsort((cd, di))
+            di_s, cd_s = di[order], cd[order]
+            new = np.concatenate(
+                ([True], (di_s[1:] != di_s[:-1]) | (cd_s[1:] != cd_s[:-1]))
+            )
+            starts = np.flatnonzero(new)
+            run_len = np.diff(np.concatenate((starts, [len(di_s)])))
+            run_doc = di_s[starts]
+            seg = np.flatnonzero(
+                np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+            )
+            top_tok[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
+        counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = pc.is_in(
+                flat, value_set=pa.array(LANG_PROFILES[lang])
+            ).to_numpy(zero_copy_only=False)
+            counts[:, li] = np.bincount(doc_idx[mask], minlength=n)
+        best = counts.argmax(axis=1)
+        best_n = counts[np.arange(n), best]
+        preds = np.where(best_n > 0, np.array(LANG_ORDER)[best], "und")
+        keep = (
+            (n_tok >= min_tokens)
+            & (n_tok <= max_tokens)
+            & (max_len <= max_word_len)
+            & (digits * 100 <= n_tok * digit_pct_max)
+            & (top_tok * 100 <= n_tok * top_token_pct_max)
+            & np.isin(preds, lang_allow)
+        )
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        rows = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows]),
+                "n_tokens": pa.array(n_tok[rows]),
+                "top_token_count": pa.array(top_tok[rows]),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+    if output_path is not None:
+        ds.write_parquet(output_path)
+        return None
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- per-doc keyword extraction -----------------------------------------------
 
 

@@ -79,6 +79,43 @@ def test_decontaminate_excludes_eval_docs(corpus_mod):
     assert set(t["doc_id"]) <= set(t1["doc_id"])
 
 
+def test_curate_filter_matches_composed_operators(corpus_mod):
+    """The fused pass must equal the composition of the three individual
+    operators it fuses (quality_scores ⨝ repetition_stats ⨝ lang_id)."""
+    from frankensearch_ray.pipelines.textstats import lang_id, quality_scores
+
+    fused = corpus_mod.curate_filter(SF).to_pandas()
+    q = quality_scores(SF).to_pandas().set_index("doc_id")
+    r = corpus_mod.repetition_stats(SF).to_pandas().set_index("doc_id")
+    lg = lang_id(SF).to_pandas().set_index("doc_id")
+    keep = (
+        (q["n_tokens"] >= 20)
+        & (q["n_tokens"] <= 100_000)
+        & (q["max_word_len"] <= 20)
+        & (q["digit_tokens"] * 100 <= q["n_tokens"] * 10)
+        & (r["top_token_count"] * 100 <= q["n_tokens"] * 20)
+        & (lg["lang_pred"] == "en")
+    )
+    want = sorted(q.index[keep])
+    assert fused["doc_id"].tolist() == want
+    assert (fused.set_index("doc_id")["n_tokens"] == q["n_tokens"][keep]).all()
+
+
+def test_curate_filter_sink_matches_table_path(corpus_mod, tmp_path):
+    import pyarrow.parquet as pq
+
+    table = corpus_mod.curate_filter(SF).to_pandas()
+    out = str(tmp_path / "curated")
+    assert corpus_mod.curate_filter(SF, output_path=out) is None
+    sink = (
+        pq.read_table(out)
+        .to_pandas()[["doc_id", "n_tokens", "top_token_count"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sink.equals(table)
+
+
 def test_sample_stratified_monotone(corpus_mod):
     """A smaller-n sample is a prefix (per stratum) of a larger-n one —
     the hash ranking is a total order, so samples nest."""
