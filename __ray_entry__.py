@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": corpus.decontaminate,
         "doc_keywords": corpus.doc_keywords,
         "curate_filter": corpus.curate_filter,
+        "tokenize_ids": corpus.tokenize_ids,
     }
 
 
@@ -748,6 +749,26 @@ def oracle_sql() -> dict[str, str]:
               AND top_token_count * 100 <= n_tokens * 20
               AND (en > 0 AND en >= de AND en >= fr AND en >= es)
             ORDER BY doc_id
+        """,
+        # vocab id-mapping: top-30 tokens by (count desc, term asc) get
+        # ids 0..29 in rank order; everything else is UNK id 30
+        "tokenize_ids": f"""
+            WITH {docs},
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+              FROM docs
+            ),
+            vc AS (SELECT tok AS term, count(*) AS cnt FROM t GROUP BY tok),
+            v AS (
+              SELECT term,
+                     (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT
+                       AS tid
+              FROM vc ORDER BY cnt DESC, term LIMIT 30
+            )
+            SELECT t.doc_id, t.pos, coalesce(v.tid, 30)::BIGINT AS token_id
+            FROM t LEFT JOIN v ON v.term = t.tok
+            ORDER BY doc_id, pos
         """,
         # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
         # approximate or non-SQL-expressible: rows-only checks.

@@ -691,6 +691,76 @@ def ngram_topk(
     )
 
 
+# --- vocabulary id-mapping ----------------------------------------------------
+
+
+def tokenize_ids(
+    sf_dir: str,
+    vocab_size: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """(doc_id, pos, token_id): the corpus tokenized to integer ids
+    against a corpus-derived vocabulary — the id-mapping stage between
+    curation and sequence packing in an LLM data pipeline.
+
+    The vocabulary is the ``vocab_size`` most frequent tokens (count
+    desc, term asc), id = rank; out-of-vocab tokens map to the UNK id
+    ``vocab_size``.  Scale shape: the vocab build reuses
+    :func:`ngram_topk`'s exchange at n=1 (per-batch combiner →
+    term-hash-sharded exact counts → K×V driver merge), and the mapping
+    pass is the classic small-side broadcast join — the id table rides
+    ``ray.put`` once and each batch is a single zero-copy
+    ``pc.index_in`` against it; no exchange touches the corpus-sized
+    output, which streams straight out of the map stage.
+    """
+    import ray
+    import ray.data as rd
+
+    vocab = ngram_topk(sf_dir, n=1, k=vocab_size, text_col=text_col)
+    vocab_ref = ray.put(vocab["ngram"].combine_chunks())
+    unk = vocab_size
+
+    def map_ids(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nz = lens > 0
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        flat = flat.filter(pa.array(nz))
+        di = doc_idx[nz]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(di)])))
+        pos = np.arange(len(di)) - np.repeat(starts, seg_len)
+        tid = pc.index_in(flat, value_set=ray.get(vocab_ref))
+        tid = pc.fill_null(tid.cast(pa.int64()), unk)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di]),
+                "pos": pa.array(pos.astype(np.int64)),
+                "token_id": tid,
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(map_ids, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- per-doc repetition signals ----------------------------------------------
 
 

@@ -116,6 +116,22 @@ def test_curate_filter_sink_matches_table_path(corpus_mod, tmp_path):
     assert sink.equals(table)
 
 
+def test_tokenize_ids_positions_and_unk(corpus_mod):
+    from frankensearch_ray.pipelines.textstats import quality_scores
+
+    t = corpus_mod.tokenize_ids(SF).to_pandas()
+    q = quality_scores(SF).to_pandas().set_index("doc_id")
+    # per-doc positions are 0..n-1 contiguous and counts match the
+    # quality pass's n_tokens
+    for doc, g in t.groupby("doc_id"):
+        assert g["pos"].tolist() == list(range(len(g)))
+        assert len(g) == q.loc[doc, "n_tokens"]
+    assert (t["token_id"] >= 0).all() and (t["token_id"] <= 30).all()
+    # a tighter vocab maps strictly more positions to UNK
+    t5 = corpus_mod.tokenize_ids(SF, vocab_size=5).to_pandas()
+    assert (t5["token_id"] == 5).sum() >= (t["token_id"] == 30).sum()
+
+
 def test_sample_stratified_monotone(corpus_mod):
     """A smaller-n sample is a prefix (per stratum) of a larger-n one —
     the hash ranking is a total order, so samples nest."""
