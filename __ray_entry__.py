@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": corpus.doc_keywords,
         "curate_filter": corpus.curate_filter,
         "tokenize_ids": corpus.tokenize_ids,
+        "dup_spans": corpus.dup_spans,
+        "collocations": corpus.collocations,
+        "source_quantiles": textstats.source_quantiles,
     }
 
 
@@ -769,6 +772,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, coalesce(v.tid, 30)::BIGINT AS token_id
             FROM t LEFT JOIN v ON v.term = t.tok
             ORDER BY doc_id, pos
+        """,
+        # per-doc duplicated 5-gram windows: a window is dup when its
+        # gram occurs >= 2 times corpus-wide (within-doc repeats count)
+        "dup_spans": f"""
+            WITH {docs},
+            w AS (
+              SELECT doc_id,
+                     unnest([array_to_string(toks[i:i+4], ' ')
+                             FOR i IN range(1, len(toks) - 3)]) AS gram
+              FROM docs WHERE len(toks) >= 5
+            ),
+            gc AS (SELECT gram, count(*) AS c FROM w GROUP BY gram),
+            per AS (
+              SELECT w.doc_id, count(*) AS nw,
+                     sum(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS nd
+              FROM w JOIN gc USING (gram) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.nw, 0)::BIGINT AS n_windows,
+                   coalesce(per.nd, 0)::BIGINT AS n_dup_windows
+            FROM docs d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # top-50 adjacent word pairs with exact unigram counts (PMI inputs)
+        "collocations": f"""
+            WITH {docs},
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM docs
+            ),
+            bc AS (
+              SELECT l.tok AS w1, r.tok AS w2, count(*) AS pair_cnt
+              FROM t l JOIN t r ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
+              GROUP BY l.tok, r.tok
+            ),
+            uc AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+            top AS (
+              SELECT * FROM bc ORDER BY pair_cnt DESC, w1, w2 LIMIT 50
+            )
+            SELECT top.w1, top.w2, top.pair_cnt::BIGINT AS pair_cnt,
+                   u1.cnt::BIGINT AS w1_cnt, u2.cnt::BIGINT AS w2_cnt
+            FROM top
+            JOIN uc u1 ON u1.tok = top.w1
+            JOIN uc u2 ON u2.tok = top.w2
+            ORDER BY pair_cnt DESC, w1, w2
+        """,
+        # per-source exact discrete token-count quantiles
+        "source_quantiles": f"""
+            WITH d AS (
+              SELECT source, len({toks}) AS n_tokens FROM documents
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   quantile_disc(n_tokens, 0.5)::BIGINT AS p50_tokens,
+                   quantile_disc(n_tokens, 0.9)::BIGINT AS p90_tokens,
+                   max(n_tokens)::BIGINT AS max_tokens
+            FROM d GROUP BY source ORDER BY source
         """,
         # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
         # approximate or non-SQL-expressible: rows-only checks.

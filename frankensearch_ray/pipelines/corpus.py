@@ -761,6 +761,227 @@ def tokenize_ids(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# --- duplicate n-gram span detection ------------------------------------------
+
+
+def dup_spans(
+    sf_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+) -> pa.Table:
+    """(doc_id, n_windows, n_dup_windows): for every doc, how many of its
+    word ``n``-gram windows occur at least twice corpus-wide (including
+    within-doc repeats) — the per-document exact-substring-duplication
+    signal the webtext dedup literature removes spans by (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at n-gram rather than suffix-array granularity).
+
+    Scale shape: two passes.  Pass 1 (zero exchange) counts windows per
+    doc.  Pass 2 emits per-batch ``(gram, doc_id, cnt)`` combiner rows —
+    already collapsed to one row per (gram, doc) since a doc never
+    splits across batches — sharded on ``blake2b(gram) % K`` with K
+    scaling with the corpus; every occurrence of a gram lands in one
+    shard, so the in-shard total is exact, dup verdicts are local, and
+    each shard emits only per-doc partial sums.  The final per-doc
+    rollup is a doc_id-keyed sum over at most K rows per doc.  This is
+    the same exchange class as the posting-list build: one all-to-all
+    over the gram vocabulary (NOT over positions — the combiner ships
+    counts, not occurrences).
+    """
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
+
+    def win_counts(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
+            np.int64
+        )
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_windows": pa.array(np.maximum(0, ntok - n + 1)),
+            }
+        )
+
+    _gp_empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+        }
+    )
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        grams, didx = _doc_ngrams(t, text_col, n)
+        if grams is None:
+            return _gp_empty
+        ids = t[id_col].to_numpy().astype(np.int64)
+        agg = (
+            pa.table({"gram": grams, "doc_id": pa.array(ids[didx])})
+            .group_by(["gram", "doc_id"], use_threads=False)
+            .aggregate([("gram", "count")])
+        )
+        # one blake2b per UNIQUE gram, broadcast back via dictionary codes
+        uniq = pc.unique(agg["gram"])
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                for s in uniq.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "gram": agg["gram"],
+                "doc_id": agg["doc_id"],
+                "cnt": agg["gram_count"].cast(pa.int64()),
+                "shard": pa.array(
+                    (h % np.uint64(n_shards)).view(np.int64)[codes]
+                ),
+            }
+        )
+
+    _sd_empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "dup_cnt": pa.array([], pa.int64())}
+    )
+
+    def shard_dup(g: pa.Table) -> pa.Table:
+        tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
+        dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
+        if len(dup_grams) == 0:
+            return _sd_empty
+        hit = g.filter(
+            pc.is_in(g["gram"], value_set=dup_grams.combine_chunks())
+        )
+        agg = hit.group_by("doc_id", use_threads=False).aggregate(
+            [("cnt", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_id": agg["doc_id"].cast(pa.int64()),
+                "dup_cnt": agg["cnt_sum"].cast(pa.int64()),
+            }
+        )
+
+    wins = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(win_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    dups = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_dup, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(dups):
+        dups = dups.groupby("doc_id", as_index=False)["dup_cnt"].sum()
+        out = wins.merge(dups, on="doc_id", how="left")
+        out["dup_cnt"] = out["dup_cnt"].fillna(0)
+    else:
+        out = wins.assign(dup_cnt=0)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy().astype(np.int64)),
+            "n_windows": pa.array(out["n_windows"].to_numpy().astype(np.int64)),
+            "n_dup_windows": pa.array(out["dup_cnt"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+# --- collocation mining --------------------------------------------------------
+
+
+def collocations(
+    sf_dir: str, k: int = 50, text_col: str = "text"
+) -> pa.Table:
+    """(w1, w2, pair_cnt, w1_cnt, w2_cnt): the k most frequent adjacent
+    word pairs with exact unigram counts for both words — the integer
+    inputs to PMI/log-likelihood collocation scores (the float score is
+    derivable; counts keep the contract hash-exact).
+
+    Scale shape: pair counting reuses :func:`ngram_topk`'s sharded
+    exchange at n=2 (space-joined bigram order == (w1, w2) tuple order
+    because 0x20 sorts below every token byte, so the top-k tie contract
+    transfers).  The unigram counts are needed only for the ≤ 2k words
+    in the winning pairs, so that word set rides ``ray.put`` and one
+    zero-exchange counting pass emits vocab-bounded partials the driver
+    sums — never a corpus-wide unigram exchange.
+    """
+    import ray
+    import ray.data as rd
+
+    top = ngram_topk(sf_dir, n=2, k=k, text_col=text_col)
+    if top.num_rows == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "pair_cnt": pa.array([], pa.int64()),
+                "w1_cnt": pa.array([], pa.int64()),
+                "w2_cnt": pa.array([], pa.int64()),
+            }
+        )
+    parts = pc.split_pattern(top["ngram"], " ")
+    w1 = pc.list_element(parts, 0)
+    w2 = pc.list_element(parts, 1)
+    words = pc.unique(pa.concat_arrays([w1.combine_chunks(), w2.combine_chunks()]))
+    words_ref = ray.put(words)
+
+    def count_words(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, _d, _o = _flat_tokens(lists)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        sub = flat.filter(pc.is_in(flat, value_set=ray.get(words_ref)))
+        if len(sub) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        agg = (
+            pa.table({"word": sub})
+            .group_by("word", use_threads=False)
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {"word": agg["word"], "cnt": agg["word_count"].cast(pa.int64())}
+        )
+
+    wc = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+        .map_batches(count_words, batch_format="pyarrow")
+        .to_pandas()
+    )
+    wc = wc.groupby("word")["cnt"].sum()
+    w1_cnt = np.array([int(wc[w]) for w in w1.to_pylist()], dtype=np.int64)
+    w2_cnt = np.array([int(wc[w]) for w in w2.to_pylist()], dtype=np.int64)
+    return pa.table(
+        {
+            "w1": w1,
+            "w2": w2,
+            "pair_cnt": top["cnt"],
+            "w1_cnt": pa.array(w1_cnt),
+            "w2_cnt": pa.array(w2_cnt),
+        }
+    )
+
+
 # --- per-doc repetition signals ----------------------------------------------
 
 

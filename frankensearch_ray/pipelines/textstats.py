@@ -200,6 +200,83 @@ def token_stats(sf_dir: str, text_col: str = "text") -> pa.Table:
     )
 
 
+def source_quantiles(
+    sf_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """(source, n_docs, p50_tokens, p90_tokens, max_tokens): exact
+    discrete quantiles of per-doc token counts per source — the
+    per-provenance length profile a curation job uses to spot collapsed
+    or truncated feeds.
+
+    Scale shape: exact quantiles normally need a per-group sort, but
+    token counts are small discrete ints, so each batch emits a
+    ``(source, n_tokens, cnt)`` VALUE-HISTOGRAM partial (bounded by
+    |sources| x |distinct lengths|, independent of corpus rows); the
+    driver merges histograms and walks each CDF.  No shuffle, no
+    corpus-sized group ever forms despite the constant group
+    cardinality — the same combiner discipline as sample_stratified.
+    Quantile index matches DuckDB ``quantile_disc``:
+    ``max(0, ceil(q*n) - 1)``.
+    """
+    import math as _math
+
+    import ray.data as rd
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
+            np.int64
+        )
+        agg = (
+            pa.table({group_col: t[group_col], "n_tokens": pa.array(ntok)})
+            .group_by([group_col, "n_tokens"], use_threads=False)
+            .aggregate([("n_tokens", "count")])
+        )
+        return pa.table(
+            {
+                group_col: agg[group_col],
+                "n_tokens": agg["n_tokens"],
+                "cnt": agg["n_tokens_count"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[group_col, text_col])
+        .map_batches(hist_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = (
+        hist.groupby([group_col, "n_tokens"], as_index=False)["cnt"]
+        .sum()
+        .sort_values([group_col, "n_tokens"])
+    )
+    rows = []
+    for src, g in hist.groupby(group_col, sort=True):
+        vals = g["n_tokens"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        q = {}
+        for name, frac in (("p50_tokens", 0.5), ("p90_tokens", 0.9)):
+            target = max(0, _math.ceil(frac * n) - 1) + 1  # 1-based rank
+            q[name] = int(vals[np.searchsorted(cum, target)])
+        rows.append(
+            (str(src), n, q["p50_tokens"], q["p90_tokens"], int(vals[-1]))
+        )
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "p50_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "p90_tokens": pa.array([r[3] for r in rows], pa.int64()),
+            "max_tokens": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 _FP_BASE = np.uint64(1_000_003)
 _FP_MASK = np.uint64((1 << 63) - 1)
 

@@ -132,6 +132,59 @@ def test_tokenize_ids_positions_and_unk(corpus_mod):
     assert (t5["token_id"] == 5).sum() >= (t["token_id"] == 30).sum()
 
 
+def test_dup_spans_shard_invariance_and_bounds(corpus_mod):
+    """Dup verdicts must not depend on the exchange fan-out K, and the
+    dup count can never exceed the window count."""
+    a = corpus_mod.dup_spans(SF).to_pandas()
+    b = corpus_mod.dup_spans(SF, n_shards=3).to_pandas()
+    assert a.equals(b)
+    assert (a["n_dup_windows"] <= a["n_windows"]).all()
+    assert (a["n_dup_windows"] >= 0).all()
+    # a longer window is strictly harder to duplicate
+    c = corpus_mod.dup_spans(SF, n=8).to_pandas()
+    m = a.merge(c, on="doc_id", suffixes=("_5", "_8"))
+    assert (m["n_dup_windows_8"] <= m["n_dup_windows_5"]).all()
+
+
+def test_collocations_counts_consistent(corpus_mod):
+    """Pair counts bound unigram counts, and the top list agrees with
+    ngram_topk at n=2 (same exchange, same tie contract)."""
+    t = corpus_mod.collocations(SF, k=20).to_pandas()
+    assert (t["pair_cnt"] <= t["w1_cnt"]).all()
+    assert (t["pair_cnt"] <= t["w2_cnt"]).all()
+    top = corpus_mod.ngram_topk(SF, n=2, k=20).to_pandas()
+    assert (t["w1"] + " " + t["w2"]).tolist() == top["ngram"].tolist()
+    assert t["pair_cnt"].tolist() == top["cnt"].tolist()
+
+
+def test_source_quantiles_orders(ray_session):
+    from frankensearch_ray.pipelines.textstats import (
+        quality_scores,
+        source_quantiles,
+    )
+
+    t = source_quantiles(SF).to_pandas()
+    assert (t["p50_tokens"] <= t["p90_tokens"]).all()
+    assert (t["p90_tokens"] <= t["max_tokens"]).all()
+    # histogram CDF walk agrees with a direct per-source computation
+    q = quality_scores(SF).to_pandas()
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "source"])
+    j = q.merge(src.to_pandas(), on="doc_id")
+    ref = duckdb.sql(
+        """SELECT source, count(*) AS n_docs,
+                  quantile_disc(n_tokens, 0.5) AS p50_tokens,
+                  quantile_disc(n_tokens, 0.9) AS p90_tokens,
+                  max(n_tokens) AS max_tokens
+           FROM j GROUP BY source ORDER BY source"""
+    ).df()
+    assert t["n_docs"].tolist() == ref["n_docs"].tolist()
+    assert t["p50_tokens"].tolist() == ref["p50_tokens"].tolist()
+    assert t["p90_tokens"].tolist() == ref["p90_tokens"].tolist()
+
+
 def test_sample_stratified_monotone(corpus_mod):
     """A smaller-n sample is a prefix (per stratum) of a larger-n one —
     the hash ranking is a total order, so samples nest."""
