@@ -770,7 +770,8 @@ def dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int | None = None,
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, n_windows, n_dup_windows): for every doc, how many of its
     word ``n``-gram windows occur at least twice corpus-wide (including
     within-doc repeats) — the per-document exact-substring-duplication
@@ -788,7 +789,9 @@ def dup_spans(
     rollup is a doc_id-keyed sum over at most K rows per doc.  This is
     the same exchange class as the posting-list build: one all-to-all
     over the gram vocabulary (NOT over positions — the combiner ships
-    counts, not occurrences).
+    counts, not occurrences).  ``output_path`` streams the per-doc rows
+    to partitioned parquet instead of returning a table (the corpus-
+    sized-output sink discipline).
     """
     import ray.data as rd
 
@@ -808,6 +811,7 @@ def dup_spans(
             {
                 "doc_id": pa.array(ids),
                 "n_windows": pa.array(np.maximum(0, ntok - n + 1)),
+                "dup_cnt": pa.array(np.zeros(len(ids), np.int64)),
             }
         )
 
@@ -857,7 +861,11 @@ def dup_spans(
         )
 
     _sd_empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "dup_cnt": pa.array([], pa.int64())}
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "dup_cnt": pa.array([], pa.int64()),
+        }
     )
 
     def shard_dup(g: pa.Table) -> pa.Table:
@@ -874,36 +882,43 @@ def dup_spans(
         return pa.table(
             {
                 "doc_id": agg["doc_id"].cast(pa.int64()),
+                "n_windows": pa.array(np.zeros(len(agg), np.int64)),
                 "dup_cnt": agg["cnt_sum"].cast(pa.int64()),
             }
         )
 
-    wins = (
-        rd.read_parquet(path, columns=[id_col, text_col])
-        .map_batches(win_counts, batch_format="pyarrow")
-        .to_pandas()
+    wins = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+        win_counts, batch_format="pyarrow"
     )
     dups = (
         rd.read_parquet(path, columns=[id_col, text_col])
         .map_batches(gram_partials, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_dup, batch_format="pyarrow")
-        .to_pandas()
     )
-    if len(dups):
-        dups = dups.groupby("doc_id", as_index=False)["dup_cnt"].sum()
-        out = wins.merge(dups, on="doc_id", how="left")
-        out["dup_cnt"] = out["dup_cnt"].fillna(0)
-    else:
-        out = wins.assign(dup_cnt=0)
-    out = out.sort_values("doc_id").reset_index(drop=True)
-    return pa.table(
-        {
-            "doc_id": pa.array(out["doc_id"].to_numpy().astype(np.int64)),
-            "n_windows": pa.array(out["n_windows"].to_numpy().astype(np.int64)),
-            "n_dup_windows": pa.array(out["dup_cnt"].to_numpy().astype(np.int64)),
-        }
+    # the per-doc rollup STAYS a Dataset: one doc-keyed exchange over at
+    # most K+1 small rows per doc, so the sink path never materializes a
+    # corpus-sized table on the driver
+    rolled = (
+        wins.union(dups)
+        .groupby("doc_id")
+        .sum(["n_windows", "dup_cnt"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_windows": t["sum(n_windows)"].cast(pa.int64()),
+                    "n_dup_windows": t["sum(dup_cnt)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
+    if output_path is not None:
+        rolled.write_parquet(output_path)
+        return None
+    out = rolled.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # --- collocation mining --------------------------------------------------------

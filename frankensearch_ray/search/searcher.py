@@ -154,6 +154,7 @@ class _ShardCache:
         self.shards_dir = shards_dir
         self._entries: dict[int, dict | None] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
+        self._pos_rg_cache: dict[tuple[str, int], pa.Array] = {}
         # key-column-only row groups for glob/range termdict probes
         self._kv_cache: dict[tuple[str, int], pa.Table] = {}
         # physical (cache-miss) key-column row-group reads — pytest gate
@@ -245,15 +246,37 @@ class _ShardCache:
         self._entries[shard_id] = entries
         return entries
 
+    # positions are ~half a shard row group's bytes and only phrase
+    # evaluation reads them, so the probe path loads CORE columns only;
+    # the positions column loads lazily per row group into its own cache.
+    # This halves the cold-replica cache-fill cost for non-phrase
+    # queries — the fixed cost that dominates a replica's first requests
+    # and suppressed measured query scaling at high replica counts.
+    _CORE_COLUMNS = ["field", "term", "bucket", "df", "postings", "blockmax"]
+
     def _row_group(self, entry: dict, g: int) -> pa.Table:
         key = (entry["path"], g)
         t = self._rg_cache.get(key)
         if t is None:
-            t = entry["pf"].read_row_group(g)
+            t = entry["pf"].read_row_group(g, columns=self._CORE_COLUMNS)
             if len(self._rg_cache) >= self._RG_CACHE_MAX:
                 self._rg_cache.pop(next(iter(self._rg_cache)), None)
             self._rg_cache[key] = t
         return t
+
+    def _pos_column(self, entry: dict, g: int) -> pa.Array:
+        key = (entry["path"], g)
+        a = self._pos_rg_cache.get(key)
+        if a is None:
+            a = (
+                entry["pf"]
+                .read_row_group(g, columns=["positions"])["positions"]
+                .combine_chunks()
+            )
+            if len(self._pos_rg_cache) >= self._RG_CACHE_MAX:
+                self._pos_rg_cache.pop(next(iter(self._pos_rg_cache)), None)
+            self._pos_rg_cache[key] = a
+        return a
 
     def _candidate_groups(self, entry: dict, field: int, term: str) -> range:
         import bisect
@@ -264,7 +287,13 @@ class _ShardCache:
         hi = bisect.bisect_right(keys, (field, term, float("inf")))
         return range(lo, max(hi, lo + 1))
 
-    def rows(self, shard_id: int, field: int, term: str) -> list[tuple[int, dict]]:
+    def rows(
+        self,
+        shard_id: int,
+        field: int,
+        term: str,
+        with_positions: bool = False,
+    ) -> list[tuple[int, dict]]:
         entries = self._load(shard_id)
         if not entries:
             return []
@@ -285,6 +314,11 @@ class _ShardCache:
                 eq = pc.equal(
                     terms.slice(f_lo, f_hi - f_lo), term
                 ).to_numpy(zero_copy_only=False)
+                pos = (
+                    self._pos_column(entry, g)
+                    if (with_positions and eq.any())
+                    else None
+                )
                 for i in np.flatnonzero(eq):
                     row = f_lo + int(i)
                     out.append(
@@ -294,7 +328,9 @@ class _ShardCache:
                                 "df": t["df"][row].as_py(),
                                 "postings": t["postings"][row].as_py(),
                                 "blockmax": t["blockmax"][row].as_py(),
-                                "positions": t["positions"][row].as_py(),
+                                "positions": (
+                                    pos[row].as_py() if pos is not None else None
+                                ),
                             },
                         )
                     )
@@ -494,8 +530,14 @@ class LocalSearcher:
 
     # --- index access ------------------------------------------------------
 
-    def term_rows(self, field: int, term: str) -> list[tuple[int, dict]]:
-        """All (bucket, row) entries for a term, in bucket order."""
+    def term_rows(
+        self, field: int, term: str, with_positions: bool = False
+    ) -> list[tuple[int, dict]]:
+        """All (bucket, row) entries for a term, in bucket order.
+
+        ``with_positions=False`` (the default) skips loading the
+        positions column entirely — it is ~half a shard row group's
+        bytes and only phrase evaluation needs it."""
         if (field, term) in self.salted:
             buckets = range(self.max_bucket + 1)
         else:
@@ -503,7 +545,9 @@ class LocalSearcher:
         rows: list[tuple[int, dict]] = []
         for b in buckets:
             sid = shard_for(field, term, b, self.num_shards)
-            for bucket, row in self.shards.rows(sid, field, term):
+            for bucket, row in self.shards.rows(
+                sid, field, term, with_positions=with_positions
+            ):
                 if bucket == b:
                     rows.append((bucket, row))
         rows.sort(key=lambda x: x[0])
@@ -518,7 +562,7 @@ class LocalSearcher:
             got = self._post_cache.get((field, term))
             if got is not None:
                 return got
-        rows = self.term_rows(field, term)
+        rows = self.term_rows(field, term, with_positions=with_positions)
         if not rows:
             return (
                 np.zeros(0, np.uint64),
@@ -610,6 +654,7 @@ class LocalSearcher:
             sum(a.nbytes for a in entry) for entry in self.norms._cache.values()
         )
         rg_b = sum(tbl_bytes(t) for t in self.shards._rg_cache.values())
+        rg_b += sum(int(a.nbytes) for a in self.shards._pos_rg_cache.values())
         post_b = sum(
             d.nbytes + f.nbytes
             for d, f, _df, _p in self._post_cache.values()
@@ -620,6 +665,7 @@ class LocalSearcher:
             "norm_partitions_cached": len(self.norms._cache),
             "norms_bytes": norms_b,
             "shard_row_groups_cached": len(self.shards._rg_cache),
+            "shard_pos_row_groups_cached": len(self.shards._pos_rg_cache),
             "shard_bytes": rg_b,
             "postings_entries": len(self._post_cache),
             "postings_bytes": post_b,
@@ -770,7 +816,7 @@ class LocalSearcher:
         e = self._pos_cache.get(key)
         if e is None:
             e = []
-            for _b, row in self.term_rows(field, term):
+            for _b, row in self.term_rows(field, term, with_positions=True):
                 d, _f = decode_postings(row["postings"])
                 flat = varint_decode(row["positions"])
                 e.append((d, flat, position_bounds(flat, len(d))))

@@ -132,6 +132,21 @@ def test_tokenize_ids_positions_and_unk(corpus_mod):
     assert (t5["token_id"] == 5).sum() >= (t["token_id"] == 30).sum()
 
 
+def test_dup_spans_sink_matches_table_path(corpus_mod, tmp_path):
+    import pyarrow.parquet as pq
+
+    table = corpus_mod.dup_spans(SF).to_pandas()
+    out = tmp_path / "dups"
+    assert corpus_mod.dup_spans(SF, output_path=str(out)) is None
+    sink = (
+        pq.read_table(str(out))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sink.equals(table)
+
+
 def test_dup_spans_shard_invariance_and_bounds(corpus_mod):
     """Dup verdicts must not depend on the exchange fan-out K, and the
     dup count can never exceed the window count."""
