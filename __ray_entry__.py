@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sketch": textstats.distinct_terms_sketch,
         "media_features": textstats.media_features,
         "media_frame_sample": textstats.media_frame_sample,
+        "media_resize": textstats.media_resize,
         # corpus curation (training-data pipeline ops beyond the reference)
         "sample_stratified": corpus.sample_stratified,
         "pack_sequences": corpus.pack_sequences,
@@ -570,6 +571,18 @@ def oracle_sql() -> dict[str, str]:
                 0, ((octet_length(text::BLOB) + 255) // 256) - 1, 4)) AS fi
             ) t
             ORDER BY doc_id, frame_idx
+        """,
+        # per-frame rational resize (num=1, den=2): full 256-byte frames
+        # emit (256*1)//2 bytes, the partial tail emits (tail*1)//2
+        "media_resize": """
+            SELECT doc_id,
+                   octet_length(text::BLOB)::BIGINT AS in_bytes,
+                   ((octet_length(text::BLOB) + 255) // 256)::BIGINT
+                     AS n_frames,
+                   ((octet_length(text::BLOB) // 256) * 128
+                    + (octet_length(text::BLOB) % 256) // 2)::BIGINT
+                     AS out_bytes
+            FROM documents ORDER BY doc_id
         """,
         # deterministic per-stratum sample: rank by the Knuth
         # multiplicative hash mod 2^32 (HUGEINT avoids BIGINT overflow;

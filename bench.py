@@ -33,8 +33,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_ROWS = int(os.environ.get("FSRAY_BENCH_PAGES", "100000"))
 # large enough that the hi scaling leg's replicas each serve a smooth
-# share (1000/16 = 62 queries) instead of a straggler-dominated dozen
-N_BENCH_QUERIES = 1000
+# share (1000/16 = 62 queries) instead of a straggler-dominated dozen;
+# override with FSRAY_BENCH_QUERIES for longer steady-state windows
+N_BENCH_QUERIES = int(os.environ.get("FSRAY_BENCH_QUERIES", "1000"))
 
 
 def _bench_queries() -> list[str]:
@@ -141,9 +142,13 @@ def headline(
     # (a -2 offset made the replica ratio 7x for 4x cpus at 4->16)
     pool = SearcherPool(index_dir, size=num_cpus)
     qs = _bench_queries()
-    # full warm pass: replica caches (sidecars, blockmax, postings) are
-    # steady-state serving state, not per-query work
-    pool.search_many(qs, limit=10)
+    # steady-state warm: EVERY replica serves the full workload once
+    # (parallel across replicas, so wall cost is one workload pass at
+    # every pool size).  A single shared warm pass leaves each replica's
+    # caches filled only for its 1/N share, so the timed passes charge
+    # the per-replica cache ramp — a fixed cost — to the steady-state
+    # rate, suppressing measured scaling exactly at high replica counts.
+    pool.warm_all(qs, limit=10)
     # best-of-3 timed passes: this VM's wall clock is ±50% noisy between
     # identical runs, and a single 0.3-1.0 s sample under-resolves —
     # steady-state throughput is the min over warm passes

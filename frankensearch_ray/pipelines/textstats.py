@@ -499,6 +499,101 @@ def media_frame_sample(
     )
 
 
+class MediaResizer:
+    """Actor-pool per-frame 'resize': each 256-byte frame rescales by the
+    rational factor ``num/den`` (a real image/video resize changes bytes
+    per frame; this stub models exactly that byte arithmetic — full
+    frames emit ``(256*num)//den`` bytes, the partial tail emits
+    ``(tail*num)//den``).  The actor lifecycle, Arrow binary batches,
+    typed layout output, and the resized-payload sink are real; the
+    resampling kernel is the declared stub (no media libs in this
+    container — a deployment swaps in PIL/ffmpeg and keeps the rest)."""
+
+    FRAME_BYTES = 256
+
+    def __init__(self, num: int = 1, den: int = 2, emit_payload: bool = False):
+        self.num, self.den = int(num), int(den)
+        self.emit_payload = emit_payload  # stands in for codec state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb = self.FRAME_BYTES
+        payload = batch["payload"]
+        n_bytes = pc.binary_length(payload).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        full = n_bytes // fb
+        tail = n_bytes - full * fb
+        out_frame = (fb * self.num) // self.den
+        out_bytes = full * out_frame + (tail * self.num) // self.den
+        cols = {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "in_bytes": pa.array(n_bytes),
+            "n_frames": pa.array(-(-n_bytes // fb)),
+            "out_bytes": pa.array(out_bytes),
+        }
+        if self.emit_payload:
+            # the stub "resample": truncate to the resized byte budget
+            # (a real codec writes real pixels here; the row loop is the
+            # declared-stub exception, same as MediaDecoder's)
+            raw = payload.to_pylist()
+            cols["payload"] = pa.array(
+                [
+                    (p or b"")[: int(o)]
+                    for p, o in zip(raw, out_bytes)
+                ],
+                pa.binary(),
+            )
+        return pa.table(cols)
+
+
+def media_resize(
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 1,
+    den: int = 2,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, in_bytes, n_frames, out_bytes): per-frame rational resize
+    of opaque binary payloads — the resize verb of the multimodal
+    plumbing family (decode/feature-extract = media_features,
+    frame-sample = media_frame_sample).  ``output_path`` streams the
+    resized payloads themselves to partitioned parquet (payload columns
+    never land on the driver); the table path returns layout columns
+    only."""
+    import ray.data as rd
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "payload": pc.cast(
+                    pc.fill_null(batch[text_col], ""), pa.binary()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+    resized = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={
+            "num": num,
+            "den": den,
+            "emit_payload": output_path is not None,
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    if output_path is not None:
+        resized.write_parquet(output_path)
+        return None
+    out = resized.to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Multimodal plumbing demo: text bytes as opaque payload -> actor-pool
     decode -> (doc_id, n_bytes, n_frames)."""
