@@ -103,8 +103,10 @@ def chunk_documents(
     overlap_chars: int = DEFAULT_OVERLAP,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
-    """Explode documents into chunk rows (the fsfs ingest shape)."""
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Explode documents into chunk rows (the fsfs ingest shape).
+    ``output_path`` streams the chunk rows to parquet (chunks >> docs)."""
     import os
 
     import ray.data as rd
@@ -130,9 +132,13 @@ def chunk_documents(
             }
         )
 
+    from ._sink import finish
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=[id_col, text_col]
     )
-    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["doc_id", "ordinal"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return finish(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "ordinal"],
+        output_path,
+    )

@@ -286,7 +286,8 @@ def decontaminate(
     eval_mod: int = 97,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, n_hit_ngrams): training docs that share at least one word
     ``n``-gram with the eval set (docs where ``doc_id % eval_mod == 0``),
     with the count of DISTINCT shared n-grams — the standard
@@ -361,14 +362,15 @@ def decontaminate(
             }
         )
 
-    out = (
-        rd.read_parquet(path, columns=[id_col, text_col])
-        .map_batches(scan, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    from ._sink import finish
+
+    return finish(
+        rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+            scan, batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # --- fused curation filter ----------------------------------------------------
@@ -485,7 +487,8 @@ def doc_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int | None = None,
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, term, tf, df): each doc's most DISTINCTIVE term — lowest
     corpus-wide doc frequency, ties broken by highest in-doc tf then term
     asc — integer-exact keyword extraction (the tf-idf argmax with a
@@ -589,18 +592,18 @@ def doc_keywords(
             }
         )
 
-    out = (
+    from ._sink import finish
+
+    return finish(
         rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
         .map_batches(tf_batch, batch_format="pyarrow")
         .groupby("tshard")
         .map_groups(attach_df, batch_format="pyarrow")
         .groupby("dshard")
-        .map_groups(pick, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+        .map_groups(pick, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # --- corpus-wide n-gram top-k ------------------------------------------------
@@ -699,7 +702,8 @@ def tokenize_ids(
     vocab_size: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, pos, token_id): the corpus tokenized to integer ids
     against a corpus-derived vocabulary — the id-mapping stage between
     curation and sequence packing in an LLM data pipeline.
@@ -751,14 +755,16 @@ def tokenize_ids(
             }
         )
 
-    out = (
+    from ._sink import finish
+
+    # the id stream is POSITIONS-sized (the largest output any operator
+    # here produces) — at scale it must only ever leave via the sink
+    return finish(
         rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-        .map_batches(map_ids, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["doc_id", "pos"])
-        .reset_index(drop=True)
+        .map_batches(map_ids, batch_format="pyarrow"),
+        ["doc_id", "pos"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # --- duplicate n-gram span detection ------------------------------------------
@@ -1001,8 +1007,11 @@ def collocations(
 
 
 def repetition_stats(
-    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
-) -> pa.Table:
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, n_tokens, top_token_count, n_bigrams, top_bigram_count):
     the Gopher-style within-doc repetition signals — how often the most
     repeated token/bigram occurs.  Fully vectorized per batch (dictionary
@@ -1071,11 +1080,11 @@ def repetition_stats(
             }
         )
 
-    out = (
+    from ._sink import finish
+
+    return finish(
         rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-        .map_batches(stats_batch, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+        .map_batches(stats_batch, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)

@@ -237,7 +237,8 @@ def asof_join(
     left_type: str = "purchase",
     right_type: str = "click",
     n_buckets: int = 64,
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """As-of join Ray Data lacks natively: for every ``left_type`` event,
     the most recent ``right_type`` event of the SAME user at-or-before it
     (order key ``(ts, event_id)`` so the result is deterministic under
@@ -312,18 +313,18 @@ def asof_join(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
-    out = (
+    from ._sink import finish
+
+    return finish(
         ds.filter(
             expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
         )
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["event_id"])
-        .reset_index(drop=True)
+        .map_groups(join_bucket, batch_format="pyarrow"),
+        ["event_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 def range_join(
     sf_dir: str,
@@ -331,7 +332,8 @@ def range_join(
     right_type: str = "click",
     band_minutes: int = 5,
     n_buckets: int = 64,
-) -> pa.Table:
+    output_path: str | None = None,
+) -> pa.Table | None:
     """Temporal band (range) join Ray Data lacks natively: for every
     ``left_type`` event, the COUNT of same-user ``right_type`` events
     with ``ts`` in the closed band ``[ts - band, ts + band]`` (LEFT-join
@@ -408,15 +410,15 @@ def range_join(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
-    out = (
+    from ._sink import finish
+
+    return finish(
         ds.filter(
             expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
         )
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["event_id"])
-        .reset_index(drop=True)
+        .map_groups(join_bucket, batch_format="pyarrow"),
+        ["event_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)

@@ -61,11 +61,19 @@ def _flat_tokens(lists: pa.ListArray):
     return flat, doc_idx, off
 
 
-def lang_id(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+def lang_id(
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, lang_pred): stopword-profile argmax, ties -> LANG_ORDER,
     zero hits -> 'und'.  Fully vectorized: one ``is_in`` + ``bincount``
-    per language profile, no per-row Python loop."""
+    per language profile, no per-row Python loop.  ``output_path``
+    streams the per-doc rows to parquet (corpus-sized-output sink)."""
     import ray.data as rd
+
+    from ._sink import finish
 
     def score_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
@@ -91,16 +99,24 @@ def lang_id(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.T
         )
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
-    out = out.sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return finish(
+        ds.map_batches(score_batch, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
+    )
 
 
 def quality_scores(
-    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
-) -> pa.Table:
-    """(doc_id, n_tokens, n_types, max_word_len, digit_tokens)."""
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens, n_types, max_word_len, digit_tokens).
+    ``output_path`` streams the per-doc rows to parquet."""
     import ray.data as rd
+
+    from ._sink import finish
 
     def score_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
@@ -146,9 +162,10 @@ def quality_scores(
         )
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(
-        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    return finish(
+        ds.map_batches(score_batch, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
 
 
@@ -359,12 +376,18 @@ def fingerprint_batch(lists: pa.ListArray) -> np.ndarray:
 
 
 def doc_fingerprint(
-    sf_dir: str, id_col: str = "doc_id", text_col: str = "text"
-) -> pa.Table:
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
     """(doc_id, fingerprint): polynomial rolling hash over token bytes —
     ``fp = sum(base^i * h(token_i)) & (2^63 - 1)`` with blake2b-8 token
-    hashes.  Deterministic document identity; rows-only oracle."""
+    hashes.  Deterministic document identity; rows-only oracle.
+    ``output_path`` streams the per-doc rows to parquet."""
     import ray.data as rd
+
+    from ._sink import finish
 
     def fp_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
@@ -376,9 +399,10 @@ def doc_fingerprint(
         )
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    out = ds.map_batches(fp_batch, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(
-        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    return finish(
+        ds.map_batches(fp_batch, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
 
 
@@ -594,10 +618,18 @@ def media_resize(
     )
 
 
-def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+def media_features(
+    sf_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
     """Multimodal plumbing demo: text bytes as opaque payload -> actor-pool
-    decode -> (doc_id, n_bytes, n_frames)."""
+    decode -> (doc_id, n_bytes, n_frames).  ``output_path`` streams the
+    per-doc rows to parquet."""
     import ray.data as rd
+
+    from ._sink import finish
 
     def to_payload(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -610,15 +642,12 @@ def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") 
         )
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    out = (
-        ds.map_batches(to_payload, batch_format="pyarrow")
-        .map_batches(
+    return finish(
+        ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
             MediaDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
-        )
-        .to_pandas()
-    )
-    return pa.Table.from_pandas(
-        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+        ),
+        ["doc_id"],
+        output_path,
     )
 
 # BPE-ish pre-tokenizer pattern (GPT-2-flavored, ASCII-simplified so the
@@ -627,14 +656,19 @@ def media_features(sf_dir: str, id_col: str = "doc_id", text_col: str = "text") 
 BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
-def bpe_token_counts(sf_dir: str, text_col: str = "text") -> pa.Table:
+def bpe_token_counts(
+    sf_dir: str, text_col: str = "text", output_path: str | None = None
+) -> pa.Table | None:
     """Per-doc token counts under whitespace AND BPE-ish pre-tokenization
     — the two standard budget estimators for LLM training corpora.
 
     Pure Arrow kernel work (`count_substring_regex` is RE2, the same
     engine DuckDB's `regexp_extract_all` uses, so counts agree exactly);
-    zero Python row loops, no shuffle — embarrassingly parallel."""
+    zero Python row loops, no shuffle — embarrassingly parallel.
+    ``output_path`` streams the per-doc rows to parquet."""
     import ray.data as rd
+
+    from ._sink import finish
 
     def counts(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]
@@ -648,14 +682,12 @@ def bpe_token_counts(sf_dir: str, text_col: str = "text") -> pa.Table:
             }
         )
 
-    out = (
+    return finish(
         rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", text_col])
-        .map_batches(counts, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+        .map_batches(counts, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def distinct_terms_sketch(

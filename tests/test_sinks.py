@@ -1,0 +1,44 @@
+"""Every corpus-proportional operator output has a parquet sink
+(``output_path``) that streams from the pipeline without landing on the
+driver; the sink rows must equal the table path's rows exactly."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# (module, function, sort columns) — the sink-or-table family
+CASES = [
+    ("textstats", "lang_id", ["doc_id"]),
+    ("textstats", "quality_scores", ["doc_id"]),
+    ("textstats", "doc_fingerprint", ["doc_id"]),
+    ("textstats", "media_features", ["doc_id"]),
+    ("textstats", "bpe_token_counts", ["doc_id"]),
+    ("corpus", "decontaminate", ["doc_id"]),
+    ("corpus", "doc_keywords", ["doc_id"]),
+    ("corpus", "repetition_stats", ["doc_id"]),
+    ("corpus", "tokenize_ids", ["doc_id", "pos"]),
+    ("chunks", "chunk_documents", ["doc_id", "ordinal"]),
+    ("events", "asof_join", ["event_id"]),
+    ("events", "range_join", ["event_id"]),
+]
+
+
+@pytest.mark.parametrize("mod,fn,sort_cols", CASES, ids=[c[1] for c in CASES])
+def test_sink_matches_table_path(ray_session, tmp_path, mod, fn, sort_cols):
+    import importlib
+
+    m = importlib.import_module(f"frankensearch_ray.pipelines.{mod}")
+    op = getattr(m, fn)
+    table = op(SF).to_pandas()
+    out = str(tmp_path / fn)
+    assert op(SF, output_path=out) is None
+    sink = (
+        pq.read_table(out)
+        .to_pandas()[list(table.columns)]
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+    )
+    assert sink.equals(table), f"{fn}: sink rows differ from table path"
