@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_ivf": ann.knn_ivf,
         "knn_lsh": ann.knn_lsh,
+        # iterative (Lloyd) — non-SQL-expressible: rows-only driver
+        # check; the deterministic/self-consistency contract is pinned
+        # in tests/test_ann.py
+        "cluster_embeddings": ann.cluster_embeddings,
         # text analysis + multimodal plumbing
         "lang_id": textstats.lang_id,
         "quality_scores": textstats.quality_scores,

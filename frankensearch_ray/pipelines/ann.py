@@ -329,3 +329,126 @@ def knn_lsh(
     ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(LshScorer(), batch_format="pyarrow", batch_size=512)
     return _merge_topk(partials.to_pandas(), k)
+
+
+def cluster_embeddings(
+    sf_dir: str,
+    n_clusters: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(vec_id, cluster): distributed Lloyd k-means over the embedding
+    table — the cluster-assignment stage a training-data pipeline uses
+    for diversity balancing / cluster-aware sampling.
+
+    Scale shape: centroids seed from the deterministic distributed
+    stride sample (spans the table, id-sorted, seeded choice — identical
+    at any parallelism); the input materializes ONCE into the object
+    store (the standard Ray iterative-ML pattern: pin blocks, don't
+    re-scan parquet per iteration; the store spills under pressure).
+    Each iteration broadcasts the (k × dim) centroid matrix and runs one
+    zero-exchange pass emitting per-batch partial (cluster, count,
+    component sums) — k×dim-sized regardless of rows.  Partials reduce
+    on the driver in a FIXED order (sorted by each batch's min id), so
+    float accumulation is deterministic and reruns are bit-identical.
+    Euclidean assignment, ties → lowest cluster id; a cluster that loses
+    all members keeps its previous centroid.  The final assignment pass
+    streams (vec_id, cluster) out of ``map_batches`` (``output_path``
+    sinks it to parquet)."""
+    import ray
+    import ray.data as rd
+
+    from ._sink import finish
+
+    sample = _stride_sample(_emb_path(sf_dir), id_col, emb_col)
+    rng = np.random.default_rng(42)
+    idx = rng.choice(
+        len(sample), size=min(n_clusters, len(sample)), replace=False
+    )
+    cents = sample[np.sort(idx)].copy()
+    k, dim = cents.shape
+
+    ds = rd.read_parquet(
+        _emb_path(sf_dir), columns=[id_col, emb_col]
+    ).materialize()
+
+    def assign_of(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin of |x-c|^2 == argmin of |c|^2 - 2 x.c; ties -> lowest id
+        scores = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        return scores.argmin(axis=1)
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partials(t: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(t)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "min_id": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            c = ray.get(cents_ref)
+            a = assign_of(mat, c)
+            present = np.unique(a)
+            sums = np.zeros((len(present), mat.shape[1]))
+            cnts = np.zeros(len(present), np.int64)
+            for j, cl in enumerate(present):
+                m = a == cl
+                sums[j] = mat[m].sum(axis=0)
+                cnts[j] = int(m.sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "cnt": pa.array(cnts),
+                    "min_id": pa.array(
+                        np.full(len(present), ids.min(), np.int64)
+                    ),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        p = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["cluster", "min_id"], kind="mergesort")
+        )
+        new = cents.copy()
+        for cl, g in p.groupby("cluster", sort=True):
+            tot = np.zeros(dim)
+            for v in g["vsum"]:
+                tot += np.asarray(v)
+            n = int(g["cnt"].sum())
+            if n:
+                new[int(cl)] = tot / n
+        cents = new
+
+    cents_ref = ray.put(cents)
+
+    def label(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        a = assign_of(mat, ray.get(cents_ref))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return finish(
+        ds.map_batches(label, batch_format="pyarrow"),
+        ["vec_id"],
+        output_path,
+    )

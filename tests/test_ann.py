@@ -71,3 +71,56 @@ class TestEmbeddingDedup:
         from frankensearch_ray.pipelines.dedup import embedding_cosine_pairs
 
         assert len(embedding_cosine_pairs(sf_dir, threshold=1.01)) == 0
+
+
+class TestClusterEmbeddings:
+    def test_deterministic_and_self_consistent(self, ray_session, sf_dir):
+        import numpy as np
+
+        from frankensearch_ray.pipelines.ann import (
+            _batch_matrix,
+            cluster_embeddings,
+        )
+
+        a = cluster_embeddings(sf_dir).to_pandas()
+        b = cluster_embeddings(sf_dir).to_pandas()
+        # fixed-order float reduction => bit-identical reruns
+        assert a.equals(b)
+        k = a["cluster"].nunique()
+        assert 1 < k <= 8
+        # self-consistency: every vector sits in the cluster whose
+        # centroid (recomputed from the final assignment) is nearest
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sf_dir + "/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids, mat = _batch_matrix(t)
+        order = np.argsort(ids)
+        mat = mat[order]
+        lab = a.sort_values("vec_id")["cluster"].to_numpy()
+        cents = np.stack(
+            [mat[lab == c].mean(axis=0) for c in range(int(lab.max()) + 1)
+             if (lab == c).any()]
+        )
+        live = sorted(set(lab.tolist()))
+        remap = {c: i for i, c in enumerate(live)}
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        nearest = d.argmin(axis=1)
+        agree = (nearest == np.array([remap[c] for c in lab])).mean()
+        # Lloyd converges to a local optimum: assignments are consistent
+        # with the induced centroids for (nearly) every vector
+        assert agree >= 0.98, f"self-consistency {agree:.3f}"
+
+    def test_sink_matches_table(self, ray_session, sf_dir, tmp_path):
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines.ann import cluster_embeddings
+
+        table = cluster_embeddings(sf_dir).to_pandas()
+        out = str(tmp_path / "clusters")
+        assert cluster_embeddings(sf_dir, output_path=out) is None
+        sink = (
+            pq.read_table(out).to_pandas()[["vec_id", "cluster"]]
+            .sort_values("vec_id").reset_index(drop=True)
+        )
+        assert sink.equals(table)
