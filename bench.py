@@ -9,10 +9,13 @@ and prints ONE JSON line.
 ``--scaling``: runs the headline build+query job at two parallelism
 levels in fresh subprocesses (default ``ray.init(num_cpus=4)`` then
 ``num_cpus=16`` — within this VM's 16 physical cores; override with
-FSRAY_SCALING_LO/HI) on the same input, best-of-N trials each, and
-reports throughput at both plus scaling efficiency
-``(thr_hi / thr_lo) / (hi / lo)`` — the sandbox proxy for the
-N-vs-4N-node rule.
+FSRAY_SCALING_LO/HI) on the same input and reports throughput at both
+plus scaling efficiency ``(thr_hi / thr_lo) / (hi / lo)`` — the
+sandbox proxy for the N-vs-4N-node rule.  The default protocol is
+INTERLEAVED PAIRS (``--pairs``, default 2, env FSRAY_SCALING_PAIRS):
+each (lo, hi) pair runs back-to-back so slow host drift cancels in the
+pair's ratio; ``--pairs 0`` selects the legacy all-lo-then-all-hi
+best-of-N protocol.
 
 This script OWNS its Ray session (the only places allowed to besides
 tests/CLI): the driver contract module itself never calls ray.init.
@@ -381,7 +384,9 @@ def run_scaling(
     # 4 -> 16 measures genuine 4x core scaling.  Override with env.
     lo = lo or int(os.environ.get("FSRAY_SCALING_LO", "4"))
     hi = hi or int(os.environ.get("FSRAY_SCALING_HI", "16"))
-    if pairs:
+    if pairs is None:
+        pairs = int(os.environ.get("FSRAY_SCALING_PAIRS", "2"))
+    if pairs > 0:
         return run_scaling_pairs(lo, hi, pairs)
     global PAGES_ROWS
     PAGES_ROWS = int(os.environ.get("FSRAY_SCALING_PAGES", "800000"))
@@ -441,7 +446,9 @@ def main() -> None:
         type=int,
         default=None,
         help="with --scaling: run N interleaved (lo,hi) single-trial pairs "
-        "and report the median efficiency (cancels slow host drift)",
+        "and report the median efficiency (cancels slow host drift); "
+        "default 2 (env FSRAY_SCALING_PAIRS); 0 = legacy two-window "
+        "best-of-N protocol",
     )
     ap.add_argument("--_worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("workdir", nargs="?", default=None)
