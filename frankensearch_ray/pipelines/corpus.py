@@ -785,19 +785,22 @@ def dup_spans(
     2021, "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499, at n-gram rather than suffix-array granularity).
 
-    Scale shape: two passes.  Pass 1 (zero exchange) counts windows per
-    doc.  Pass 2 emits per-batch ``(gram, doc_id, cnt)`` combiner rows —
-    already collapsed to one row per (gram, doc) since a doc never
-    splits across batches — sharded on ``blake2b(gram) % K`` with K
-    scaling with the corpus; every occurrence of a gram lands in one
-    shard, so the in-shard total is exact, dup verdicts are local, and
-    each shard emits only per-doc partial sums.  The final per-doc
-    rollup is a doc_id-keyed sum over at most K rows per doc.  This is
-    the same exchange class as the posting-list build: one all-to-all
-    over the gram vocabulary (NOT over positions — the combiner ships
-    counts, not occurrences).  ``output_path`` streams the per-doc rows
-    to partitioned parquet instead of returning a table (the corpus-
-    sized-output sink discipline).
+    Scale shape: ONE corpus read.  The single pass emits two combiner
+    row kinds into one exchange: per-(gram, doc) count rows — already
+    collapsed to one row per (gram, doc) since a doc never splits across
+    batches — sharded on ``blake2b(gram) % K`` with K scaling with the
+    corpus, plus per-doc window-total rows (gram = null) sharded on
+    ``-(1 + doc_id % K)`` so they spread across their own groups instead
+    of forming one corpus-sized group.  Every occurrence of a gram lands
+    in one shard, so the in-shard total is exact, dup verdicts are
+    local, and each shard emits only per-doc partial sums; window-total
+    groups pass through.  The final per-doc rollup is a doc_id-keyed sum
+    over at most K+1 rows per doc.  This is the same exchange class as
+    the posting-list build: one all-to-all over the gram vocabulary (NOT
+    over positions — the combiner ships counts, not occurrences).
+    ``output_path`` streams the per-doc rows to partitioned parquet
+    instead of returning a table (the corpus-sized-output sink
+    discipline).
     """
     import ray.data as rd
 
@@ -805,36 +808,27 @@ def dup_spans(
     if n_shards is None:
         n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
 
-    def win_counts(t: pa.Table) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
+        """One pass, two row kinds: (gram, doc, cnt) combiner rows on
+        gram-hash shards; (null, doc, n_windows) rows on doc-id shards."""
+        ids = t[id_col].to_numpy().astype(np.int64)
         lists = _tokens_of(t, text_col)
         flat, doc_idx, _ = _flat_tokens(lists)
         lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
         ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
             np.int64
         )
-        ids = t[id_col].to_numpy().astype(np.int64)
-        return pa.table(
+        win_rows = pa.table(
             {
+                "gram": pa.array([None] * len(ids), pa.string()),
                 "doc_id": pa.array(ids),
-                "n_windows": pa.array(np.maximum(0, ntok - n + 1)),
-                "dup_cnt": pa.array(np.zeros(len(ids), np.int64)),
+                "cnt": pa.array(np.maximum(0, ntok - n + 1)),
+                "shard": pa.array(-(1 + ids % n_shards)),
             }
         )
-
-    _gp_empty = pa.table(
-        {
-            "gram": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64()),
-            "shard": pa.array([], pa.int64()),
-        }
-    )
-
-    def gram_partials(t: pa.Table) -> pa.Table:
         grams, didx = _doc_ngrams(t, text_col, n)
         if grams is None:
-            return _gp_empty
-        ids = t[id_col].to_numpy().astype(np.int64)
+            return win_rows
         agg = (
             pa.table({"gram": grams, "doc_id": pa.array(ids[didx])})
             .group_by(["gram", "doc_id"], use_threads=False)
@@ -855,16 +849,17 @@ def dup_spans(
         codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
             zero_copy_only=False
         )
-        return pa.table(
+        gram_rows = pa.table(
             {
                 "gram": agg["gram"],
-                "doc_id": agg["doc_id"],
+                "doc_id": agg["doc_id"].cast(pa.int64()),
                 "cnt": agg["gram_count"].cast(pa.int64()),
                 "shard": pa.array(
                     (h % np.uint64(n_shards)).view(np.int64)[codes]
                 ),
             }
         )
+        return pa.concat_tables([win_rows, gram_rows])
 
     _sd_empty = pa.table(
         {
@@ -875,6 +870,15 @@ def dup_spans(
     )
 
     def shard_dup(g: pa.Table) -> pa.Table:
+        if int(g["shard"][0].as_py()) < 0:
+            # window-total group: rows are already per-doc final
+            return pa.table(
+                {
+                    "doc_id": g["doc_id"].cast(pa.int64()),
+                    "n_windows": g["cnt"].cast(pa.int64()),
+                    "dup_cnt": pa.array(np.zeros(len(g), np.int64)),
+                }
+            )
         tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
         dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
         if len(dup_grams) == 0:
@@ -893,12 +897,9 @@ def dup_spans(
             }
         )
 
-    wins = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
-        win_counts, batch_format="pyarrow"
-    )
     dups = (
         rd.read_parquet(path, columns=[id_col, text_col])
-        .map_batches(gram_partials, batch_format="pyarrow")
+        .map_batches(partials, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_dup, batch_format="pyarrow")
     )
@@ -906,8 +907,7 @@ def dup_spans(
     # most K+1 small rows per doc, so the sink path never materializes a
     # corpus-sized table on the driver
     rolled = (
-        wins.union(dups)
-        .groupby("doc_id")
+        dups.groupby("doc_id")
         .sum(["n_windows", "dup_cnt"])
         .map_batches(
             lambda t: pa.table(
