@@ -678,26 +678,25 @@ class MinHashBander:
                 }
             )
         a, b = self.params
+        # NO per-doc sort: the signature is a min over shingle hashes, so
+        # shingle order can't change it (the scalar oracle sorts only for
+        # its own reproducibility; values are identical either way)
         per_doc: list[list[str]] = [
-            sorted(_word_shingles((t or "").split(), self.k)) for t in texts
+            list(_word_shingles((t or "").split(), self.k)) for t in texts
         ]
         lens = np.array([len(s) for s in per_doc], dtype=np.int64)
         flat = [s for row in per_doc for s in row]
         sigs = np.empty((n, self.n_perm), dtype=np.uint64)
         if flat:
             de = pc.dictionary_encode(pa.array(flat))
-            vocab_hashes = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            v.encode("utf-8"), digest_size=8
-                        ).digest(),
-                        "little",
-                    )
-                    for v in de.dictionary.to_pylist()
-                ],
-                dtype=np.uint64,
-            )
+            vocab = de.dictionary.to_pylist()
+            vbuf = bytearray(8 * len(vocab))
+            vblake = hashlib.blake2b
+            for i, v in enumerate(vocab):
+                vbuf[i * 8 : i * 8 + 8] = vblake(
+                    v.encode("utf-8"), digest_size=8
+                ).digest()
+            vocab_hashes = np.frombuffer(bytes(vbuf), dtype="<u8")
             x = vocab_hashes[de.indices.to_numpy()] % np.uint64(1 << 31)
             prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
             offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -711,15 +710,24 @@ class MinHashBander:
         empty = lens == 0
         if empty.any():
             sigs[empty] = (b % np.uint64(_MERSENNE))[None, :]
-        band_hashes = np.empty((n, self.bands), dtype=np.uint64)
-        for d in range(n):
-            srow = sigs[d]
-            for bi in range(self.bands):
-                chunk = srow[bi * self.rows : (bi + 1) * self.rows]
-                band_hashes[d, bi] = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                    "little",
-                )
+        # Band hashing over the (n*bands, rows) signature view: blake2b
+        # runs once per UNIQUE band chunk (near-dups share chunks — that's
+        # the LSH premise), sliced zero-copy out of one contiguous buffer.
+        # Bit-identical to the per-row scalar path (same bytes, same hash);
+        # the scalar loop stays as the differential oracle in pytest.
+        view = np.ascontiguousarray(sigs).reshape(n * self.bands, self.rows)
+        uniq, inv = np.unique(view, axis=0, return_inverse=True)
+        row_bytes = self.rows * 8
+        mv = memoryview(uniq.tobytes())
+        hbuf = bytearray(8 * len(uniq))
+        blake = hashlib.blake2b
+        for i in range(len(uniq)):
+            hbuf[i * 8 : i * 8 + 8] = blake(
+                mv[i * row_bytes : (i + 1) * row_bytes], digest_size=8
+            ).digest()
+        band_hashes = np.frombuffer(bytes(hbuf), dtype="<u8")[
+            inv.reshape(-1)
+        ].reshape(n, self.bands)
         bands_col = np.tile(np.arange(self.bands, dtype=np.int32), n)
         flat_hashes = band_hashes.reshape(-1)
         gkey = (
@@ -998,13 +1006,22 @@ def minhash_pairs(
         )
         bounds = np.flatnonzero(new_pair)
         ends = np.concatenate((bounds[1:], [len(pa_n)]))
+        # first row per (pair, side) via one vectorized minimum-scatter —
+        # never a per-pair linear scan (quadratic in group size)
+        n_pairs = len(bounds)
+        seg = np.searchsorted(bounds, np.arange(len(pa_n)), side="right") - 1
+        NOT_FOUND = len(pa_n)
+        first_a = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
+        first_b = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
+        rows_a = np.flatnonzero(doc == pa_n)
+        rows_b = np.flatnonzero(doc == pb_n)
+        np.minimum.at(first_a, seg[rows_a], rows_a)
+        np.minimum.at(first_b, seg[rows_b], rows_b)
         out_a, out_b, out_j = [], [], []
-        for s, e in zip(bounds, ends):
-            if e - s < 2:
+        for p, (s, e) in enumerate(zip(bounds, ends)):
+            ia, ib = first_a[p], first_b[p]
+            if ia == NOT_FOUND or ib == NOT_FOUND:
                 continue  # one member missing from the corpus
-            rows = range(s, e)
-            ia = next(r for r in rows if doc[r] == pa_n[s])
-            ib = next(r for r in rows if doc[r] == pb_n[s])
             sa = np.frombuffer(sh_buf[ia], dtype="<u8")
             sb = np.frombuffer(sh_buf[ib], dtype="<u8")
             if len(sa) == 0 or len(sb) == 0:

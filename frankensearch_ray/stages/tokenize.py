@@ -94,9 +94,9 @@ def numeric_table(
     return pa.concat_tables(parts)
 
 
-def content_hashes(texts: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit content hashes (identity / no-op-upsert check,
-    analogous to ``index.rs:10236``; blake2b-8 instead of xxh3)."""
+def _content_hashes_scalar(texts: pa.Array) -> np.ndarray:
+    """Per-row reference path (kept as the differential oracle and the
+    fallback for non-string columns)."""
     out = np.empty(len(texts), dtype=np.uint64)
     for i, v in enumerate(texts):
         s = v.as_py()
@@ -105,6 +105,52 @@ def content_hashes(texts: pa.Array) -> np.ndarray:
             hashlib.blake2b(b, digest_size=8).digest(), "little"
         )
     return out
+
+
+def content_hashes(texts: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit content hashes (identity / no-op-upsert check,
+    analogous to ``index.rs:10236``; blake2b-8 instead of xxh3).
+
+    Hot path: arrow strings ARE utf-8, so each row's bytes are a zero-copy
+    memoryview slice of the values buffer via the offsets array — no
+    per-row ``as_py()`` + ``encode()`` object churn (VERDICT r03 #4).
+    blake2b itself is inherently per-row; byte-identity with the scalar
+    path is pinned in pytest."""
+    arr = (
+        texts.combine_chunks()
+        if isinstance(texts, pa.ChunkedArray)
+        else texts
+    )
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if not (
+        pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    ):
+        return _content_hashes_scalar(arr)
+    dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=dt, count=n + 1, offset=arr.offset * np.dtype(dt).itemsize
+    )
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    blake = hashlib.blake2b
+    hbuf = bytearray(8 * n)
+    if arr.null_count:
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        empty = blake(b"", digest_size=8).digest()
+        for i in range(n):
+            hbuf[i * 8 : i * 8 + 8] = (
+                empty
+                if nulls[i]
+                else blake(data[offs[i] : offs[i + 1]], digest_size=8).digest()
+            )
+    else:
+        for i in range(n):
+            hbuf[i * 8 : i * 8 + 8] = blake(
+                data[offs[i] : offs[i + 1]], digest_size=8
+            ).digest()
+    return np.frombuffer(bytes(hbuf), dtype="<u8").copy()
 
 
 def _field_postings(
@@ -158,12 +204,16 @@ STORED_SCHEMA = pa.schema(
 )
 
 
-def stored_table(
+# vectorizable string rows: printable ASCII with no `"` (x22) or `\` (x5C)
+# — exactly the rows json.dumps (ensure_ascii=True) emits verbatim
+_JSON_PLAIN_RE = r'^[ !\x23-\x5B\x5D-\x7E]*$'
+
+
+def _stored_table_scalar(
     table: pa.Table, stored_cols: list[str], docids: np.ndarray
 ) -> pa.Table:
-    """STOREDMETA sidecar (``schema.rs:374-377``, ``segment.rs:44-67``):
-    one ``metadata_json`` per docid from the stored-only columns —
-    positional winners-only hydration, like the reference stored row."""
+    """Per-row reference path (differential oracle + fallback for column
+    types whose JSON rendering isn't vectorizable, e.g. float repr)."""
     import json
 
     cols = {c: table[c].to_pylist() for c in stored_cols if c in table.column_names}
@@ -175,6 +225,82 @@ def stored_table(
         {
             "docid": pa.array(docids, pa.uint64()),
             "metadata_json": pa.array(metas, pa.string()),
+        },
+        schema=STORED_SCHEMA,
+    )
+
+
+def _json_fragment_column(col: pa.ChunkedArray) -> pa.Array | None:
+    """Vectorized JSON rendering of one stored column, or None if the
+    type needs the scalar path.  Byte-identical to ``json.dumps`` per
+    value (ints/bools render canonically; strings render verbatim when
+    the plain-ASCII regex proves no escaping is needed, else that column
+    falls back to per-value ``json.dumps``)."""
+    import json
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_null(t):
+        return pa.array(["null"] * len(arr), pa.string())
+    if pa.types.is_boolean(t):
+        return pc.fill_null(pc.cast(arr, pa.string()), "null")
+    if pa.types.is_integer(t):
+        return pc.fill_null(pc.cast(arr, pa.string()), "null")
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        plain = pc.match_substring_regex(arr, _JSON_PLAIN_RE)
+        if pc.all(plain).as_py() is not False or len(arr) == 0:
+            quoted = pc.binary_join_element_wise(
+                '"', pc.cast(arr, pa.string()), '"', ""
+            )
+            return pc.fill_null(quoted, "null")
+        # some row needs escaping: render this COLUMN per value (rare)
+        return pa.array(
+            [json.dumps(v) if v is not None else "null" for v in arr.to_pylist()],
+            pa.string(),
+        )
+    return None
+
+
+def stored_table(
+    table: pa.Table, stored_cols: list[str], docids: np.ndarray
+) -> pa.Table:
+    """STOREDMETA sidecar (``schema.rs:374-377``, ``segment.rs:44-67``):
+    one ``metadata_json`` per docid from the stored-only columns —
+    positional winners-only hydration, like the reference stored row.
+
+    Hot path (VERDICT r03 #4): the JSON object is assembled with ONE
+    ``binary_join_element_wise`` over per-column vectorized fragments —
+    no per-row ``json.dumps``.  Any column type the fragment renderer
+    can't prove byte-identical (floats, nested) drops the whole call to
+    the scalar path; pytest pins the differential."""
+    import json
+
+    keys = sorted(c for c in stored_cols if c in table.column_names)
+    if not keys:
+        metas = pa.array(["{}"] * len(table), pa.string())
+        return pa.table(
+            {
+                "docid": pa.array(docids, pa.uint64()),
+                "metadata_json": metas,
+            },
+            schema=STORED_SCHEMA,
+        )
+    frags: list[pa.Array] = []
+    for c in keys:
+        f = _json_fragment_column(table[c])
+        if f is None:
+            return _stored_table_scalar(table, stored_cols, docids)
+        frags.append(f)
+    pieces: list = []
+    for j, c in enumerate(keys):
+        pieces.append(("{" if j == 0 else ", ") + json.dumps(c) + ": ")
+        pieces.append(frags[j])
+    pieces.append("}")
+    metas = pc.binary_join_element_wise(*pieces, "")
+    return pa.table(
+        {
+            "docid": pa.array(docids, pa.uint64()),
+            "metadata_json": metas,
         },
         schema=STORED_SCHEMA,
     )
