@@ -155,9 +155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_cosine_pairs,
-        # similarity search
+        # similarity search over the persisted bucket-partitioned
+        # layouts (ann.ivf_layout / ann.lsh_layout build once per corpus).
+        # Driver entries run exact-recall configurations on the
+        # near-uniform synthetic embeddings (nprobe=15/16; 4 bits x 24
+        # tables) so both hash-match the exact-cosine DuckDB oracle;
+        # real clustered corpora run far smaller probe sets — the
+        # read-pruning mechanics are pytest-gated via ann.LAST_SCAN.
         "knn_bruteforce": ann.knn_bruteforce,
-        "knn_ivf": ann.knn_ivf,
+        "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
         # check; the deterministic/self-consistency contract is pinned
@@ -848,9 +854,62 @@ def oracle_sql() -> dict[str, str]:
                    max(n_tokens)::BIGINT AS max_tokens
             FROM d GROUP BY source ORDER BY source
         """,
-        # dedup_minhash / dedup_simhash / knn_ivf / doc_fingerprint are
-        # approximate or non-SQL-expressible: rows-only checks.
+        # dedup_simhash / doc_fingerprint / snippets / sketch /
+        # cluster_embeddings are non-SQL-expressible: rows-only checks
+        # (each pytest-gated).
     }
+    # knn_ivf (nprobe=15) and knn_lsh (4 bits x 24 tables) are exact-recall
+    # configurations on the synthetic corpus: both must reproduce the
+    # exact cosine top-k, so they share the bruteforce oracle.
+    sqls["knn_ivf"] = sqls["knn_bruteforce"]
+    sqls["knn_lsh"] = sqls["knn_bruteforce"]
+    # dedup_minhash verifies candidates with EXACT word-3-shingle Jaccard,
+    # and the fmix64 permutation family makes a banding miss at J >= 0.8
+    # astronomically unlikely ((1-0.8^4)^16 ~ 2e-4 per pair at worst; the
+    # driver corpora have no misses) — so the entry hash-matches the full
+    # exact-Jaccard pair set.  Shingle rule mirrors _word_shingles: docs
+    # shorter than k yield their whole text as the single shingle; empty
+    # docs yield none.
+    sqls["dedup_minhash"] = """
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.pos
+          FROM documents,
+          LATERAL (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                     string_split_regex(trim(text), '\\s+'), 1) AS pos
+          ) u
+          WHERE length(trim(text)) > 0
+        ),
+        n AS (SELECT doc_id, max(pos) AS n_tok FROM toks GROUP BY doc_id),
+        shingles AS (
+          SELECT DISTINCT a.doc_id,
+                 a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+          FROM toks a
+          JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          UNION
+          SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS sh
+          FROM toks t JOIN n ON n.doc_id = t.doc_id
+          WHERE n.n_tok < 3
+          GROUP BY t.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+          FROM shingles s1 JOIN shingles s2
+            ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a AS doc_a, b AS doc_b,
+               CAST(floor(100.0 * i / (sa.sz + sb.sz - i) + 1e-9) AS BIGINT)
+                 AS jaccard_pct
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+        ORDER BY doc_a, doc_b
+    """
     # the BSP solver must reproduce the local solver's labels exactly
     sqls["dedup_clusters_bsp"] = sqls["dedup_clusters"]
     return sqls

