@@ -286,6 +286,48 @@ def _atomic_write_table(table: pa.Table, path: str, **kwargs) -> None:
     os.replace(tmp, path)
 
 
+def _test_fail(point: str, arg: int | None = None) -> None:
+    """Crash injection for the kill-point resume matrix (pytest-only;
+    ``PLAN.md:527-529`` analogue — the reference drives seeded schedules
+    with kills at every commit arrow).  ``FSRAY_TEST_FAIL="<point>[:N]"``
+    raises at the matching call site; the subprocess test kills a build at
+    each point and asserts the resumed build is byte-identical to a clean
+    one.  No-op (one getenv) outside the tests."""
+    spec = os.environ.get("FSRAY_TEST_FAIL")
+    if not spec:
+        return
+    want = spec.split(":")
+    if want[0] != point:
+        return
+    if len(want) > 1 and arg is not None and int(want[1]) != arg:
+        return
+    raise RuntimeError(f"FSRAY_TEST_FAIL injected crash at {spec}")
+
+
+def write_numeric_sidecar(table: pa.Table, path: str) -> None:
+    """Numeric fast-field sidecar with ONE ROW GROUP PER FIELD (the table
+    arrives (field, value, docid)-sorted): the reader's first touch of a
+    field then binary-searches the per-group ``field`` stats and reads
+    only that field's row group — never the other fields' rows
+    (VERDICT r03 #6, same pruning discipline as the postings probe)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    writer = pq.ParquetWriter(tmp, table.schema)
+    if len(table):
+        de = pc.dictionary_encode(table["field"].combine_chunks())
+        codes = de.indices.to_numpy()
+        bounds = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [len(codes)]))
+        for s_i, e_i in zip(bounds, ends):
+            writer.write_table(
+                table.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
+            )
+    writer.close()
+    os.replace(tmp, path)
+
+
 def _atomic_write_json(obj, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -486,6 +528,7 @@ class PhaseATokenizer:
             ):
                 return self._summary(stats)
 
+        _test_fail("phase_a", part["pindex"])
         # deterministic rebuild of this partition (also the retry path);
         # clear BOTH layout variants so a mode switch can't leave stale
         # postings behind for the other mode's reader to pick up
@@ -558,6 +601,8 @@ class PhaseATokenizer:
             writer.close()
             os.replace(tmp, path)
             files.append(rel(path))
+            # torn-partition point: postings on disk, no done-marker yet
+            _test_fail("phase_a_mid", part["pindex"])
         else:
             path = paths["postings"] + ".parquet"
             _atomic_write_table(result["postings"], path, compression="zstd")
@@ -581,7 +626,7 @@ class PhaseATokenizer:
             num_path = os.path.join(
                 self.index_dir, "numeric", f"part-{part['pindex']:05d}.parquet"
             )
-            _atomic_write_table(result["numeric"], num_path)
+            write_numeric_sidecar(result["numeric"], num_path)
             files.append(rel(num_path))
         if result.get("stored") is not None:
             stored_path = os.path.join(
@@ -746,6 +791,8 @@ class _EncodeShardFS:
 
     def _one(self, shard_id: int) -> pa.Table:
         from .stages.encode import ShardStreamWriter
+
+        _test_fail("phase_b", shard_id)
 
         post_root = os.path.join(self.index_dir, "postings")
         sources: list[tuple[pq.ParquetFile, list[int], list[str]]] = []
@@ -1088,7 +1135,11 @@ def publish_manifest(index_dir: str, manifest: dict) -> None:
 
         shutil.copyfile(path, path + ".prev")
     manifest["_checksum"] = _manifest_checksum(manifest)
-    _atomic_write_json(manifest, path)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    _test_fail("publish")  # torn point: temp written, rename pending
+    os.replace(tmp, path)
 
 
 def load_manifest(index_dir: str) -> dict:

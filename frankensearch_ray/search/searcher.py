@@ -479,6 +479,9 @@ class LocalSearcher:
         self._post_cache: dict[tuple[int, str], tuple] = {}
         self._pos_cache: dict[tuple[int, str], list] = {}
         self._numeric_cache: dict[str, tuple] = {}
+        # pruning evidence for the numeric sidecar reader (pytest gate)
+        self.numeric_rgs_read = 0
+        self.numeric_rgs_total_seen = 0
         self.query_fuel = self.DEFAULT_QUERY_FUEL
         self._fuel_used = 0
         import threading
@@ -993,14 +996,38 @@ class LocalSearcher:
         return sorted(out)
 
     def _numeric(self, field_name: str):
-        """(values sorted, docids) of one numeric fast field, cached."""
+        """(values sorted, docids) of one numeric fast field, cached.
+
+        First touch reads ONLY the row groups whose per-group ``field``
+        stats cover the requested field — the sidecar is written with one
+        row group per field (``build.write_numeric_sidecar``), so a
+        one-field range on a multi-field index never decodes the other
+        fields' rows (VERDICT r03 #6; same discipline as the postings
+        probe).  Legacy single-row-group sidecars still read correctly
+        (their one group covers every field)."""
         got = self._numeric_cache.get(field_name)
         if got is not None:
             return got
         tables = []
         num_dir = Path(self.index_dir) / "numeric"
         for path in sorted(num_dir.glob("part-*.parquet")):
-            t = pq.read_table(path)
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            fidx = pf.schema_arrow.get_field_index("field")
+            rgs = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(fidx).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or (st.min <= field_name <= st.max)
+                ):
+                    rgs.append(g)
+            self.numeric_rgs_total_seen += md.num_row_groups
+            if not rgs:
+                continue
+            self.numeric_rgs_read += len(rgs)
+            t = pf.read_row_groups(rgs)
             t = t.filter(pc.equal(t["field"], field_name))
             if len(t):
                 tables.append(t)

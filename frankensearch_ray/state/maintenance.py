@@ -642,9 +642,12 @@ def _compact_partition(
 
     num_path = os.path.join(index_dir, "numeric", f"part-{pidx:05d}.parquet")
     if os.path.exists(num_path):
+        from ..build import write_numeric_sidecar
+
         num = pq.read_table(num_path)
         num2 = num.filter(pa.array(live_mask(num["docid"].to_numpy())))
-        _atomic_write_table(num2, num_path)
+        # keep the one-row-group-per-field layout the pruned reader relies on
+        write_numeric_sidecar(num2, num_path)
         files.append(rel(num_path))
 
     from . import idhash as idh
