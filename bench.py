@@ -211,9 +211,10 @@ def run_default() -> None:
     os.environ["FSRAY_CACHE"] = cache
 
     import __ray_entry__ as entrymod
-    from frankensearch_ray.pipelines import docsearch
+    from frankensearch_ray.pipelines import ann, docsearch
 
     docsearch.CACHE_ROOT = cache
+    ann.CACHE_ROOT = cache  # knn entries then pay their layout build too
 
     # pay cluster-wide lazy-init (worker spawns, module imports, Ray Data
     # stats actor) before the first timed entry, as _warm_workers does for

@@ -434,36 +434,44 @@ def lsh_layout(
     planes_ref = ray.put(planes)
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        # ONE file per (task, table), ONE row group per bucket code (rows
+        # code-sorted): file count stays O(tasks x tables) instead of
+        # O(tasks x tables x codes), and the query prunes at row-group
+        # granularity via the footer's `code` stats — the same exchange-
+        # through-footers layout the index build's phase A uses.
         ids, m = _batch_matrix(batch)
         if len(ids) == 0:
             return pa.table({"written": pa.array([], pa.int64())})
         pl = ray.get(planes_ref)
         codes = _srp_codes(m, pl)  # (B, T)
         token = uuid.uuid4().hex
+        import pyarrow.parquet as pq
+
         for t_i in range(codes.shape[1]):
             col = codes[:, t_i]
-            for code in np.unique(col):
-                rows = np.flatnonzero(col == code)
-                part = (
-                    batch.take(pa.array(rows))
-                    .append_column(
-                        "tbl",
-                        pa.array(np.full(len(rows), t_i, np.int64)),
-                    )
-                    .append_column(
-                        "code",
-                        pa.array(np.full(len(rows), code, np.int64)),
-                    )
-                    .replace_schema_metadata(None)
+            order = np.argsort(col, kind="stable")
+            part = (
+                batch.take(pa.array(order))
+                .append_column(
+                    "tbl", pa.array(np.full(len(ids), t_i, np.int64))
                 )
-                _atomic_parquet(
-                    part,
-                    os.path.join(
-                        out_dir,
-                        f"t{t_i:03d}_c{code:05d}",
-                        f"part-{token}.parquet",
-                    ),
+                .append_column("code", pa.array(col[order]))
+                .replace_schema_metadata(None)
+            )
+            path = os.path.join(out_dir, f"t{t_i:03d}-{token}.parquet")
+            tmp = path + ".tmp"
+            writer = pq.ParquetWriter(tmp, part.schema)
+            sorted_codes = col[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], sorted_codes[1:] != sorted_codes[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [len(sorted_codes)]))
+            for s_i, e_i in zip(bounds, ends):
+                writer.write_table(
+                    part.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
                 )
+            writer.close()
+            os.replace(tmp, path)
         return pa.table({"written": pa.array([len(ids)], pa.int64())})
 
     rd.read_parquet(_emb_path(sf_dir), columns=[id_col, emb_col]).map_batches(
@@ -601,48 +609,79 @@ def knn_lsh(
     import ray
     import ray.data as rd
 
+    import pyarrow.parquet as pq
+
     layout = lsh_layout(sf_dir, n_bits=n_bits, n_tables=n_tables, seed=seed)
     q_ids, qm = _read_queries(sf_dir, query_ids)
     planes = _lsh_planes(n_tables, n_bits, qm.shape[1], seed)
     q_codes = _srp_codes(qm, planes)  # (Q, T)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    wanted = sorted(
+    # row-group-pruned probe plan: each layout file is one (task, table)
+    # with one row group per bucket code, so the footer's `code` stats
+    # locate the colliding buckets without reading any data pages —
+    # the same exchange-through-footers discipline as the index build
+    specs = []
+    rgs_total = bytes_total = rgs_read = bytes_read = files_read = 0
+    for path in sorted(_glob.glob(os.path.join(layout, "t*-*.parquet"))):
+        t_i = int(os.path.basename(path)[1:4])
+        wanted_codes = {int(c) for c in np.unique(q_codes[:, t_i])}
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        cidx = pf.schema_arrow.get_field_index("code")
+        rgs = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            rgs_total += 1
+            bytes_total += rg.total_byte_size
+            st = rg.column(cidx).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or any(st.min <= c <= st.max for c in wanted_codes)
+            ):
+                rgs.append(g)
+                rgs_read += 1
+                bytes_read += rg.total_byte_size
+        if rgs:
+            files_read += 1
+            specs.append({"path": path, "rgs": rgs})
+    LAST_SCAN.clear()
+    LAST_SCAN.update(
         {
-            f"t{t:03d}_c{int(c):05d}"
-            for t in range(n_tables)
-            for c in np.unique(q_codes[:, t])
+            "layout": "lsh",
+            "partitions_read": rgs_read,
+            "partitions_total": rgs_total,
+            "files_read": files_read,
+            "files_total": len(
+                _glob.glob(os.path.join(layout, "t*-*.parquet"))
+            ),
+            "bytes_read": bytes_read,
+            "bytes_total": bytes_total,
         }
     )
-    paths = _layout_scan(layout, wanted, "lsh")
-    if not paths:
+    if not specs:
         return _MERGE_SCHEMA.empty_table()
     refs = ray.put((q_ids, qn, q_codes))
 
-    class LshScorer:
-        """Stateless task body (broadcast state, no actor launch cost)."""
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            q_ids_, qn_, q_codes_ = ray.get(refs)
-            ids, m = _batch_matrix(batch.select(["vec_id", "embedding"]))
+    def score_spec(batch: pa.Table) -> pa.Table:
+        """Task body: read ONLY this spec's colliding row groups, score."""
+        q_ids_, qn_, q_codes_ = ray.get(refs)
+        outs = []
+        for row in batch.to_pylist():
+            t = pq.ParquetFile(row["path"]).read_row_groups(
+                list(row["rgs"]),
+                columns=["vec_id", "embedding", "tbl", "code"],
+            )
+            ids, m = _batch_matrix(t.select(["vec_id", "embedding"]))
             if len(ids) == 0:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
-            # codes are PERSISTED: row r is a candidate for query q iff
-            # q's code in r's table equals r's bucket code
-            tbl = batch["tbl"].to_numpy()
-            code = batch["code"].to_numpy()
+                continue
+            tbl = t["tbl"].to_numpy()
+            code = t["code"].to_numpy()
             allowed = q_codes_[:, tbl] == code[None, :]  # (Q, B)
-            # Ray coalesces small partition files into one batch, so the
-            # SAME vector can appear several times (once per colliding
-            # table).  Collapse to unique vectors with OR-combined masks
-            # BEFORE the top-k cut — duplicate rows would overcount the
-            # batch's k-th-best threshold and drop true neighbors in a
-            # coalescing-dependent (= parallelism-dependent) way.
+            # the same vector can collide in several tables / specs —
+            # collapse to unique vectors with OR-combined masks BEFORE
+            # the top-k cut: duplicate rows would overcount the k-th-best
+            # threshold and drop true neighbors batching-dependently
             vals, first, inv = np.unique(
                 ids, return_index=True, return_inverse=True
             )
@@ -651,12 +690,14 @@ def knn_lsh(
             m_u = m[first]
             mn = m_u / _stable_norm_rows(m_u)
             sims = np.where(allowed_u, _stable_cosine(qn_, mn), -np.inf)
-            return _partial_topk(q_ids_, vals, sims, k)
+            outs.append(_partial_topk(q_ids_, vals, sims, k))
+        if not outs:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
 
-    ds = rd.read_parquet(
-        paths, columns=["vec_id", "embedding", "tbl", "code"]
+    partials = rd.from_items(specs).map_batches(
+        score_spec, batch_format="pyarrow", batch_size=4
     )
-    partials = ds.map_batches(LshScorer(), batch_format="pyarrow", batch_size=512)
     return _merge_topk(partials.to_pandas(), k)
 
 

@@ -71,19 +71,11 @@ def _pair_hash(a: np.ndarray, b: np.ndarray, shards: int) -> np.ndarray:
 
 
 def _hash_texts(batch: pa.Table, text_col: str) -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    h = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(
-                    (t or "").encode("utf-8"), digest_size=8
-                ).digest(),
-                "little",
-            )
-            for t in texts
-        ],
-        dtype=np.uint64,
-    )
+    # zero-copy buffer-sliced blake2b (nulls hash as b""), shared with the
+    # phase-A identity kernel — no per-row as_py/encode churn
+    from ..stages.tokenize import content_hashes
+
+    h = content_hashes(batch[text_col])
     # reinterpret as SIGNED int64 (bijective view): Ray's groupby map
     # stage round-trips key columns through Python ints, and uint64
     # values above 2^63 overflow C long there — silently falling back to
