@@ -41,6 +41,81 @@ class TestSimhashBatch:
         assert list(got) == [simhash64(t) for t in texts]
 
 
+class TestFlatShingles:
+    """The vectorized shingle kernel ≡ _word_shingles per doc (the scalar
+    stays as the oracle; duplicates allowed in the flat form)."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_categories=("Cs",)
+                    ),
+                    max_size=60,
+                ),
+            ),
+            max_size=10,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def test_flat_equals_scalar_sets(self, texts, k):
+        import pyarrow as pa
+
+        from frankensearch_ray.pipelines.dedup import (
+            _flat_shingles,
+            _word_shingles,
+        )
+
+        lens, sh = _flat_shingles(pa.array(texts, pa.string()), k)
+        assert len(lens) == len(texts)
+        assert int(lens.sum()) == len(sh)
+        vals = sh.to_pylist()
+        starts = [0]
+        for n in lens:
+            starts.append(starts[-1] + int(n))
+        for d, t in enumerate(texts):
+            got = set(vals[starts[d] : starts[d + 1]])
+            want = _word_shingles((t or "").split(), k)
+            assert got == want, (d, t, k)
+
+    def test_shingle_batch_distinct_rows(self):
+        import pyarrow as pa
+
+        from frankensearch_ray.pipelines.dedup import (
+            _shingle_batch,
+            _word_shingles,
+        )
+
+        texts = [
+            "a b a b a b",  # duplicate shingles must collapse
+            "",
+            None,
+            "x y",  # short doc: one joined shingle
+            " padded   whitespace  doc ",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = _shingle_batch(t, "doc_id", "text", 3)
+        rows = out.to_pylist()
+        per_doc: dict[int, set[str]] = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+        for r in rows:
+            assert r["doc_size"] == len(per_doc[r["doc_id"]])
+        for i, txt in enumerate(texts):
+            want = _word_shingles((txt or "").split(), 3)
+            assert per_doc.get(10 + i, set()) == want
+        # no duplicate (doc, shingle) rows
+        assert len(rows) == sum(len(v) for v in per_doc.values())
+
+
 class TestMinHashBander:
     def test_batch_matches_scalar_signature_path(self):
         """The vectorized bander must emit the same band hashes as the
