@@ -854,9 +854,63 @@ def oracle_sql() -> dict[str, str]:
                    max(n_tokens)::BIGINT AS max_tokens
             FROM d GROUP BY source ORDER BY source
         """,
-        # dedup_simhash / doc_fingerprint / snippets / sketch /
-        # cluster_embeddings are non-SQL-expressible: rows-only checks
-        # (each pytest-gated).
+        # Polynomial doc fingerprint: fp = sum(base^i * h(tok_i)) mod 2^63
+        # with h = md5-upper-8-LE (md5_number_upper — the Python kernel
+        # uses the same bytes, round 4).  Exact HUGEINT arithmetic: the
+        # per-term product < 2^127 fits, and base powers come from a
+        # recursive CTE mod 2^63 (congruent with the kernel's uint64
+        # wraparound because 2^63 | 2^64).
+        "doc_fingerprint": f"""
+            WITH RECURSIVE {docs},
+            tok AS (
+              SELECT doc_id, u.tok, u.pos - 1 AS pos
+              FROM docs, LATERAL (
+                SELECT unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+              ) u
+            ),
+            pw(i, v) AS (
+              SELECT 0, CAST(1 AS HUGEINT)
+              UNION ALL
+              SELECT i + 1, (v * 1000003) % 9223372036854775808
+              FROM pw
+              WHERE i < (SELECT coalesce(max(len(toks)), 0) FROM docs)
+            ),
+            agg AS (
+              SELECT tok.doc_id,
+                     CAST(sum(
+                       (CAST(md5_number_upper(tok.tok) AS HUGEINT) * pw.v)
+                       % 9223372036854775808
+                     ) % 9223372036854775808 AS BIGINT) AS fingerprint
+              FROM tok JOIN pw ON pw.i = tok.pos
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id, coalesce(a.fingerprint, 0) AS fingerprint
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # KMV distinct sketch: k smallest distinct md5-upper-8 term
+        # hashes; floor estimator on both sides (round() half-rule
+        # differs between Python and DuckDB, floor never does).
+        "distinct_sketch": f"""
+            WITH {docs},
+            o AS (
+              SELECT DISTINCT md5_number_upper(u.tok) AS hv
+              FROM docs, LATERAL (SELECT unnest(toks) AS tok) u
+              ORDER BY hv LIMIT 1024
+            ),
+            c AS (SELECT count(*) AS n, max(hv) AS hk FROM o)
+            SELECT CASE WHEN n < 1024 THEN n::BIGINT
+                        ELSE CAST(floor(1023.0 * (
+                          18446744073709551616.0
+                          / CAST(hk + 1 AS DOUBLE)
+                        )) AS BIGINT)
+                   END AS distinct_terms_est,
+                   CAST(1024 AS BIGINT) AS sketch_k
+            FROM c
+        """,
+        # dedup_simhash / snippets / cluster_embeddings are
+        # non-SQL-expressible: rows-only checks (each pytest-gated).
     }
     # knn_ivf (nprobe=15) and knn_lsh (4 bits x 24 tables) are exact-recall
     # configurations on the synthetic corpus: both must reproduce the

@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -298,11 +299,18 @@ _FP_BASE = np.uint64(1_000_003)
 _FP_MASK = np.uint64((1 << 63) - 1)
 
 
+def _md5_hash64(s: str) -> int:
+    """First 8 digest bytes of md5, little-endian — EXACTLY DuckDB's
+    ``md5_number_upper(s)``, which is what makes the fingerprint and the
+    KMV sketch SQL-oracle-able (blake2b has no DuckDB twin)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
 def fingerprint_scalar(tokens: list[str]) -> int:
     """Per-token Python-int reference — kept ONLY as the oracle for the
     vectorized kernel (pytest-gated identity)."""
-    import hashlib
-
     base = int(_FP_BASE)
     mask = int(_FP_MASK)
     acc = 0
@@ -310,10 +318,7 @@ def fingerprint_scalar(tokens: list[str]) -> int:
     for t in tokens:
         if not t:
             continue
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-        )
-        acc = (acc + p * h) & mask
+        acc = (acc + p * _md5_hash64(t)) & mask
         p = (p * base) & mask
     return acc
 
@@ -322,13 +327,12 @@ def fingerprint_batch(lists: pa.ListArray) -> np.ndarray:
     """Vectorized polynomial fingerprints per doc, identical to
     :func:`fingerprint_scalar` row for row.
 
-    blake2b runs once per UNIQUE token (dictionary-encode trick); base
-    powers and the per-token products accumulate in uint64 with natural
-    mod-2^64 wraparound — exact, because 2^63 | 2^64 means every
-    intermediate agrees with the scalar's mod-2^63 arithmetic after the
-    final ``& (2^63 - 1)``."""
-    import hashlib
-
+    md5 runs once per UNIQUE token (dictionary-encode trick; md5-upper-8
+    little-endian = DuckDB ``md5_number_upper``, so the driver gets an
+    exact SQL oracle); base powers and the per-token products accumulate
+    in uint64 with natural mod-2^64 wraparound — exact, because
+    2^63 | 2^64 means every intermediate agrees with the scalar's
+    mod-2^63 arithmetic after the final ``& (2^63 - 1)``."""
     n = len(lists)
     fps = np.zeros(n, dtype=np.uint64)
     if n == 0:
@@ -340,14 +344,7 @@ def fingerprint_batch(lists: pa.ListArray) -> np.ndarray:
     de = pc.dictionary_encode(flat)
     vocab = de.dictionary.to_pylist()
     vocab_hashes = np.array(
-        [
-            0
-            if not v
-            else int.from_bytes(
-                hashlib.blake2b(v.encode(), digest_size=8).digest(), "little"
-            )
-            for v in vocab
-        ],
+        [0 if not v else _md5_hash64(v) for v in vocab],
         dtype=np.uint64,
     )
     codes = de.indices.to_numpy()
@@ -382,19 +379,25 @@ def doc_fingerprint(
     output_path: str | None = None,
 ) -> pa.Table | None:
     """(doc_id, fingerprint): polynomial rolling hash over token bytes —
-    ``fp = sum(base^i * h(token_i)) & (2^63 - 1)`` with blake2b-8 token
-    hashes.  Deterministic document identity; rows-only oracle.
-    ``output_path`` streams the per-doc rows to parquet."""
+    ``fp = sum(base^i * h(token_i)) & (2^63 - 1)`` with md5-upper-8 token
+    hashes (= DuckDB ``md5_number_upper``, so the driver verifies this
+    against an exact HUGEINT-arithmetic SQL oracle).  Deterministic
+    document identity.  ``output_path`` streams the per-doc rows to
+    parquet."""
     import ray.data as rd
 
     from ._sink import finish
 
     def fp_batch(batch: pa.Table) -> pa.Table:
         lists = _tokens_of(batch, text_col)
+        # fp < 2^63 by construction: int64 keeps the driver/oracle dtype
+        # canonicalization lossless
         return pa.table(
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
-                "fingerprint": pa.array(fingerprint_batch(lists), pa.uint64()),
+                "fingerprint": pa.array(
+                    fingerprint_batch(lists).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -696,15 +699,16 @@ def distinct_terms_sketch(
     """(distinct_terms_est, sketch_k): KMV (k-minimum-values) distinct
     term estimate — the shuffle-FREE alternative to ``token_stats``'s
     exact term-keyed exchange.  Each batch contributes its k smallest
-    64-bit term hashes (a mergeable partial; blake2b over the batch-local
-    unique dictionary only), the driver merges k-smallest-of-union, and
-    the estimator is ``(k-1) / h_(k)`` on the unit interval.  Everything
-    is deterministic (seedless hash, order-free min), so the estimate is
-    reproducible bit-for-bit; pytest gates it within 10% of the exact
-    count.  At 10^12 docs this replaces a vocabulary-sized exchange with
-    k numbers per block."""
-    import hashlib
-
+    64-bit term hashes (a mergeable partial; md5-upper-8 — DuckDB
+    ``md5_number_upper`` — over the batch-local unique dictionary only),
+    the driver merges k-smallest-of-union, and the estimator is
+    ``floor((k-1) * 2^64 / (h_(k)+1))`` (floor on BOTH sides: DuckDB and
+    Python round() disagree on exact halves, floor never does).
+    Everything is deterministic (seedless hash, order-free min), so the
+    estimate is reproducible bit-for-bit AND SQL-expressible — the
+    driver checks it against an exact DuckDB oracle; pytest additionally
+    gates it within 10% of the exact count.  At 10^12 docs this replaces
+    a vocabulary-sized exchange with k numbers per block."""
     import ray.data as rd
 
     def kmv_partial(batch: pa.Table) -> pa.Table:
@@ -713,13 +717,7 @@ def distinct_terms_sketch(
         flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
         uniq = pc.unique(flat)
         h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                    "little",
-                )
-                for s in uniq.to_pylist()
-            ],
+            [_md5_hash64(s) for s in uniq.to_pylist()],
             dtype=np.uint64,
         )
         h = np.unique(h)[:k]  # sorted ascending; keep k smallest
@@ -735,7 +733,7 @@ def distinct_terms_sketch(
         est = len(h)
     else:
         hk = h[k - 1]
-        est = int(round((k - 1) * (float(2**64) / float(hk + 1))))
+        est = int(math.floor((k - 1) * (float(2**64) / float(int(hk) + 1))))
     return pa.table(
         {
             "distinct_terms_est": pa.array([est], pa.int64()),
