@@ -909,8 +909,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1024 AS BIGINT) AS sketch_k
             FROM c
         """,
-        # dedup_simhash / snippets / cluster_embeddings are
-        # non-SQL-expressible: rows-only checks (each pytest-gated).
+        # SimHash near-dup pairs: the 4 x 16-bit band blocking is EXACT
+        # for hamming <= 3 (pigeonhole: <= 3 differing bits leave at
+        # least one of 4 bands identical), so the pipeline's pair set
+        # equals the full hamming-ball pair set, which SQL can compute
+        # directly — md5-upper-8 token hashes, per-bit weighted majority
+        # (token OCCURRENCES vote, hence the per-(doc, hash) counts),
+        # HUGEINT shifts to assemble the 64-bit signature (UBIGINT <<
+        # overflows at bit 63), all-pairs bit_count(xor) at oracle scale.
+        # bucket_cap(500) cannot bind on the driver corpora (a run that
+        # long needs 500 docs sharing one 16-bit band value).
+        "dedup_simhash": """
+            WITH nb AS (
+              SELECT doc_id, coalesce(trim(text), '') AS tx FROM documents
+            ),
+            t AS (
+              SELECT doc_id, u.tok
+              FROM nb, LATERAL (
+                SELECT unnest(string_split_regex(tx, '\\s+')) AS tok
+              ) u
+              WHERE tx <> ''
+            ),
+            hc AS (
+              SELECT doc_id, md5_number_upper(tok) AS hv, count(*) AS cnt
+              FROM t GROUP BY doc_id, hv
+            ),
+            bits AS (
+              SELECT doc_id, bs.b,
+                     CASE WHEN sum(CASE WHEN ((hv >> bs.b) & 1) = 1
+                                        THEN cnt ELSE -cnt END) > 0
+                          THEN CAST(1 AS HUGEINT) << bs.b
+                          ELSE CAST(0 AS HUGEINT) END AS bitval
+              FROM hc CROSS JOIN (
+                SELECT unnest(generate_series(0, 63)) AS b
+              ) bs
+              GROUP BY doc_id, bs.b
+            ),
+            sh AS (
+              SELECT doc_id, CAST(sum(bitval) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, CAST(0 AS UBIGINT) FROM nb WHERE tx = ''
+            )
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   bit_count(xor(x.s, y.s))::BIGINT AS hamming
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.s, y.s)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # snippets / cluster_embeddings are non-SQL-expressible:
+        # rows-only checks (each pytest-gated).
     }
     # knn_ivf (nprobe=15) and knn_lsh (4 bits x 24 tables) are exact-recall
     # configurations on the synthetic corpus: both must reproduce the

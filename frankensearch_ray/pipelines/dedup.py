@@ -1156,16 +1156,19 @@ def minhash_pairs(
 
 
 def simhash64(text: str) -> int:
-    """Scalar reference simhash (kept as the batch kernel's oracle)."""
+    """Scalar reference simhash (kept as the batch kernel's oracle).
+
+    Token hashes are md5-upper-8-LE (= DuckDB ``md5_number_upper``) so
+    the DRIVER can verify the full near-dup pair set against an exact
+    SQL hamming oracle (round 4; blake2b has no DuckDB twin)."""
+    from .textstats import _md5_hash64
+
     toks = (text or "").split()
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for tok in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-            "little",
-        )
+        h = _md5_hash64(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & 1
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0
@@ -1188,16 +1191,12 @@ def simhash64_batch(texts: list[str | None]) -> np.ndarray:
     lens = np.array([len(r) for r in toks], dtype=np.int64)
     if lens.sum() == 0:
         return out
+    from .textstats import _md5_hash64
+
     flat = pa.array([tok for row in toks for tok in row])
     de = pc.dictionary_encode(flat)
     vocab_hashes = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
-                "little",
-            )
-            for v in de.dictionary.to_pylist()
-        ],
+        [_md5_hash64(v) for v in de.dictionary.to_pylist()],
         dtype=np.uint64,
     )
     h = vocab_hashes[de.indices.to_numpy()]
