@@ -226,6 +226,37 @@ class TestShardInvariance:
         assert local.equals(bsp)
 
 
+class TestPairGraphLayout:
+    """The ngram pair set is a build-once artifact (VERDICT r03 #1's
+    discipline applied to dedup): consumers share one set-similarity
+    join per (corpus, params) instead of re-running it each."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def test_cached_and_shared(self, ray_session):
+        import os
+
+        from frankensearch_ray.pipelines.dedup import (
+            dedup_clusters,
+            ngram_jaccard_pairs,
+            pair_graph_layout,
+        )
+
+        data_dir, n_pairs = pair_graph_layout(self.SF)
+        pairs = ngram_jaccard_pairs(self.SF)
+        assert pairs.num_rows == n_pairs > 0
+
+        meta = os.path.join(os.path.dirname(data_dir), "meta.json")
+        stamp = os.path.getmtime(meta)
+        # a second build call and BOTH cluster modes must reuse the
+        # artifact, not re-run the join
+        again_dir, again_n = pair_graph_layout(self.SF)
+        assert again_dir == data_dir and again_n == n_pairs
+        dedup_clusters(self.SF, mode="local")
+        dedup_clusters(self.SF, mode="bsp")
+        assert os.path.getmtime(meta) == stamp
+
+
 class TestBucketedEmbeddingDedup:
     def test_bucketed_matches_exact(self, ray_session):
         """The bucketed (multi-probe IVF) pair finder must recover every
