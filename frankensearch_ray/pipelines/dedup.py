@@ -70,6 +70,36 @@ def _pair_hash(a: np.ndarray, b: np.ndarray, shards: int) -> np.ndarray:
     return (h % np.uint64(shards)).astype(np.int64)
 
 
+_BLOOM_BITS = 1 << 20  # 128 KiB filter — FIXED size regardless of corpus
+
+
+def _bloom_probes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two vectorized probe positions per id (independent multiply-mixes)."""
+    x = ids.astype(np.uint64)
+    h1 = x * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(29)
+    h2 = x * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(0x165667B19E3779F9)
+    h2 ^= h2 >> np.uint64(32)
+    m = np.uint64(_BLOOM_BITS - 1)
+    return h1 & m, h2 & m
+
+
+def _bloom_insert(bits: np.ndarray, ids: np.ndarray) -> None:
+    for idx in _bloom_probes(ids):
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+
+
+def _bloom_query(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    i1, i2 = _bloom_probes(ids)
+    h1 = (bits[(i1 >> np.uint64(6)).astype(np.int64)] >> (i1 & np.uint64(63)))
+    h2 = (bits[(i2 >> np.uint64(6)).astype(np.int64)] >> (i2 & np.uint64(63)))
+    return ((h1 & h2) & np.uint64(1)).astype(bool)
+
+
 def _hash_texts(batch: pa.Table, text_col: str) -> pa.Table:
     # zero-copy buffer-sliced blake2b (nulls hash as b""), shared with the
     # phase-A identity kernel — no per-row as_py/encode churn
@@ -1015,8 +1045,16 @@ def minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     lsh_shards: int | None = None,
+    semi_join: str = "auto",
+    semi_join_min_docs: int = 500_000,
 ) -> pa.Table:
     """MinHash-LSH candidates verified with exact Jaccard >= threshold.
+
+    ``semi_join``: "bloom" pushes a fixed-size candidate-doc bloom filter
+    into the verify side's corpus read, "none" ships every doc's shingle
+    set, "auto" (default) picks bloom once the corpus outgrows
+    ``semi_join_min_docs`` (below that the filter's fixed stage cost
+    exceeds the pruning win).  Modes are output-identical.
 
     Every stage is distributed and every exchange key scales with the
     corpus (VERDICT r02 #1/#4):
@@ -1030,7 +1068,10 @@ def minhash_pairs(
     3. verify routing via a distributed bucketed join (tagged union of
        pair-member rows and per-doc shingle sets, co-partitioned on
        ``doc_id % shards``, matched locally per bucket) — no driver dict,
-       no ``ray.put`` structure proportional to the candidate set.  A
+       no ``ray.put`` structure proportional to the candidate set (the
+       broadcast bloom filter that prunes the set-side corpus read is
+       FIXED 128 KiB at any scale and merely saturates under
+       pathological candidate rates).  A
        task-based sort exchange is used instead of ``Dataset.join``
        because the hash-shuffle join pins one aggregator ACTOR per
        partition for the operator's lifetime, which livelocks against
@@ -1056,7 +1097,62 @@ def minhash_pairs(
             g["band_hash"].to_numpy(), g["doc_id"].to_numpy(), bucket_cap
         )
 
+    # Semi-join pushdown (adaptive, like dedup_clusters' mode="auto"):
+    # above ``semi_join_min_docs`` the verify side prunes its corpus read
+    # with a membership filter of candidate docs, so verify cost scales
+    # with the CANDIDATE set, not the corpus.  The filter build needs all
+    # candidates first (a real barrier) and costs ~2 fixed pipeline
+    # stages — below the threshold that overhead exceeds the pruning win,
+    # so small inputs keep the fully streaming ship-all path (both modes
+    # pytest-pinned identical).  The filter is a FIXED-128-KiB bloom
+    # (never proportional to the candidate count — the docstring's
+    # no-driver-structure rule holds): partial filters OR-reduce in one
+    # task, the driver ships one ray.put'd array.  False positives only
+    # cost a harmlessly shipped extra set; at pathological candidate
+    # rates the filter saturates and degrades to ship-everything
+    # behavior instead of breaking.
+    import ray
+
+    use_bloom = semi_join == "bloom" or (
+        semi_join == "auto" and n_docs >= semi_join_min_docs
+    )
     cand = banded.groupby("gkey").map_groups(band_pairs, batch_format="pyarrow")
+    bloom_ref = None
+    if use_bloom:
+        cand = cand.materialize()
+
+        def bloom_partial(t: pa.Table) -> pa.Table:
+            bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+            ids = np.concatenate(
+                (
+                    t["a"].to_numpy().astype(np.int64),
+                    t["b"].to_numpy().astype(np.int64),
+                )
+            )
+            if len(ids):
+                _bloom_insert(bits, ids)
+            return pa.table(
+                {"bits": pa.array([bits.tobytes()], pa.large_binary())}
+            )
+
+        def bloom_or(t: pa.Table) -> pa.Table:
+            acc = np.zeros(_BLOOM_BITS // 64, np.uint64)
+            for bv in t["bits"].to_pylist():
+                acc |= np.frombuffer(bv, np.uint64)
+            return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
+
+        parts = (
+            cand.map_batches(bloom_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(bloom_or, batch_format="pyarrow")
+            .take_all()
+        )
+        bloom_bits = (
+            np.frombuffer(parts[0]["bits"], np.uint64).copy()
+            if parts
+            else np.zeros(_BLOOM_BITS // 64, np.uint64)
+        )
+        bloom_ref = ray.put(bloom_bits)
 
     # each candidate pair -> two member rows keyed by doc_id, each
     # carrying the full pair identity (pa_, pb_) — no pair-index table.
@@ -1103,9 +1199,21 @@ def minhash_pairs(
     sides = cand.map_batches(emit_sides, batch_format="pyarrow")
 
     def emit_sets(batch: pa.Table) -> pa.Table:
-        st = _shingle_set_table(
-            batch[id_col].to_numpy(), batch[text_col].to_pylist(), k
-        )
+        # with the bloom pushdown active, shingle sets are built and
+        # shipped ONLY for (probable) candidate docs — verify cost scales
+        # with the candidate set, not the corpus.  ray.get of the
+        # broadcast filter is a zero-copy plasma view, once per task.
+        ids_np = batch[id_col].to_numpy().astype(np.int64)
+        texts = batch[text_col]
+        if bloom_ref is not None:
+            keep = _bloom_query(ray.get(bloom_ref), ids_np)
+            if not keep.any():
+                z = np.zeros(0, np.int64)
+                return _tagged(z, 1, z, z, z, pa.array([], pa.large_binary()))
+            sel = np.flatnonzero(keep)
+            ids_np = ids_np[sel]
+            texts = texts.take(pa.array(sel))
+        st = _shingle_set_table(ids_np, texts.to_pylist(), k)
         did = st["doc_id"].to_numpy()
         z = np.zeros(len(did), np.int64)
         return _tagged(

@@ -214,6 +214,16 @@ class TestShardInvariance:
         assert base.num_rows > 0
         assert base.equals(varied)
 
+    def test_minhash_semi_join_modes_identical(self, ray_session):
+        """The bloom candidate-filter pushdown (the >=500k-doc scale path)
+        and the fully streaming ship-all path are the same contract."""
+        from frankensearch_ray.pipelines.dedup import minhash_pairs
+
+        none = minhash_pairs(self.SF, semi_join="none")
+        bloom = minhash_pairs(self.SF, semi_join="bloom")
+        assert none.num_rows > 0
+        assert none.equals(bloom)
+
     def test_cluster_local_equals_bsp(self, ray_session):
         """The one-task pointer-jumping solver and the distributed BSP
         label-propagation solver are the same contract."""
