@@ -84,9 +84,20 @@ class _Norms:
             )
         self.part_indices = list(part_indices)
         self._cache: dict[int, tuple] = {}
+        # live-overlay partitions (state/live.py): in-memory doclen rows
+        # for uncommitted docs — checked before the file-backed LRU and
+        # never evicted (they have no file to reload from)
+        self._live: dict[int, tuple] = {}
         self._all: np.ndarray | None = None
 
+    def set_live_parts(self, parts: dict[int, tuple]) -> None:
+        self._live = dict(parts)
+        self._all = None
+
     def _part(self, p: int) -> tuple:
+        got = self._live.get(p)
+        if got is not None:
+            return got
         got = self._cache.get(p)
         if got is None:
             t = pq.read_table(self.dir / f"part-{p:05d}.parquet")
@@ -131,6 +142,7 @@ class _Norms:
                 )["docid"].to_numpy()
                 for p in self.part_indices
             ]
+            cols.extend(self._live[p][0] for p in sorted(self._live))
             self._all = (
                 np.concatenate(cols) if cols else np.zeros(0, np.uint64)
             )
@@ -530,6 +542,42 @@ class LocalSearcher:
             self.const_field_ords = dict(FSFS_KEYWORD_ORDS)
         else:
             self.const_field_ords = {}
+        # live always-searchable delta (state/live.py): an in-memory
+        # overlay segment appended at the postings/blockmax/norms taps.
+        # None (the default) keeps every sealed path byte-identical.
+        self._overlay = None
+        self._sealed_tombstones = self.tombstones
+
+    # --- live overlay (state/live.py) ---------------------------------------
+
+    def attach_overlay(self, overlay) -> None:
+        """Attach (or refresh after a mutation) the live delta overlay.
+
+        The overlay behaves exactly like a committed-but-uncompacted
+        delta generation: postings/df/blockmax/norms/stats/tombstones all
+        see the pending docs, so live results are bit-identical to what a
+        commit + reopen would return (pytest-pinned in test_live.py).
+        Snapshot caches keyed on (field, term) are flushed because their
+        entries now mix in overlay state."""
+        self._overlay = overlay
+        self.tombstones = (
+            np.union1d(
+                self._sealed_tombstones,
+                np.array(sorted(overlay.tombstones), dtype=np.uint64),
+            )
+            if overlay is not None and overlay.tombstones
+            else self._sealed_tombstones
+        )
+        self.norms.set_live_parts(
+            {} if overlay is None else overlay.doclen_parts
+        )
+        self._post_cache.clear()
+        self._bm_cache.clear()
+        self._pos_cache.clear()
+        self._numeric_cache.clear()
+
+    def detach_overlay(self) -> None:
+        self.attach_overlay(None)
 
     # --- index access ------------------------------------------------------
 
@@ -566,7 +614,10 @@ class LocalSearcher:
             if got is not None:
                 return got
         rows = self.term_rows(field, term, with_positions=with_positions)
-        if not rows:
+        ov = None
+        if self._overlay is not None:
+            ov = self._overlay.postings_for(field, term)
+        if not rows and ov is None:
             return (
                 np.zeros(0, np.uint64),
                 np.zeros(0, np.uint32),
@@ -582,6 +633,15 @@ class LocalSearcher:
             df += int(row["df"])
             if with_positions:
                 pos_parts.extend(decode_positions(row["positions"], len(d)))
+        if ov is not None:
+            # overlay docids all exceed sealed docids (partition indices
+            # are allocated monotonically), so the concat stays sorted
+            od, otf, _onorm, opos = ov
+            d_parts.append(od)
+            f_parts.append(otf)
+            df += len(od)
+            if with_positions:
+                pos_parts.extend(opos)
         docids = np.concatenate(d_parts)
         tfs = np.concatenate(f_parts)
         result = (docids, tfs, df, (pos_parts if with_positions else None))
@@ -602,7 +662,10 @@ class LocalSearcher:
             return got
         rows = [r for _b, r in self.term_rows(field, term)]
         df = sum(int(r["df"]) for r in rows)
-        if df == 0:
+        ov = None
+        if self._overlay is not None:
+            ov = self._overlay.postings_for(field, term)
+        if df == 0 and ov is None:
             entry = None
         else:
             bms = [decode_blockmax(r["blockmax"]) for r in rows]
@@ -611,13 +674,49 @@ class LocalSearcher:
                 "df": df,
                 "block_row": np.concatenate(
                     [np.full(len(b), i, dtype=np.int32) for i, b in enumerate(bms)]
-                ),
-                "block_offset": np.concatenate([b["offset"] for b in bms]),
-                "first_docs": np.concatenate([b["first_doc"] for b in bms]),
-                "codes": np.concatenate([b["max_freq_code"] for b in bms]),
-                "minfn": np.concatenate([b["min_fieldnorm_id"] for b in bms]),
+                )
+                if bms
+                else np.zeros(0, np.int32),
+                "block_offset": np.concatenate([b["offset"] for b in bms])
+                if bms
+                else np.zeros(0, np.int64),
+                "first_docs": np.concatenate([b["first_doc"] for b in bms])
+                if bms
+                else np.zeros(0, np.uint64),
+                "codes": np.concatenate([b["max_freq_code"] for b in bms])
+                if bms
+                else np.zeros(0, np.uint8),
+                "minfn": np.concatenate([b["min_fieldnorm_id"] for b in bms])
+                if bms
+                else np.zeros(0, np.uint8),
                 "decoded": {},
             }
+            if ov is not None:
+                # one synthetic, pre-decoded block for the overlay postings:
+                # its (max_freq_code, min_fieldnorm_id) are computed from
+                # the live postings with the SAME quantization as the
+                # durable blocks (codecs.py:199-200), so WAND bounds stay
+                # conservative and pruned == exhaustive holds with a live
+                # delta attached
+                od, otf, onorm, _opos = ov
+                b = len(entry["first_docs"])
+                entry["first_docs"] = np.concatenate(
+                    (entry["first_docs"], [od[0]])
+                ).astype(np.uint64)
+                entry["codes"] = np.concatenate(
+                    (entry["codes"], [min(int(otf.max()), 255)])
+                ).astype(np.uint8)
+                entry["minfn"] = np.concatenate(
+                    (entry["minfn"], [int(onorm.min())])
+                ).astype(np.uint8)
+                entry["block_row"] = np.concatenate(
+                    (entry["block_row"], [-1])
+                ).astype(np.int32)
+                entry["block_offset"] = np.concatenate(
+                    (entry["block_offset"], [0])
+                ).astype(entry["block_offset"].dtype)
+                entry["decoded"][b] = (od, otf)
+                entry["df"] = df + len(od)
         if len(self._bm_cache) >= 4096:
             self._bm_cache.pop(next(iter(self._bm_cache)), None)
         self._bm_cache[key] = entry
@@ -625,8 +724,12 @@ class LocalSearcher:
 
     def doc_count(self) -> int:
         """O(1) live doc count: manifest stats − tombstones
-        (``index.rs:9793``, ``stats.rs:45-51``)."""
-        return int(self.field_stats["content"]["doc_count"]) - len(self.tombstones)
+        (``index.rs:9793``, ``stats.rs:45-51``); the live overlay's
+        pending docs count the same way a committed delta's would."""
+        n = int(self.field_stats["content"]["doc_count"])
+        if self._overlay is not None:
+            n += self._overlay.stats.get("content", (0, 0))[0]
+        return n - len(self.tombstones)
 
     def live_mask(self, docids: np.ndarray) -> np.ndarray:
         """Boolean mask of non-tombstoned docids."""
@@ -640,9 +743,13 @@ class LocalSearcher:
     def field_bm25(self, field_name: str):
         st = self.field_stats[field_name]
         n = st["doc_count"]
-        avgdl = (
-            np.float32(st["total_tokens"]) / np.float32(n) if n else np.float32(1.0)
-        )
+        total = st["total_tokens"]
+        if self._overlay is not None:
+            dn, dt = self._overlay.stats.get(field_name, (0, 0))
+            # integer sums first, f32 division last — the same association
+            # the committed rollup produces, so live avgdl is bit-identical
+            n, total = n + dn, total + dt
+        avgdl = np.float32(total) / np.float32(n) if n else np.float32(1.0)
         return n, avgdl
 
     def cache_stats(self) -> dict:
@@ -686,6 +793,11 @@ class LocalSearcher:
 
         p = int(docid) >> PARTITION_SHIFT
         r = int(docid) & ROW_MASK
+        if self._overlay is not None and p in self._overlay.stored:
+            t = self._overlay.stored[p]
+            if t is None:
+                return None
+            return json.loads(t["metadata_json"][r].as_py())
         t = self._stored_cache.get(p)
         if t is None:
             path = os.path.join(
@@ -714,10 +826,14 @@ class LocalSearcher:
 
     def ids_for(self, docids: np.ndarray) -> list[str]:
         out = []
+        ov = self._overlay
         for docid in docids:
             p = int(docid) >> PARTITION_SHIFT
             r = int(docid) & ROW_MASK
-            out.append(self._idmap_ids(p)["id"][r].as_py())
+            if ov is not None and p in ov.idmaps:
+                out.append(ov.idmaps[p]["id"][r].as_py())
+            else:
+                out.append(self._idmap_ids(p)["id"][r].as_py())
         return out
 
     # --- evaluation --------------------------------------------------------
@@ -792,6 +908,13 @@ class LocalSearcher:
         idmap equality scan only on legacy indexes without the sidecar."""
         if field_name != "id":
             return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        if self._overlay is not None:
+            hit = self._overlay.live_ids.get(value)
+            if hit is not None:
+                return (
+                    np.array([hit[0]], dtype=np.uint64),
+                    np.full(1, _F32_ONE, dtype=np.float32),
+                )
         if self.idhash is not None:
             d = self.idhash.lookup([value])["docid"].to_numpy()
             if len(d) == 0:
@@ -839,6 +962,16 @@ class LocalSearcher:
             for docid, k in zip(wanted[valid], idx[valid]):
                 s, e2 = int(bounds[k]) + 1, int(bounds[k + 1])
                 out[int(docid)] = np.cumsum(flat[s:e2]).astype(np.uint32)
+        if self._overlay is not None:
+            ov = self._overlay.postings_for(field, term)
+            if ov is not None:
+                od, _otf, _onorm, opos = ov
+                idx = np.searchsorted(od, wanted)
+                valid = (idx < len(od)) & (
+                    od[np.minimum(idx, len(od) - 1)] == wanted
+                )
+                for docid, k in zip(wanted[valid], idx[valid]):
+                    out[int(docid)] = np.asarray(opos[int(k)], dtype=np.uint32)
         return out
 
     def _eval_phrase_field(self, terms: list[str], field_name: str, boost: float, slop: int):
@@ -902,6 +1035,9 @@ class LocalSearcher:
         """RangeStr/SetStr: keyword id via idmap; text fields via termdict
         scan.  Constant score 1.0 per match (ConstScorer semantics)."""
         if node.field == "id":
+            ov_hits = np.zeros(0, np.uint64)
+            if self._overlay is not None:
+                ov_hits = self._overlay.ids_in_range(node)
             if self.idhash is not None:
                 if isinstance(node, SetStr):
                     d = self.idhash.lookup(list(node.values))["docid"].to_numpy()
@@ -930,6 +1066,8 @@ class LocalSearcher:
                     d = (
                         np.concatenate(parts) if parts else np.zeros(0, np.uint64)
                     )
+                if len(ov_hits):
+                    d = np.concatenate((d.astype(np.uint64), ov_hits))
                 if len(d) == 0:
                     return np.zeros(0, np.uint64), np.zeros(0, np.float32)
                 d = np.sort(d.astype(np.uint64))
@@ -954,6 +1092,8 @@ class LocalSearcher:
                 d = t.filter(mask)["docid"].to_numpy()
                 if len(d):
                     matches.append(d)
+            if len(ov_hits):
+                matches.append(ov_hits)
             if not matches:
                 return np.zeros(0, np.uint64), np.zeros(0, np.float32)
             d = np.concatenate(matches)
@@ -992,6 +1132,10 @@ class LocalSearcher:
                     sid, ford, lo, hi, lo_inc, hi_inc
                 ):
                     out.add(term)
+        if self._overlay is not None:
+            # the overlay term dictionary is in-memory and pending-window
+            # sized; a linear scan matches what the sealed probe returns
+            out.update(self._overlay.terms_matching(ford, node))
         self._charge(len(out))
         return sorted(out)
 
@@ -1031,12 +1175,22 @@ class LocalSearcher:
             t = t.filter(pc.equal(t["field"], field_name))
             if len(t):
                 tables.append(t)
-        if not tables:
+        ov_v = ov_d = None
+        if self._overlay is not None:
+            ov_v, ov_d = self._overlay.numeric_for(field_name)
+        if not tables and ov_v is None:
             got = (np.zeros(0, np.int64), np.zeros(0, np.uint64))
         else:
-            t = pa.concat_tables(tables)
-            v = t["value"].to_numpy()
-            d = t["docid"].to_numpy()
+            if tables:
+                t = pa.concat_tables(tables)
+                v = t["value"].to_numpy()
+                d = t["docid"].to_numpy()
+            else:
+                v = np.zeros(0, np.int64)
+                d = np.zeros(0, np.uint64)
+            if ov_v is not None:
+                v = np.concatenate((v, ov_v))
+                d = np.concatenate((d, ov_d.astype(d.dtype)))
             order = np.lexsort((d, v))
             got = (v[order], d[order])
         self._numeric_cache[field_name] = got
@@ -1127,6 +1281,15 @@ class LocalSearcher:
             for term in self.shards.iter_terms_range(
                 sid, ford, lower, upper, True, upper_inc
             ):
+                scanned += 1
+                if prog.fullmatch(term):
+                    yield term
+            self._charge(scanned)
+        if self._overlay is not None:
+            scanned = 0
+            for term in self._overlay.terms_of(ford):
+                if literal_prefix and not term.startswith(literal_prefix):
+                    continue
                 scanned += 1
                 if prog.fullmatch(term):
                     yield term
@@ -1238,6 +1401,16 @@ class LocalSearcher:
         partition lineage -> row-group-pruned read of one row."""
         p = int(docid) >> PARTITION_SHIFT
         r = int(docid) & ROW_MASK
+        if self._overlay is not None and p in self._overlay.sources:
+            src_t, html_mode = self._overlay.sources[p]
+            raw = src_t[r]
+            if html_mode:
+                from ..sources.extract import extract_scalar
+
+                html = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+                _title, text = extract_scalar(html)
+                return text
+            return raw or ""
         entry = self.manifest["partitions"][p]
         assert entry["index"] == p, "manifest partitions must be docid-ordered"
         src = entry["source"]
@@ -1284,6 +1457,10 @@ class LocalSearcher:
         ford = FIELD_ORDS["content"]
         for t in terms:
             df = sum(int(row["df"]) for _b, row in self.term_rows(ford, t))
+            if self._overlay is not None:
+                ov = self._overlay.postings_for(ford, t)
+                if ov is not None:
+                    df += len(ov[0])
             out[t] = df
         return out
 
