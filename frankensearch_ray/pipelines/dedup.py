@@ -1403,12 +1403,22 @@ def simhash64_batch(texts: list[str | None]) -> np.ndarray:
         dtype=np.uint64,
     )
     h = vocab_hashes[de.indices.to_numpy()]
-    doc_idx = np.repeat(np.arange(n), lens)
-    for b in range(64):
-        bit_on = ((h >> np.uint64(b)) & np.uint64(1)).astype(bool)
-        ones = np.bincount(doc_idx[bit_on], minlength=n)
-        out |= (2 * ones > lens).astype(np.uint64) << np.uint64(b)
-    return out
+    # all 64 bits at once: unpack to a (tokens, 64) bit matrix, per-doc
+    # ones via cumsum differences at doc bounds (handles empty docs,
+    # unlike reduceat), then pack the per-bit majorities back to uint64
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    csum = bits.cumsum(axis=0, dtype=np.int32)  # (tokens, 64), one pass
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    begins, ends = starts[:-1], starts[1:]
+    hi = csum[np.maximum(ends - 1, 0)]
+    lo = np.where((begins > 0)[:, None], csum[np.maximum(begins - 1, 0)], 0)
+    ones = np.where((ends > begins)[:, None], hi - lo, 0)
+    maj = (2 * ones > lens[:, None]).astype(np.uint8)
+    return (
+        np.packbits(maj, axis=1, bitorder="little").copy().view(np.uint64)[:, 0]
+    )
 
 
 def simhash_pairs(
