@@ -179,6 +179,19 @@ class TestLiveEqualsCommitted:
         res = li.search("zygomorphic", limit=2, snippets=True)
         assert all("zygomorphic" in (h["snippet"] or "") for h in res["hits"])
 
+    def test_delete_then_readd_same_content(self, idx):
+        """A delete followed by re-adding identical content must NOT
+        no-op (the tombstoned revision is not live) — live and committed
+        agree on the new docid."""
+        li = LiveIndex(idx)
+        li.delete(["d2"])
+        assert li.search("delta")["hits"] == []
+        li.upsert(_pages([("d2", "delta epsilon zeta rust borrow")]))
+        live = _hits(li.search("delta", limit=10))
+        assert [h[0] for h in live] == ["d2"]
+        li.commit()
+        assert _hits(LocalSearcher(idx).search("delta", limit=10)) == live
+
     def test_multi_batch_window_replayed_batch_for_batch(self, idx):
         li = LiveIndex(idx)
         for i in range(4):
