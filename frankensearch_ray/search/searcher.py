@@ -935,17 +935,39 @@ class LocalSearcher:
         return d, np.full(len(d), _F32_ONE, dtype=np.float32)
 
     def _pos_entry(self, field: int, term: str) -> list:
-        """Per-row (docids, flat varints, segment bounds) — decoded once."""
-        from ..codecs import position_bounds, varint_decode
+        """Decoded position streams for ONE term: per segment-row
+        ``(docids, csum, seg_base, bounds)`` where posting ``k``'s absolute
+        positions are ``csum[bounds[k]+1 : bounds[k+1]] - seg_base[k]``.
+
+        ``bounds`` comes straight from the decoded tfs — the position
+        stream's per-posting count slot IS the tf (``tokenize.py`` emits
+        ``tf = pos_count``; ``positions_stream`` writes that count) — so
+        the old sequential ``position_bounds`` varint walk (a Python loop
+        over df postings, the cold-phrase latency tail) is gone.  The
+        one global prefix-sum replaces per-candidate ``np.cumsum`` calls
+        (same trick as :func:`codecs.decode_positions`)."""
+        from ..codecs import varint_decode
 
         key = (field, term)
         e = self._pos_cache.get(key)
         if e is None:
             e = []
             for _b, row in self.term_rows(field, term, with_positions=True):
-                d, _f = decode_postings(row["postings"])
+                d, f = decode_postings(row["postings"])
                 flat = varint_decode(row["positions"])
-                e.append((d, flat, position_bounds(flat, len(d))))
+                bounds = np.empty(len(d) + 1, dtype=np.int64)
+                bounds[0] = 0
+                np.cumsum(f.astype(np.int64) + 1, out=bounds[1:])
+                if len(d) and bounds[-1] != len(flat):
+                    raise ValueError(
+                        f"position stream length {len(flat)} != tf-derived "
+                        f"bounds {int(bounds[-1])} for term {term!r}"
+                    )
+                work = flat.astype(np.int64, copy=True)
+                work[bounds[:-1]] = 0
+                csum = np.cumsum(work)
+                seg_base = csum[bounds[:-1]]
+                e.append((d, csum, seg_base, bounds))
             if len(self._pos_cache) >= 256:
                 self._pos_cache.pop(next(iter(self._pos_cache)), None)
             self._pos_cache[key] = e
@@ -954,14 +976,17 @@ class LocalSearcher:
     def positions_for(
         self, field: int, term: str, wanted: np.ndarray
     ) -> dict[int, np.ndarray]:
-        """Decode positions ONLY for the wanted docids (candidate subset)."""
+        """Decode positions ONLY for the wanted docids (candidate subset).
+
+        Per-doc dict path — kept as the pinned differential oracle for the
+        vectorized :meth:`_phrase_keys` verify (test_phrase_vectorized)."""
         out: dict[int, np.ndarray] = {}
-        for d, flat, bounds in self._pos_entry(field, term):
+        for d, csum, seg_base, bounds in self._pos_entry(field, term):
             idx = np.searchsorted(d, wanted)
             valid = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == wanted)
             for docid, k in zip(wanted[valid], idx[valid]):
                 s, e2 = int(bounds[k]) + 1, int(bounds[k + 1])
-                out[int(docid)] = np.cumsum(flat[s:e2]).astype(np.uint32)
+                out[int(docid)] = (csum[s:e2] - seg_base[k]).astype(np.uint32)
         if self._overlay is not None:
             ov = self._overlay.postings_for(field, term)
             if ov is not None:
@@ -973,6 +998,63 @@ class LocalSearcher:
                 for docid, k in zip(wanted[valid], idx[valid]):
                     out[int(docid)] = np.asarray(opos[int(k)], dtype=np.uint32)
         return out
+
+    def _phrase_keys(
+        self, field: int, term: str, cand: np.ndarray
+    ) -> np.ndarray:
+        """Sorted composite keys ``cand_index << 32 | position`` for every
+        occurrence of ``term`` inside the candidate docs.
+
+        The whole candidate subset is gathered in one vectorized pass
+        (searchsorted membership → flat segment gather via the
+        repeat/arange trick → one subtraction against the prefix-sum
+        base); the phrase adjacency test then runs on these flat key
+        arrays instead of per-doc Python loops.  ``cand_index`` (position
+        in the sorted candidate array) is used instead of the docid
+        because docids are u64 with the partition index in the high bits
+        — a docid<<32 would overflow; positions are u32 so ``key + ti``
+        never carries into the index bits."""
+        parts: list[np.ndarray] = []
+        for d, csum, seg_base, bounds in self._pos_entry(field, term):
+            if len(d) == 0:
+                continue
+            idx = np.searchsorted(d, cand)
+            valid = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == cand)
+            if not valid.any():
+                continue
+            k = idx[valid]
+            ci = np.flatnonzero(valid).astype(np.int64)
+            starts = bounds[k] + 1
+            lens = bounds[k + 1] - starts
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            fidx = np.repeat(starts - off, lens) + np.arange(
+                total, dtype=np.int64
+            )
+            pos = csum[fidx] - np.repeat(seg_base[k], lens)
+            parts.append(
+                (np.repeat(ci, lens).astype(np.uint64) << np.uint64(32))
+                | pos.astype(np.uint64)
+            )
+        if self._overlay is not None:
+            ov = self._overlay.postings_for(field, term)
+            if ov is not None:
+                od, _otf, _onorm, opos = ov
+                idx = np.searchsorted(od, cand)
+                valid = (idx < len(od)) & (
+                    od[np.minimum(idx, len(od) - 1)] == cand
+                )
+                # live window only: bounded by pending ops, never the corpus
+                for ci, k in zip(np.flatnonzero(valid), idx[valid]):
+                    p = np.asarray(opos[int(k)], dtype=np.uint64)
+                    parts.append((np.uint64(int(ci)) << np.uint64(32)) | p)
+        if not parts:
+            return np.zeros(0, np.uint64)
+        if len(parts) == 1:
+            return parts[0]
+        return np.sort(np.concatenate(parts))
 
     def _eval_phrase_field(self, terms: list[str], field_name: str, boost: float, slop: int):
         ford = FIELD_ORDS[field_name]
@@ -990,25 +1072,30 @@ class LocalSearcher:
         if len(cand) == 0:
             return cand, np.zeros(0, np.float32)
         # position verify on candidates only: adjacency (slop 0) — freq =
-        # match count; positions are subset-decoded (candidates ≪ df)
+        # match count.  Fully vectorized: each term contributes one flat
+        # sorted key array (cand_index<<32 | position) over the candidate
+        # subset; a phrase occurrence at p survives iff key+ti is present
+        # in term ti's keys for every ti — len(terms)-1 searchsorted
+        # passes, no per-candidate Python loop (the old per-doc dict walk
+        # was the query-latency p99 tail on head-term phrases).
         self._charge(sum(len(d) for d, _ in per_term) + len(cand) * len(terms))
-        pos_maps = [self.positions_for(ford, t, cand) for t in terms]
-        match_docs = []
-        match_tfs = []
-        for docid in cand:
-            ok = pos_maps[0][int(docid)].astype(np.int64)
-            for ti in range(1, len(pos_maps)):
-                plist = pos_maps[ti][int(docid)].astype(np.int64)
-                ok = ok[_isin_sorted(ok + ti, plist)]
-                if len(ok) == 0:
-                    break
-            if len(ok):
-                match_docs.append(docid)
-                match_tfs.append(len(ok))
-        if not match_docs:
+        ok = self._phrase_keys(ford, terms[0], cand)
+        for ti in range(1, len(terms)):
+            if len(ok) == 0:
+                break
+            ok = ok[
+                _isin_sorted(
+                    ok + np.uint64(ti), self._phrase_keys(ford, terms[ti], cand)
+                )
+            ]
+        if len(ok) == 0:
             return np.zeros(0, np.uint64), np.zeros(0, np.float32)
-        docids = np.array(match_docs, dtype=np.uint64)
-        tfs = np.array(match_tfs, dtype=np.uint32)
+        counts = np.bincount(
+            (ok >> np.uint64(32)).astype(np.int64), minlength=len(cand)
+        )
+        sel = counts > 0
+        docids = cand[sel].astype(np.uint64)
+        tfs = counts[sel].astype(np.uint32)
         # idf accumulated left-to-right f32 in phrase-term order
         idf_total = np.float32(0.0)
         for _, df in per_term:

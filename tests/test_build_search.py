@@ -677,3 +677,105 @@ class TestNumericSidecarPruning:
         assert s.numeric_rgs_read == 2 * n_parts
         # value correctness survives the pruned read
         assert v.tolist() == sorted(i * 2 for i in range(n))
+
+
+class TestPhraseVectorized:
+    """The vectorized composite-key phrase verify (``_phrase_keys`` +
+    searchsorted adjacency) must reproduce the per-doc dict path
+    (``positions_for``, kept as the pinned differential oracle) exactly —
+    matching docids AND match counts — on real analyzed phrases, reversed
+    (mostly non-matching) phrases, and repeated-occurrence phrases."""
+
+    @staticmethod
+    def _scalar_match(s, ford, terms, cand):
+        pos_maps = [s.positions_for(ford, t, cand) for t in terms]
+        out = {}
+        for docid in cand:
+            ok = pos_maps[0][int(docid)].astype(np.int64)
+            for ti in range(1, len(pos_maps)):
+                plist = pos_maps[ti][int(docid)].astype(np.int64)
+                ok = ok[np.isin(ok + ti, plist)]
+                if len(ok) == 0:
+                    break
+            if len(ok):
+                out[int(docid)] = len(ok)
+        return out
+
+    @staticmethod
+    def _vec_match(s, ford, terms, cand):
+        from frankensearch_ray.search.searcher import _isin_sorted
+
+        ok = s._phrase_keys(ford, terms[0], cand)
+        for ti in range(1, len(terms)):
+            if len(ok) == 0:
+                break
+            ok = ok[
+                _isin_sorted(
+                    ok + np.uint64(ti), s._phrase_keys(ford, terms[ti], cand)
+                )
+            ]
+        counts = np.bincount(
+            (ok >> np.uint64(32)).astype(np.int64), minlength=len(cand)
+        )
+        return {
+            int(cand[i]): int(counts[i]) for i in np.flatnonzero(counts > 0)
+        }
+
+    def test_vectorized_matches_scalar(self, t1_index, searcher):
+        from frankensearch_ray.contract.analyzer import analyze_query_terms
+        from frankensearch_ray.schema import FIELD_ORDS
+        from frankensearch_ray.search.searcher import _isin_sorted
+
+        _, _, paths = t1_index
+        docs = _oracle_docs(paths)
+        phrases = []
+        for _docid, _url, _title, text in docs:
+            toks = analyze_query_terms(text)
+            if len(toks) < 3:
+                continue
+            mid = len(toks) // 2
+            phrases.append(toks[0:2])
+            phrases.append(toks[mid : mid + 3])
+            phrases.append(list(reversed(toks[0:2])))
+            if len(toks) >= 6:
+                phrases.append(toks[1:5])  # 4-term
+        seen, uniq = set(), []
+        for p in phrases:
+            k = tuple(p)
+            if k not in seen and all(p):
+                seen.add(k)
+                uniq.append(p)
+        ford = FIELD_ORDS["content"]
+        checked = multi_occurrence = 0
+        for terms in uniq:
+            per = [searcher.postings(ford, t)[0] for t in terms]
+            if any(len(d) == 0 for d in per):
+                continue
+            cand = per[0]
+            for d in per[1:]:
+                cand = cand[_isin_sorted(cand, d)]
+            if len(cand) == 0:
+                continue
+            scalar = self._scalar_match(searcher, ford, terms, cand)
+            vec = self._vec_match(searcher, ford, terms, cand)
+            assert vec == scalar, terms
+            checked += 1
+            if any(v > 1 for v in scalar.values()):
+                multi_occurrence += 1
+        # the workload must have real coverage, including docs where the
+        # phrase occurs more than once (match-count > 1 paths)
+        assert checked >= 30, checked
+        assert multi_occurrence >= 1, "no repeated-occurrence phrase hit"
+
+    def test_single_term_phrase_tf_is_position_count(self, searcher):
+        """A one-term phrase's match count equals the term's tf."""
+        from frankensearch_ray.schema import FIELD_ORDS
+
+        ford = FIELD_ORDS["content"]
+        docids, tfs, _df, _ = searcher.postings(ford, "rust")
+        assert len(docids)
+        cand = docids
+        vec = self._vec_match(searcher, ford, ["rust"], cand)
+        assert vec == {
+            int(d): int(t) for d, t in zip(docids, tfs)
+        }
