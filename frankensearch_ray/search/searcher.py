@@ -489,7 +489,12 @@ class LocalSearcher:
         )
         self._bm_cache: dict[tuple[int, str], dict | None] = {}
         self._post_cache: dict[tuple[int, str], tuple] = {}
-        self._pos_cache: dict[tuple[int, str], list] = {}
+        # decoded positions: byte-bounded LRU of (parts, nbytes) per term
+        self._pos_cache: dict[tuple[int, str], tuple] = {}
+        self._pos_cache_bytes = 0
+        self._pos_cache_cap = (
+            int(os.environ.get("FSRAY_POS_CACHE_MB", "128")) << 20
+        )
         self._numeric_cache: dict[str, tuple] = {}
         # pruning evidence for the numeric sidecar reader (pytest gate)
         self.numeric_rgs_read = 0
@@ -574,6 +579,7 @@ class LocalSearcher:
         self._post_cache.clear()
         self._bm_cache.clear()
         self._pos_cache.clear()
+        self._pos_cache_bytes = 0
         self._numeric_cache.clear()
 
     def detach_overlay(self) -> None:
@@ -771,6 +777,7 @@ class LocalSearcher:
         )
         idmap_b = sum(tbl_bytes(t) for t in self._idmap_cache.values())
         stored_b = sum(tbl_bytes(t) for t in self._stored_cache.values())
+        pos_b = self._pos_cache_bytes
         return {
             "norm_partitions_cached": len(self.norms._cache),
             "norms_bytes": norms_b,
@@ -779,9 +786,11 @@ class LocalSearcher:
             "shard_bytes": rg_b,
             "postings_entries": len(self._post_cache),
             "postings_bytes": post_b,
+            "positions_entries": len(self._pos_cache),
+            "positions_bytes": pos_b,
             "idmap_bytes": idmap_b,
             "stored_bytes": stored_b,
-            "total_bytes": norms_b + rg_b + post_b + idmap_b + stored_b,
+            "total_bytes": norms_b + rg_b + post_b + idmap_b + stored_b + pos_b,
         }
 
     def metadata_for(self, docid: int) -> dict | None:
@@ -945,32 +954,68 @@ class LocalSearcher:
         the old sequential ``position_bounds`` varint walk (a Python loop
         over df postings, the cold-phrase latency tail) is gone.  The
         one global prefix-sum replaces per-candidate ``np.cumsum`` calls
-        (same trick as :func:`codecs.decode_positions`)."""
+        (same trick as :func:`codecs.decode_positions`).
+
+        The per-row (docids, tfs) are SLICED out of the :meth:`postings`
+        cache (row ``df`` = that row's posting count, the writer's
+        invariant) instead of re-running the block decoder — a phrase
+        query decodes each term's posting blocks exactly once.  The cache
+        is BYTE-bounded (LRU, ``FSRAY_POS_CACHE_MB``, default 128): a
+        replica's decoded-position footprint follows its query mix, never
+        the index size."""
         from ..codecs import varint_decode
 
         key = (field, term)
-        e = self._pos_cache.get(key)
-        if e is None:
-            e = []
-            for _b, row in self.term_rows(field, term, with_positions=True):
-                d, f = decode_postings(row["postings"])
-                flat = varint_decode(row["positions"])
-                bounds = np.empty(len(d) + 1, dtype=np.int64)
-                bounds[0] = 0
-                np.cumsum(f.astype(np.int64) + 1, out=bounds[1:])
-                if len(d) and bounds[-1] != len(flat):
-                    raise ValueError(
-                        f"position stream length {len(flat)} != tf-derived "
-                        f"bounds {int(bounds[-1])} for term {term!r}"
-                    )
-                work = flat.astype(np.int64, copy=True)
-                work[bounds[:-1]] = 0
-                csum = np.cumsum(work)
-                seg_base = csum[bounds[:-1]]
-                e.append((d, csum, seg_base, bounds))
-            if len(self._pos_cache) >= 256:
-                self._pos_cache.pop(next(iter(self._pos_cache)), None)
-            self._pos_cache[key] = e
+        got = self._pos_cache.get(key)
+        if got is not None:
+            self._pos_cache.pop(key)  # move-to-end: true LRU on hits
+            self._pos_cache[key] = got
+            return got[0]
+        rows = self.term_rows(field, term, with_positions=True)
+        cdoc, ctf, _df, _ = self.postings(field, term)
+        e = []
+        nbytes = 0
+        off = 0
+        for _b, row in rows:
+            n = int(row["df"])
+            d = cdoc[off : off + n]
+            f = ctf[off : off + n]
+            off += n
+            flat = varint_decode(row["positions"])
+            bounds = np.empty(n + 1, dtype=np.int64)
+            bounds[0] = 0
+            np.cumsum(f.astype(np.int64) + 1, out=bounds[1:])
+            if n and bounds[-1] != len(flat):
+                raise ValueError(
+                    f"position stream length {len(flat)} != tf-derived "
+                    f"bounds {int(bounds[-1])} for term {term!r}"
+                )
+            work = flat.astype(np.int64, copy=True)
+            work[bounds[:-1]] = 0
+            csum = np.cumsum(work)
+            seg_base = csum[bounds[:-1]]
+            e.append((d, csum, seg_base, bounds))
+            nbytes += d.nbytes + csum.nbytes + seg_base.nbytes + bounds.nbytes
+        # sealed rows must exactly cover the cached concat's sealed prefix
+        # (any remainder is the overlay tail, handled by the callers)
+        sealed = len(cdoc)
+        if self._overlay is not None:
+            ov = self._overlay.postings_for(field, term)
+            if ov is not None:
+                sealed -= len(ov[0])
+        if off != sealed:
+            raise ValueError(
+                f"row df sum {off} != sealed postings {sealed} for {term!r}"
+            )
+        self._pos_cache_bytes += nbytes
+        self._pos_cache[key] = (e, nbytes)
+        while (
+            self._pos_cache_bytes > self._pos_cache_cap
+            and len(self._pos_cache) > 1
+        ):
+            oldest = next(iter(self._pos_cache))
+            _old, old_b = self._pos_cache.pop(oldest)
+            self._pos_cache_bytes -= old_b
         return e
 
     def positions_for(
