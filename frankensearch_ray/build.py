@@ -286,6 +286,23 @@ def _atomic_write_table(table: pa.Table, path: str, **kwargs) -> None:
     os.replace(tmp, path)
 
 
+def _portable_path(path: str, index_dir: str) -> str:
+    """Record paths INSIDE the index tree (appended/upserted batches)
+    relative to its root, so the tree is relocatable (rsync/blue-green
+    copies keep working) and crash/convergence digests are
+    location-independent; external sources stay absolute."""
+    p = os.path.abspath(path)
+    root = os.path.abspath(index_dir)
+    if p == root or p.startswith(root + os.sep):
+        return os.path.relpath(p, root)
+    return p
+
+
+def resolve_index_path(path: str, index_dir: str) -> str:
+    """Inverse of :func:`_portable_path` for readers."""
+    return path if os.path.isabs(path) else os.path.join(index_dir, path)
+
+
 def _test_fail(point: str, arg: int | None = None) -> None:
     """Crash injection for the kill-point resume matrix (pytest-only;
     ``PLAN.md:527-529`` analogue — the reference drives seeded schedules
@@ -491,7 +508,7 @@ class PhaseATokenizer:
             "ppb": self.ppb,
             "salted_digest": salted_digest,
             "source": [
-                os.path.abspath(part["path"]),
+                _portable_path(part["path"], self.index_dir),
                 int(part["rg_start"]),
                 int(part["rg_end"]),
                 int(part["rows"]),

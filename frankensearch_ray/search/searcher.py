@@ -1547,7 +1547,9 @@ class LocalSearcher:
         assert entry["index"] == p, "manifest partitions must be docid-ordered"
         src = entry["source"]
         cfg = self.manifest["config"]
-        pf = pq.ParquetFile(src["path"])
+        from ..build import resolve_index_path
+
+        pf = pq.ParquetFile(resolve_index_path(src["path"], self.index_dir))
         # locate the row group holding partition-relative row r
         rg = src["rg_start"]
         while rg < src["rg_end"]:

@@ -124,23 +124,6 @@ class _Leaf:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
         return np.concatenate(ds), np.concatenate(fs)
 
-    def scores_for(self, docids: np.ndarray) -> np.ndarray:
-        """Exact f32 contributions for candidate docids (0 where absent)."""
-        out = np.zeros(len(docids), dtype=np.float32)
-        if self.empty or len(docids) == 0:
-            return out
-        lo, hi = int(docids[0]), int(docids[-1]) + 1
-        d, f = self.postings_in(lo, hi)
-        if len(d) == 0:
-            return out
-        idx = np.searchsorted(docids, d)
-        present = (idx < len(docids)) & (docids[np.minimum(idx, len(docids) - 1)] == d)
-        d, f, idx = d[present], f[present], idx[present]
-        norms = self.searcher.norms.norms(self.ford, d)
-        out[idx] = bm25.term_scores(f, norms, self.weight, self.tf_cache)
-        return out
-
-
 def _extract_union_clauses(searcher, node):
     """Return clause leaf lists for a pure Should-union of Terms, else None."""
     if isinstance(node, Term):
@@ -251,7 +234,7 @@ def search_pruned(searcher, node, k: int):
             # GENERATION (scoring below still uses every leaf, so surviving
             # candidates are scored exactly).  Conservative f64 sums keep it
             # rank-safe.
-            gen_leaves = leaves
+            non_essential: set[int] = set()
             th = theta()
             if len(heap) >= k and len(leaves) > 1:
                 batch_bound = np.array(
@@ -261,15 +244,17 @@ def search_pruned(searcher, node, k: int):
                 csum = np.cumsum(batch_bound[order]) * _bound_pad(len(leaves))
                 drop = csum < th  # prefix of weakest leaves, strictly below
                 non_essential = set(np.asarray(order)[drop].tolist())
-                if non_essential:
-                    gen_leaves = [
-                        l
-                        for li, l in enumerate(leaves)
-                        if li not in non_essential
-                    ]
+            # ONE decoded fetch per leaf per batch — candidate generation
+            # and exact scoring share it (the old shape fetched twice:
+            # postings_in here, then scores_for re-fetching per leaf —
+            # half of every warm union query's searchsorted traffic)
+            fetched = [l.postings_in(lo, hi) for l in leaves]
             # candidates: union of essential-leaf postings within [lo, hi)
-            cand_parts = [l.postings_in(lo, hi)[0] for l in gen_leaves]
-            cand_parts = [c for c in cand_parts if len(c)]
+            cand_parts = [
+                fetched[li][0]
+                for li in range(len(leaves))
+                if li not in non_essential and len(fetched[li][0])
+            ]
             if cand_parts:
                 cand = cand_parts[0]
                 for c in cand_parts[1:]:
@@ -279,12 +264,35 @@ def search_pruned(searcher, node, k: int):
             if cand_parts and len(cand):
                 # exact scoring, same association as the exhaustive kernel:
                 # per clause: f32 sum over its field leaves; then
-                # clause-order sum
+                # clause-order sum.  Norms gather ONCE per field per batch
+                # (a pure per-docid lookup, so slicing the shared gather is
+                # bit-identical to each leaf gathering its own subset).
+                norms_by_ford: dict[int, np.ndarray] = {}
                 total = np.zeros(len(cand), dtype=np.float32)
+                li = 0
                 for cl in clauses:
                     cl_score = np.zeros(len(cand), dtype=np.float32)
                     for l in cl:
-                        cl_score = cl_score + l.scores_for(cand)
+                        d, f = fetched[li]
+                        li += 1
+                        if l.empty or len(d) == 0:
+                            continue  # exact zero contribution
+                        idx = np.searchsorted(cand, d)
+                        present = (idx < len(cand)) & (
+                            cand[np.minimum(idx, len(cand) - 1)] == d
+                        )
+                        if not present.any():
+                            continue
+                        isel = idx[present]
+                        nb = norms_by_ford.get(l.ford)
+                        if nb is None:
+                            nb = searcher.norms.norms(l.ford, cand)
+                            norms_by_ford[l.ford] = nb
+                        contrib = np.zeros(len(cand), dtype=np.float32)
+                        contrib[isel] = bm25.term_scores(
+                            f[present], nb[isel], l.weight, l.tf_cache
+                        )
+                        cl_score = cl_score + contrib
                     total = total + cl_score
                 push(cand, total)
             i = j

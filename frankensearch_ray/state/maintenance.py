@@ -49,6 +49,7 @@ from ..build import (
     _atomic_write_table,
     _EncodeShardFS,
     _part_paths,
+    _test_fail,
     load_manifest,
     rollup_partition_stats,
 )
@@ -210,6 +211,10 @@ def _rollup_and_publish(
     manifest["metrics"]["postings"] = total_postings
     manifest["metrics"]["docs"] = field_stats["content"]["doc_count"]
     manifest["generation"] = next_gen
+    # kill point: every new shard/epoch file written, manifest publish
+    # pending — the keep-segments-until-released window; old manifest +
+    # old files remain a complete snapshot
+    _test_fail("maint_pre_publish")
     _write_manifest(index_dir, manifest)
     _gc_shards(index_dir)
     return manifest
@@ -360,13 +365,20 @@ def _append_rows(
         "rows": len(table),
     }
     _tokenize_new_partitions(index_dir, manifest, [part], cfg)
+    # kill point: new partition's checkpoints on disk, manifest untouched —
+    # readers keep serving the published snapshot; re-running the append
+    # re-derives the same pindex and converges
+    _test_fail("maint_append_tokenized")
     manifest["partitions"].append(
         {
             "index": pindex,
             "rows": len(table),
             "docid_base": pindex << PARTITION_SHIFT,
             "source": {
-                "path": src_path,
+                # recorded relative to the index root (the batch parquet
+                # lives INSIDE the tree): keeps the tree relocatable and
+                # the crash-matrix convergence digest location-independent
+                "path": os.path.relpath(src_path, index_dir),
                 "rg_start": 0,
                 "rg_end": part["rg_end"],
                 "name": source_name,
@@ -581,6 +593,12 @@ def compact(index_dir: str, min_tombstone_ratio: float = 0.0) -> dict:
     dead_parts = sorted(set(int(d >> np.uint64(PARTITION_SHIFT)) for d in tomb))
     for pidx in dead_parts:
         _compact_partition(index_dir, manifest, cfg, pidx, tomb)
+        # kill point: partition pidx's checkpoints rewritten IN PLACE with
+        # tombstoned rows dropped, manifest (still carrying the tombstones)
+        # unpublished.  Safe because every dropped row was already dead to
+        # readers via the published tombstone set, and re-running compact
+        # re-filters (a no-op on the rewritten files) then publishes
+        _test_fail("compact_part", pidx)
     manifest["tombstones"] = []
     manifest["metrics"]["last_compaction_sec"] = time.time() - t0
     return _rollup_and_publish(index_dir, manifest, cfg)
@@ -692,6 +710,9 @@ def rebuild_blue_green(paths: list, root: str, cfg: BuildConfig) -> str:
     from ..build import build_index
 
     build_index(paths, target, cfg, resume=False)
+    # kill point: new version fully built, CURRENT flip pending — readers
+    # keep the old version; a re-run builds a fresh version and flips
+    _test_fail("bluegreen_pre_flip")
     tmp = os.path.join(root, ".CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"index_v{new_v}\n")
