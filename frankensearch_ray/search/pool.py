@@ -85,12 +85,22 @@ class SearcherPool:
         """Evaluate queries across the pool; results in input order.
 
         Dispatch is DYNAMIC: queries go out in small chunks to whichever
-        replica frees up (``ray.wait``), with two chunks in flight per
-        replica so actor-call latency pipelines.  A static 1/N split
-        makes the pool's wall time the SLOWEST replica's whole share —
-        query cost is heavily skewed (head-term unions vs. cheap
+        replica frees up (``ray.wait``), with chunks pipelined per
+        replica so actor-call latency overlaps compute.  A static 1/N
+        split makes the pool's wall time the SLOWEST replica's whole
+        share — query cost is heavily skewed (head-term unions vs. cheap
         conjunctions), and at 16+ replicas a straggler share dominates
         (this was the 0.55 query-scaling signature at 800k pages).
+
+        The routing loop itself must stay OFF the critical path: at 16
+        warm replicas a chunk completes every couple of milliseconds,
+        and a coordinator that deserializes each chunk's results before
+        refilling the replica becomes the throughput cap (the 0.67
+        query-scaling signature after the round-4 kernel speedups).  So
+        the loop only learns WHICH future finished (``ray.wait``),
+        refills that replica, and drains every already-complete future
+        per iteration; result payloads stay in the object store and are
+        fetched in one batched ``ray.get`` after the last chunk lands.
         Results are identical either way: every replica evaluates the
         same pinned kernel over the same snapshot generation.
         """
@@ -103,10 +113,10 @@ class SearcherPool:
             # ~8 waves per replica levels out cost skew; floor keeps
             # tiny workloads from paying per-chunk dispatch overhead
             chunk_size = max(4, len(queries) // (n * 8) or 1)
-        out: list[dict | None] = [None] * len(queries)
         starts = list(range(0, len(queries), chunk_size))
         next_chunk = 0
-        pending: dict = {}  # future -> (actor_idx, chunk_start)
+        pending: dict = {}  # future -> actor_idx
+        finished: list = []  # (future, chunk_start), gather at the end
 
         def submit(ai: int) -> bool:
             nonlocal next_chunk
@@ -121,15 +131,27 @@ class SearcherPool:
             return True
 
         for ai in range(n):
-            for _ in range(2):
+            for _ in range(3):
                 if not submit(ai):
                     break
         while pending:
             done, _ = ray.wait(list(pending.keys()), num_returns=1)
-            ai, s = pending.pop(done[0])
-            for i, r in enumerate(ray.get(done[0])):
+            # drain everything else that finished while we slept — one
+            # loop iteration may need to refill several replicas
+            if len(pending) > 1:
+                more, _ = ray.wait(
+                    list(pending.keys()), num_returns=len(pending), timeout=0
+                )
+                done = list(dict.fromkeys(done + more))
+            for f in done:
+                ai, s = pending.pop(f)
+                finished.append((f, s))
+                submit(ai)
+        out: list[dict | None] = [None] * len(queries)
+        chunks = ray.get([f for f, _ in finished])
+        for (_, s), rs in zip(finished, chunks):
+            for i, r in enumerate(rs):
                 out[s + i] = r
-            submit(ai)
         return out  # type: ignore[return-value]
 
     def shutdown(self) -> None:
