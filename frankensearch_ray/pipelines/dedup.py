@@ -1035,6 +1035,176 @@ def _shingle_set_table(
     )
 
 
+_PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
+)
+
+_JOINED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("pa_", pa.int64()),
+        ("pb_", pa.int64()),
+        ("shingles", pa.large_binary()),
+        ("vshard", pa.int64()),
+    ]
+)
+
+
+def _make_verify_shard(threshold: float):
+    """Per-vshard exact-Jaccard verify kernel: input rows are (pair,
+    side, shingle-set bytes); both sides of every pair land in the same
+    group by construction (``vshard = _pair_hash(a, b)``)."""
+
+    def verify_shard(g: pa.Table) -> pa.Table:
+        pa_n = g["pa_"].to_numpy()
+        pb_n = g["pb_"].to_numpy()
+        order = np.lexsort((pb_n, pa_n))
+        g = g.take(pa.array(order))
+        pa_n, pb_n = pa_n[order], pb_n[order]
+        doc = g["doc_id"].to_numpy()
+        sh_buf = g["shingles"].to_pylist()
+        new_pair = np.concatenate(
+            ([True], (pa_n[1:] != pa_n[:-1]) | (pb_n[1:] != pb_n[:-1]))
+        )
+        bounds = np.flatnonzero(new_pair)
+        ends = np.concatenate((bounds[1:], [len(pa_n)]))
+        # first row per (pair, side) via one vectorized minimum-scatter —
+        # never a per-pair linear scan (quadratic in group size)
+        n_pairs = len(bounds)
+        seg = np.searchsorted(bounds, np.arange(len(pa_n)), side="right") - 1
+        NOT_FOUND = len(pa_n)
+        first_a = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
+        first_b = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
+        rows_a = np.flatnonzero(doc == pa_n)
+        rows_b = np.flatnonzero(doc == pb_n)
+        np.minimum.at(first_a, seg[rows_a], rows_a)
+        np.minimum.at(first_b, seg[rows_b], rows_b)
+        out_a, out_b, out_j = [], [], []
+        for p, (s, e) in enumerate(zip(bounds, ends)):
+            ia, ib = first_a[p], first_b[p]
+            if ia == NOT_FOUND or ib == NOT_FOUND:
+                continue  # one member missing from the corpus
+            sa = np.frombuffer(sh_buf[ia], dtype="<u8")
+            sb = np.frombuffer(sh_buf[ib], dtype="<u8")
+            if len(sa) == 0 or len(sb) == 0:
+                continue  # empty shingle set: pair can never verify
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out_a.append(int(pa_n[s]))
+                out_b.append(int(pb_n[s]))
+                out_j.append(int(np.floor(jac * 100 + 1e-9)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return verify_shard
+
+
+def _finish_pair_verify(joined, threshold: float) -> pa.Table:
+    """Shared tail of both verify routings: per-vshard exact Jaccard,
+    then the driver-contract sort (the verified pair set is tiny by
+    definition — it IS the duplicate report)."""
+    verified = (
+        joined.groupby("vshard")
+        .map_groups(_make_verify_shard(threshold), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(verified) == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
+
+
+def _broadcast_pair_rows(
+    cand_tables: list[pa.Table],
+    sf_dir: str,
+    k: int,
+    id_col: str,
+    text_col: str,
+    lsh_shards: int,
+):
+    """Small-side-broadcast verify routing: the (capped) candidate-pair
+    list ships once via ``ray.put``; ONE corpus pass builds shingle sets
+    for pair-member docs only and emits every (pair, side) row already
+    keyed by its verify shard — no tagged-union join, no corpus-wide
+    set shipping.  Returns a Dataset with the ``_JOINED_SCHEMA`` rows
+    :func:`_make_verify_shard` consumes."""
+    import ray
+    import ray.data as rd
+
+    # empty map_groups outputs surface as zero-column tables — drop them
+    tbl = pa.concat_tables([t for t in cand_tables if t.num_columns])
+    a = tbl["a"].to_numpy().astype(np.int64)
+    b = tbl["b"].to_numpy().astype(np.int64)
+    # exact global dedup of cross-band duplicates (driver-side, bounded
+    # by the broadcast cap — the join path does this inside jb buckets)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    a, b = a[keep], b[keep]
+    members = np.unique(np.concatenate((a, b)))
+    ord_b = np.argsort(b, kind="stable")
+    b_sorted = b[ord_b]
+    # `a` is already sorted (primary lexsort key)
+    ref = ray.put((a, b, members, b_sorted, ord_b))
+
+    def emit_member_rows(batch: pa.Table) -> pa.Table:
+        A, B, MEM, B_S, ORD_B = ray.get(ref)  # zero-copy plasma views
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(MEM, ids)
+        hit = (pos < len(MEM)) & (MEM[np.minimum(pos, len(MEM) - 1)] == ids)
+        sel = np.flatnonzero(hit)
+        if len(sel) == 0:
+            return _JOINED_SCHEMA.empty_table()
+        st = _shingle_set_table(
+            ids[sel], batch[text_col].take(pa.array(sel)).to_pylist(), k
+        )
+        did = st["doc_id"].to_numpy()
+        sh = st["shingles"].combine_chunks()
+        parts = []
+        for side_sorted, side_order in ((A, None), (B_S, ORD_B)):
+            lo = np.searchsorted(side_sorted, did, side="left")
+            hi = np.searchsorted(side_sorted, did, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            doc_rep = np.repeat(np.arange(len(did)), cnt)
+            # flat expansion of [lo, hi) ranges without a Python loop
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            rows = np.repeat(lo, cnt) + (
+                np.arange(total) - np.repeat(starts, cnt)
+            )
+            if side_order is not None:
+                rows = side_order[rows]
+            pa_n = A[rows]
+            pb_n = B[rows]
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(did[doc_rep]),
+                        "pa_": pa.array(pa_n),
+                        "pb_": pa.array(pb_n),
+                        "shingles": sh.take(pa.array(doc_rep)),
+                        "vshard": pa.array(_pair_hash(pa_n, pb_n, lsh_shards)),
+                    },
+                    schema=_JOINED_SCHEMA,
+                )
+            )
+        if not parts:
+            return _JOINED_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    return rd.read_parquet(
+        _doc_path(sf_dir), columns=[id_col, text_col]
+    ).map_batches(emit_member_rows, batch_format="pyarrow")
+
+
 def minhash_pairs(
     sf_dir: str,
     threshold: float = 0.8,
@@ -1047,6 +1217,8 @@ def minhash_pairs(
     lsh_shards: int | None = None,
     semi_join: str = "auto",
     semi_join_min_docs: int = 500_000,
+    pair_broadcast: str = "auto",
+    pair_broadcast_max_pairs: int = 1_000_000,
 ) -> pa.Table:
     """MinHash-LSH candidates verified with exact Jaccard >= threshold.
 
@@ -1055,6 +1227,23 @@ def minhash_pairs(
     set, "auto" (default) picks bloom once the corpus outgrows
     ``semi_join_min_docs`` (below that the filter's fixed stage cost
     exceeds the pruning win).  Modes are output-identical.
+
+    ``pair_broadcast``: when the deduped candidate-pair set fits under
+    ``pair_broadcast_max_pairs`` (~24 MB of int64 triples at the 1M
+    default — a CAPPED broadcast with an explicit fallback, not a
+    structure proportional to the corpus), the verify join is replaced
+    by the classic small-side broadcast: the pair list ships once via
+    ``ray.put``, ONE corpus pass builds shingle sets for pair-member
+    docs only and emits each (pair, side) row pre-routed to its verify
+    shard — the tagged-union ``jb`` exchange (which in ship-all mode
+    moves EVERY doc's shingle set) disappears entirely, leaving two
+    exchanges end-to-end (band groupby + verify groupby).  Above the cap
+    the distributed bucketed join below handles any candidate volume.
+    "auto" (default) decides by the materialized candidate count;
+    "always"/"never" force a mode (tests pin mode equality).  The
+    candidate Dataset is materialized either way — the band groupby is
+    already an all-to-all barrier, and the bloom path needed the
+    materialization anyway.
 
     Every stage is distributed and every exchange key scales with the
     corpus (VERDICT r02 #1/#4):
@@ -1116,10 +1305,26 @@ def minhash_pairs(
     use_bloom = semi_join == "bloom" or (
         semi_join == "auto" and n_docs >= semi_join_min_docs
     )
-    cand = banded.groupby("gkey").map_groups(band_pairs, batch_format="pyarrow")
+    cand = banded.groupby("gkey").map_groups(
+        band_pairs, batch_format="pyarrow"
+    ).materialize()
+    n_cand = cand.count()  # metadata-only on a materialized Dataset
+    if n_cand == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    if pair_broadcast == "always" or (
+        pair_broadcast == "auto" and n_cand <= pair_broadcast_max_pairs
+    ):
+        joined = _broadcast_pair_rows(
+            ray.get(cand.to_arrow_refs()),
+            sf_dir,
+            k,
+            id_col,
+            text_col,
+            lsh_shards,
+        )
+        return _finish_pair_verify(joined, threshold)
     bloom_ref = None
     if use_bloom:
-        cand = cand.materialize()
 
         def bloom_partial(t: pa.Table) -> pa.Table:
             bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
@@ -1291,68 +1496,7 @@ def minhash_pairs(
         .map_groups(match_bucket, batch_format="pyarrow")
     )
 
-    def verify_shard(g: pa.Table) -> pa.Table:
-        pa_n = g["pa_"].to_numpy()
-        pb_n = g["pb_"].to_numpy()
-        order = np.lexsort((pb_n, pa_n))
-        g = g.take(pa.array(order))
-        pa_n, pb_n = pa_n[order], pb_n[order]
-        doc = g["doc_id"].to_numpy()
-        sh_buf = g["shingles"].to_pylist()
-        new_pair = np.concatenate(
-            ([True], (pa_n[1:] != pa_n[:-1]) | (pb_n[1:] != pb_n[:-1]))
-        )
-        bounds = np.flatnonzero(new_pair)
-        ends = np.concatenate((bounds[1:], [len(pa_n)]))
-        # first row per (pair, side) via one vectorized minimum-scatter —
-        # never a per-pair linear scan (quadratic in group size)
-        n_pairs = len(bounds)
-        seg = np.searchsorted(bounds, np.arange(len(pa_n)), side="right") - 1
-        NOT_FOUND = len(pa_n)
-        first_a = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
-        first_b = np.full(n_pairs, NOT_FOUND, dtype=np.int64)
-        rows_a = np.flatnonzero(doc == pa_n)
-        rows_b = np.flatnonzero(doc == pb_n)
-        np.minimum.at(first_a, seg[rows_a], rows_a)
-        np.minimum.at(first_b, seg[rows_b], rows_b)
-        out_a, out_b, out_j = [], [], []
-        for p, (s, e) in enumerate(zip(bounds, ends)):
-            ia, ib = first_a[p], first_b[p]
-            if ia == NOT_FOUND or ib == NOT_FOUND:
-                continue  # one member missing from the corpus
-            sa = np.frombuffer(sh_buf[ia], dtype="<u8")
-            sb = np.frombuffer(sh_buf[ib], dtype="<u8")
-            if len(sa) == 0 or len(sb) == 0:
-                continue  # empty shingle set: pair can never verify
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= threshold:
-                out_a.append(int(pa_n[s]))
-                out_b.append(int(pb_n[s]))
-                out_j.append(int(np.floor(jac * 100 + 1e-9)))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_pct": pa.array(out_j, pa.int64()),
-            }
-        )
-
-    verified = (
-        joined.groupby("vshard")
-        .map_groups(verify_shard, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if len(verified) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
-    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(verified, preserve_index=False)
+    return _finish_pair_verify(joined, threshold)
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -28,6 +28,17 @@ def _make_actor_cls():
     @ray.remote(num_cpus=1)
     class SearcherReplica:
         def __init__(self, index_dir: str, segment_threads: int = 0):
+            # a 1-cpu replica must BE a 1-cpu replica: Arrow's global
+            # pools default to the machine's logical count, so parquet
+            # row-group decode inside each replica would fan out to
+            # every core — small pools silently borrow the whole
+            # machine and large pools self-contend, corrupting any
+            # replicas-vs-throughput measurement (and, on a real
+            # multi-tenant node, stealing neighbors' cycles)
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(2)  # storage-latency hiding, not compute
             self.searcher = LocalSearcher(index_dir)
             # intra-replica segment fan-out for single-query latency:
             # bit-identical (local heaps + total-order merge), gated on
@@ -109,23 +120,37 @@ class SearcherPool:
         n = len(self.actors)
         if not queries or n == 0:
             return []
+        # guided self-scheduling: each chunk is a fraction of the
+        # REMAINING work, so the workload opens with big cheap-to-route
+        # chunks and closes with small ones — the classic fix for the
+        # two costs a fixed size trades off (per-chunk dispatch at the
+        # start, the one-straggler-chunk idle tail at the end, which at
+        # 16 fast replicas was ~10% of the whole pass)
         if chunk_size is None:
-            # ~8 waves per replica levels out cost skew; floor keeps
-            # tiny workloads from paying per-chunk dispatch overhead
-            chunk_size = max(4, len(queries) // (n * 8) or 1)
-        starts = list(range(0, len(queries), chunk_size))
+            schedule: list[tuple[int, int]] = []  # (start, size)
+            s0, rem = 0, len(queries)
+            while rem > 0:
+                size = min(rem, max(4, rem // (n * 3)))
+                schedule.append((s0, size))
+                s0 += size
+                rem -= size
+        else:
+            schedule = [
+                (s0, min(chunk_size, len(queries) - s0))
+                for s0 in range(0, len(queries), chunk_size)
+            ]
         next_chunk = 0
-        pending: dict = {}  # future -> actor_idx
+        pending: dict = {}  # future -> (actor_idx, chunk_start)
         finished: list = []  # (future, chunk_start), gather at the end
 
         def submit(ai: int) -> bool:
             nonlocal next_chunk
-            if next_chunk >= len(starts):
+            if next_chunk >= len(schedule):
                 return False
-            s = starts[next_chunk]
+            s, size = schedule[next_chunk]
             next_chunk += 1
             f = self.actors[ai].search_many.remote(
-                queries[s : s + chunk_size], limit, offset
+                queries[s : s + size], limit, offset
             )
             pending[f] = (ai, s)
             return True

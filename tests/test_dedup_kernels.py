@@ -216,13 +216,32 @@ class TestShardInvariance:
 
     def test_minhash_semi_join_modes_identical(self, ray_session):
         """The bloom candidate-filter pushdown (the >=500k-doc scale path)
-        and the fully streaming ship-all path are the same contract."""
+        and the fully streaming ship-all path are the same contract.
+        ``pair_broadcast="never"`` pins BOTH calls to the distributed
+        join routing — otherwise the auto broadcast path would shadow
+        the modes under test at this corpus size."""
         from frankensearch_ray.pipelines.dedup import minhash_pairs
 
-        none = minhash_pairs(self.SF, semi_join="none")
-        bloom = minhash_pairs(self.SF, semi_join="bloom")
+        none = minhash_pairs(self.SF, semi_join="none", pair_broadcast="never")
+        bloom = minhash_pairs(
+            self.SF, semi_join="bloom", pair_broadcast="never"
+        )
         assert none.num_rows > 0
         assert none.equals(bloom)
+
+    def test_minhash_pair_broadcast_identical(self, ray_session):
+        """The capped pair-broadcast verify routing (default below 1M
+        candidates) and the distributed tagged-union join are the same
+        contract — including cross-band duplicate collapse, which the
+        join does per jb bucket and the broadcast does driver-side."""
+        from frankensearch_ray.pipelines.dedup import minhash_pairs
+
+        bcast = minhash_pairs(self.SF, pair_broadcast="always")
+        join = minhash_pairs(
+            self.SF, pair_broadcast="never", semi_join="none"
+        )
+        assert bcast.num_rows > 0
+        assert bcast.equals(join)
 
     def test_cluster_local_equals_bsp(self, ray_session):
         """The one-task pointer-jumping solver and the distributed BSP
