@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.tokenize import hash64_column
 from .textstats import _flat_tokens, _tokens_of
 
 _KNUTH = np.uint64(2654435761)
@@ -535,18 +536,9 @@ def doc_keywords(
         d = (uk // v).astype(np.int64)
         c = (uk % v).astype(np.int64)
         ids = t[id_col].to_numpy().astype(np.int64)
-        # deterministic shard per UNIQUE term only (dictionary trick)
-        h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                )
-                for s in vocab.to_pylist()
-            ],
-            dtype=np.uint64,
-        )
-        shard = (h % np.uint64(n_shards)).view(np.int64)
+        # deterministic shard per UNIQUE term only (dictionary trick;
+        # zero-copy buffer-sliced blake2b, no to_pylist/encode churn)
+        shard = (hash64_column(vocab) % np.uint64(n_shards)).view(np.int64)
         return pa.table(
             {
                 "tshard": pa.array(shard[c]),
@@ -646,20 +638,10 @@ def ngram_topk(
             }
         )
         # deterministic shard key (blake2b over the batch-local UNIQUE
-        # ngrams only — the combiner already collapsed occurrences, so
-        # this loop is vocab-sized, the repo's accepted dictionary trick;
+        # ngrams only — the combiner already collapsed occurrences;
         # Python's builtin hash is per-process salted and would scatter
         # one ngram across shards)
-        h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                )
-                for s in out["ngram"].to_pylist()
-            ],
-            dtype=np.uint64,
-        )
+        h = hash64_column(out["ngram"].combine_chunks())
         return out.append_column(
             "shard", pa.array((h % np.uint64(n_shards)).view(np.int64))
         )
@@ -836,16 +818,7 @@ def dup_spans(
         )
         # one blake2b per UNIQUE gram, broadcast back via dictionary codes
         uniq = pc.unique(agg["gram"])
-        h = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                )
-                for s in uniq.to_pylist()
-            ],
-            dtype=np.uint64,
-        )
+        h = hash64_column(uniq)
         codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
             zero_copy_only=False
         )

@@ -40,6 +40,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.tokenize import hash64_column
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -292,19 +294,12 @@ def _ngram_pairs_ds(
 
     def shingle_and_bucket(t: pa.Table) -> pa.Table:
         out = _shingle_batch(t, id_col, text_col, k)
-        # hash only the batch's unique shingle dictionary, then map codes
+        # hash only the batch's unique shingle dictionary (zero-copy
+        # buffer slices, no to_pylist/encode churn), then map codes
         de = pc.dictionary_encode(out["shingle"].combine_chunks())
-        vocab = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                    "little",
-                )
-                % n_buckets
-                for s in de.dictionary.to_pylist()
-            ],
-            dtype=np.uint32,
-        )
+        vocab = (
+            hash64_column(de.dictionary) % np.uint64(n_buckets)
+        ).astype(np.uint32)
         b = vocab[de.indices.to_numpy()] if len(out) else np.zeros(0, np.uint32)
         return out.append_column("bucket", pa.array(b, pa.uint32()))
 
@@ -902,14 +897,7 @@ class MinHashBander:
         sigs = np.empty((n, self.n_perm), dtype=np.uint64)
         if len(flat):
             de = pc.dictionary_encode(flat)
-            vocab = de.dictionary.to_pylist()
-            vbuf = bytearray(8 * len(vocab))
-            vblake = hashlib.blake2b
-            for i, v in enumerate(vocab):
-                vbuf[i * 8 : i * 8 + 8] = vblake(
-                    v.encode("utf-8"), digest_size=8
-                ).digest()
-            vocab_hashes = np.frombuffer(bytes(vbuf), dtype="<u8")
+            vocab_hashes = hash64_column(de.dictionary)
             # permute the UNIQUE vocab only, then gather per instance:
             # 64-bit integer multiply has no SIMD path (≈50 ns/elem
             # scalar loops), so doing the mix on |vocab| values instead
@@ -1005,17 +993,7 @@ def _shingle_set_table(
     lens, flat = _flat_shingles(pa.array(texts, pa.string()), k)
     if len(flat):
         de = pc.dictionary_encode(flat)
-        vocab_hashes = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                )
-                for v in de.dictionary.to_pylist()
-            ],
-            dtype=np.uint64,
-        )
-        hv = vocab_hashes[de.indices.to_numpy()]
+        hv = hash64_column(de.dictionary)[de.indices.to_numpy()]
     else:
         hv = np.zeros(0, np.uint64)
     starts = np.concatenate(([0], np.cumsum(lens)))
@@ -1525,28 +1503,29 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash64_batch(texts: list[str | None]) -> np.ndarray:
-    """Vectorized simhash over a batch: hash only the DICTIONARY of unique
-    tokens (blake2b per unique string), then per-bit majority via one
-    bincount per bit — identical output to :func:`simhash64` per row.
+def simhash64_batch(texts: list[str | None] | pa.Array) -> np.ndarray:
+    """Vectorized simhash over a batch: tokenize with the Arrow
+    whitespace-split kernel (``_flat_shingles`` at k=1, pytest-pinned
+    ≡ ``str.split()``), md5-hash only the DICTIONARY of unique tokens via
+    zero-copy buffer slices, then per-bit majority via one cumsum pass —
+    identical output to :func:`simhash64` per row.
 
     ``acc_b > 0  ⇔  ones_b > total - ones_b  ⇔  2*ones_b > total``.
     """
-    n = len(texts)
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, pa.string()
+    )
+    n = len(col)
     out = np.zeros(n, dtype=np.uint64)
-    toks = [(t or "").split() for t in texts]
-    lens = np.array([len(r) for r in toks], dtype=np.int64)
+    if n == 0:
+        return out
+    lens, flat = _flat_shingles(col, 1)
     if lens.sum() == 0:
         return out
-    from .textstats import _md5_hash64
+    from ..stages.tokenize import hash64_column
 
-    flat = pa.array([tok for row in toks for tok in row])
     de = pc.dictionary_encode(flat)
-    vocab_hashes = np.array(
-        [_md5_hash64(v) for v in de.dictionary.to_pylist()],
-        dtype=np.uint64,
-    )
-    h = vocab_hashes[de.indices.to_numpy()]
+    h = hash64_column(de.dictionary, "md5")[de.indices.to_numpy()]
     # all 64 bits at once: unpack to a (tokens, 64) bit matrix, per-doc
     # ones via cumsum differences at doc bounds (handles empty docs,
     # unlike reduceat), then pack the per-bit majorities back to uint64
@@ -1591,7 +1570,7 @@ def simhash_pairs(
         )
 
     def add_simhash(batch: pa.Table) -> pa.Table:
-        hs = simhash64_batch(batch[text_col].to_pylist())
+        hs = simhash64_batch(batch[text_col])
         ids = batch[id_col].to_numpy().astype(np.int64)
         n = len(ids)
         bands = np.tile(np.arange(4, dtype=np.int32), n)

@@ -342,16 +342,19 @@ def fingerprint_batch(lists: pa.ListArray) -> np.ndarray:
     if len(flat) == 0:
         return fps
     de = pc.dictionary_encode(flat)
-    vocab = de.dictionary.to_pylist()
-    vocab_hashes = np.array(
-        [0 if not v else _md5_hash64(v) for v in vocab],
-        dtype=np.uint64,
-    )
+    from ..stages.tokenize import hash64_column
+
+    nonempty_vocab = pc.and_kleene(
+        pc.is_valid(de.dictionary),
+        pc.greater(pc.binary_length(de.dictionary), 0),
+    ).to_numpy(zero_copy_only=False)
+    nonempty_vocab = np.where(nonempty_vocab, True, False)
+    vocab_hashes = hash64_column(de.dictionary, "md5")
+    vocab_hashes[~nonempty_vocab] = 0  # scalar path: empty/None -> 0
     codes = de.indices.to_numpy()
     h = vocab_hashes[codes]
     # drop empty tokens (the scalar's ``if not t: continue``) BEFORE
     # position numbering — positions index non-empty tokens only
-    nonempty_vocab = np.array([bool(v) for v in vocab])
     ne = nonempty_vocab[codes]
     doc_idx = np.repeat(np.arange(n), lens)[ne]
     h_ne = h[ne]
@@ -716,10 +719,9 @@ def distinct_terms_sketch(
         flat = lists.flatten()
         flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
         uniq = pc.unique(flat)
-        h = np.array(
-            [_md5_hash64(s) for s in uniq.to_pylist()],
-            dtype=np.uint64,
-        )
+        from ..stages.tokenize import hash64_column
+
+        h = hash64_column(uniq, "md5")
         h = np.unique(h)[:k]  # sorted ascending; keep k smallest
         return pa.table({"h": pa.array(h.view(np.int64))})
 

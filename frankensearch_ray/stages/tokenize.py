@@ -107,15 +107,21 @@ def _content_hashes_scalar(texts: pa.Array) -> np.ndarray:
     return out
 
 
-def content_hashes(texts: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit content hashes (identity / no-op-upsert check,
-    analogous to ``index.rs:10236``; blake2b-8 instead of xxh3).
+def hash64_column(texts: pa.Array, algo: str = "blake2b") -> np.ndarray:
+    """Vectorized-ish 64-bit digest of every row of a string column.
 
-    Hot path: arrow strings ARE utf-8, so each row's bytes are a zero-copy
+    Arrow strings ARE utf-8, so each row's bytes are a zero-copy
     memoryview slice of the values buffer via the offsets array — no
     per-row ``as_py()`` + ``encode()`` object churn (VERDICT r03 #4).
-    blake2b itself is inherently per-row; byte-identity with the scalar
-    path is pinned in pytest."""
+    The digest call itself is inherently per-row; the win is removing the
+    two Python-object allocations per string that every
+    ``[h(s.encode()) for s in arr.to_pylist()]`` call site paid.
+
+    ``algo="blake2b"`` = first 8 bytes of blake2b-8, little-endian
+    (byte-identical to the scalar oracle).  ``algo="md5"`` = first 8
+    digest bytes of md5, little-endian — EXACTLY DuckDB's
+    ``md5_number_upper``, which is what keeps the fingerprint / KMV /
+    simhash entries SQL-oracle-able.  Nulls hash as ``b""``."""
     arr = (
         texts.combine_chunks()
         if isinstance(texts, pa.ChunkedArray)
@@ -127,30 +133,50 @@ def content_hashes(texts: pa.Array) -> np.ndarray:
     if not (
         pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
     ):
+        if algo != "blake2b":
+            raise TypeError(f"hash64_column({algo}) needs a string column")
         return _content_hashes_scalar(arr)
+    if algo == "blake2b":
+        blake = hashlib.blake2b
+
+        def digest8(b):
+            return blake(b, digest_size=8).digest()
+
+    elif algo == "md5":
+        md5 = hashlib.md5
+
+        def digest8(b):
+            return md5(b).digest()[:8]
+
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown hash64 algo: {algo}")
     dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offs = np.frombuffer(
         bufs[1], dtype=dt, count=n + 1, offset=arr.offset * np.dtype(dt).itemsize
     )
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-    blake = hashlib.blake2b
     hbuf = bytearray(8 * n)
     if arr.null_count:
         nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        empty = blake(b"", digest_size=8).digest()
+        empty = digest8(b"")
         for i in range(n):
             hbuf[i * 8 : i * 8 + 8] = (
                 empty
                 if nulls[i]
-                else blake(data[offs[i] : offs[i + 1]], digest_size=8).digest()
+                else digest8(data[offs[i] : offs[i + 1]])
             )
     else:
         for i in range(n):
-            hbuf[i * 8 : i * 8 + 8] = blake(
-                data[offs[i] : offs[i + 1]], digest_size=8
-            ).digest()
+            hbuf[i * 8 : i * 8 + 8] = digest8(data[offs[i] : offs[i + 1]])
     return np.frombuffer(bytes(hbuf), dtype="<u8").copy()
+
+
+def content_hashes(texts: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit content hashes (identity / no-op-upsert check,
+    analogous to ``index.rs:10236``; blake2b-8 instead of xxh3).
+    Byte-identity with the per-row scalar path is pinned in pytest."""
+    return hash64_column(texts, "blake2b")
 
 
 def _field_postings(
