@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # solver (the >budget path at 100 TB); oracle shared with
         # dedup_clusters so the driver pins mode-equivalence too
         "dedup_clusters_bsp": partial(dedup.dedup_clusters, mode="bsp"),
+        # the step a pipeline actually ships: keep the min-doc_id
+        # representative per cluster, survivors + cluster sizes
+        "dedup_apply": dedup.dedup_apply,
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_cosine_pairs,
@@ -189,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_filter": corpus.curate_filter,
         "tokenize_ids": corpus.tokenize_ids,
         "dup_spans": corpus.dup_spans,
+        # span-level rewrite of the dup_spans signal (Lee et al. 2021)
+        "remove_dup_spans": corpus.remove_dup_spans,
         "collocations": corpus.collocations,
         "source_quantiles": textstats.source_quantiles,
     }
@@ -497,6 +502,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.cluster, d.doc_id)::BIGINT AS cluster
             FROM documents d LEFT JOIN roots r ON r.doc = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "dedup_apply": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            e AS (
+              SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION ALL SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(n, m) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+            ),
+            roots AS (
+              SELECT n AS doc, least(n, min(m)) AS cluster
+              FROM reach GROUP BY n
+            ),
+            labels AS (
+              SELECT d.doc_id, coalesce(r.cluster, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN roots r ON r.doc = d.doc_id
+            ),
+            sz AS (
+              SELECT cluster, count(*) AS cluster_size
+              FROM labels GROUP BY cluster
+            )
+            SELECT l.doc_id, sz.cluster_size::BIGINT AS cluster_size
+            FROM labels l JOIN sz ON sz.cluster = l.cluster
+            WHERE l.doc_id = l.cluster
+            ORDER BY l.doc_id
         """,
         "dedup_embedding": """
             WITH pairs AS (
@@ -816,6 +849,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(per.nw, 0)::BIGINT AS n_windows,
                    coalesce(per.nd, 0)::BIGINT AS n_dup_windows
             FROM docs d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # span-level rewrite: drop every token covered by a duplicated
+        # 5-gram window, re-join the survivors in order
+        "remove_dup_spans": f"""
+            WITH {docs},
+            w AS (
+              SELECT doc_id, u['s'] AS s, u['g'] AS gram FROM (
+                SELECT doc_id,
+                       unnest([{{'s': i - 1,
+                                 'g': array_to_string(toks[i:i+4], ' ')}}
+                               FOR i IN range(1, len(toks) - 3)]) AS u
+                FROM docs WHERE len(toks) >= 5
+              )
+            ),
+            gc AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+            dst AS (
+              SELECT doc_id, s FROM w
+              WHERE gram IN (SELECT gram FROM gc)
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, s + o AS pos
+              FROM dst CROSS JOIN range(0, 5) t(o)
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) - 1 AS pos
+              FROM docs
+            ),
+            kept AS (
+              SELECT t.doc_id, count(*) AS n_kept,
+                     string_agg(t.w, ' ' ORDER BY t.pos) AS kept_text
+              FROM tok t
+              LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+              WHERE c.pos IS NULL GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   len(d.toks)::BIGINT AS n_tokens,
+                   (len(d.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_dropped,
+                   coalesce(k.kept_text, '') AS kept_text
+            FROM docs d LEFT JOIN kept k USING (doc_id)
             ORDER BY d.doc_id
         """,
         # top-50 adjacent word pairs with exact unigram counts (PMI inputs)

@@ -900,6 +900,203 @@ def dup_spans(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def remove_dup_spans(
+    sf_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens, n_dropped, kept_text): the span-level REWRITE
+    :func:`dup_spans` is the signal for — every token covered by at
+    least one duplicated ``n``-gram window (gram occurs >= 2 times
+    corpus-wide, within-doc repeats included) is dropped, and the doc's
+    surviving tokens are re-joined in order.  This is the Lee et al.
+    2021 (arXiv:2107.06499) ExactSubstr removal step at n-gram
+    granularity: dedup by deleting the repeated spans themselves rather
+    than whole documents.
+
+    Scale shape: two exchanges, both vocabulary/dup-bounded — never
+    position-bounded.  Pass A is :func:`dup_spans`'s combiner exchange
+    (per-batch (gram, doc, cnt) partials, gram-hash sharded, exact
+    in-shard totals); each shard emits only (doc_id, gram) DUP routes,
+    proportional to duplicated content.  Pass B co-locates each doc's
+    text with its dup routes via one ``doc_id % K`` tagged-union
+    exchange and rewrites locally: window starts are recomputed
+    vectorized (the same ``n``-offset AND-mask as
+    :func:`_doc_ngrams`), membership is one ``is_in`` on composed
+    ``doc\\x1fgram`` keys, coverage is a +1/-1 difference array summed
+    once over the group's flat token space (window spans never cross
+    doc boundaries, so one cumsum serves every doc), and the kept text
+    is one ``binary_join`` over a rebuilt list array.  No per-row
+    Python in either pass; ``output_path`` streams the rewritten rows
+    to partitioned parquet (the corpus-sized-output sink discipline).
+    """
+    import ray.data as rd
+
+    from ._sink import finish
+
+    path = _doc_path(sf_dir)
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
+    K = n_shards
+
+    _empty_routes = pa.table(
+        {
+            "dshard": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int8()),
+            "doc_id": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.string()),
+        }
+    )
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        grams, didx = _doc_ngrams(t, text_col, n)
+        if grams is None:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        agg = (
+            pa.table({"gram": grams, "doc_id": pa.array(ids[didx])})
+            .group_by(["gram", "doc_id"], use_threads=False)
+            .aggregate([("gram", "count")])
+        )
+        # one blake2b per UNIQUE gram, broadcast back via dictionary codes
+        uniq = pc.unique(agg["gram"])
+        h = hash64_column(uniq)
+        codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "shard": pa.array((h % np.uint64(K)).view(np.int64)[codes]),
+                "gram": agg["gram"],
+                "doc_id": agg["doc_id"].cast(pa.int64()),
+                "cnt": agg["gram_count"].cast(pa.int64()),
+            }
+        )
+
+    def dup_routes(g: pa.Table) -> pa.Table:
+        """Exact in-shard gram totals -> (doc, gram) routes for dup grams
+        only, deduped so pass B ships each (doc, gram) once."""
+        tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
+        dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
+        if len(dup_grams) == 0:
+            return _empty_routes
+        hit = g.filter(
+            pc.is_in(g["gram"], value_set=dup_grams.combine_chunks())
+        )
+        d = hit.group_by(["doc_id", "gram"], use_threads=False).aggregate([])
+        ids = d["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array(ids % K),
+                "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                "doc_id": pa.array(ids),
+                "payload": d["gram"],
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array(ids % K),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "doc_id": pa.array(ids),
+                "payload": t[text_col],
+            }
+        )
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        docs = g.filter(pa.array(kind == 0))
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        lists = _tokens_of(docs, "payload")
+        flat, didx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        nz = lens > 0
+        flat = (
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        flat = flat.filter(pa.array(nz))
+        didx = didx[nz]
+        ntok = np.bincount(didx, minlength=len(ids)).astype(np.int64)
+        covered = np.zeros(len(flat), bool)
+        if len(flat) >= n:
+            ok = np.ones(len(flat) - n + 1, dtype=bool)
+            for j in range(1, n):
+                ok &= didx[j : len(didx) - n + 1 + j] == didx[: len(ok)]
+            idx = np.flatnonzero(ok)
+            dups = g.filter(pa.array(kind == 1))
+            if len(idx) and dups.num_rows:
+                parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+                grams = pc.binary_join_element_wise(*parts, " ")
+                occ_key = pc.binary_join_element_wise(
+                    pc.cast(pa.array(ids[didx[idx]]), pa.string()),
+                    grams,
+                    "\x1f",
+                )
+                dup_key = pc.binary_join_element_wise(
+                    pc.cast(dups["doc_id"].cast(pa.int64()), pa.string()),
+                    dups["payload"],
+                    "\x1f",
+                )
+                hitmask = pc.is_in(
+                    occ_key, value_set=dup_key.combine_chunks()
+                ).to_numpy(zero_copy_only=False)
+                starts = idx[hitmask]
+                if len(starts):
+                    # windows never cross doc boundaries, so each doc's
+                    # +1/-1 pairs balance before the next doc begins and
+                    # one global cumsum is per-doc exact
+                    diff = np.zeros(len(flat) + 1, np.int64)
+                    np.add.at(diff, starts, 1)
+                    np.add.at(diff, starts + n, -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+        kept_flat = flat.filter(pa.array(~covered))
+        n_drop = np.bincount(didx[covered], minlength=len(ids)).astype(
+            np.int64
+        )
+        kept_cnt = ntok - n_drop
+        offsets = np.zeros(len(ids) + 1, np.int32)
+        offsets[1:] = np.cumsum(kept_cnt)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(ntok),
+                "n_dropped": pa.array(n_drop),
+                "kept_text": pc.binary_join(kept_lists, " "),
+            }
+        )
+
+    routes = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dup_routes, batch_format="pyarrow")
+    )
+    docs_ds = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    out = (
+        docs_ds.union(routes)
+        .groupby("dshard")
+        .map_groups(rewrite, batch_format="pyarrow")
+    )
+    return finish(out, ["doc_id"], output_path)
+
+
 # --- collocation mining --------------------------------------------------------
 
 

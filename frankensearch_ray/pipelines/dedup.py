@@ -573,64 +573,16 @@ def _merge_cluster_labels(labels_ds, all_docs, K: int) -> pa.Table:
     )
 
 
-def dedup_clusters(
-    sf_dir: str,
-    threshold: float = 0.8,
-    k: int = 3,
-    shingle_df_cap: int = 1000,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int | None = None,
-    max_iters: int = 64,
-    mode: str = "auto",
-    local_edge_budget: int = 5_000_000,
-) -> pa.Table:
-    """Connected-component near-dup clusters: every doc labeled with the
-    SMALLEST doc_id reachable through the ngram-Jaccard pair graph — the
-    unit a 100 TB dedup job keeps one representative of.
-
-    Two component solvers behind one contract (``mode``, pytest-pinned
-    identical):
-
-    - ``local`` — the edge set (near-dup-rate-bounded, NOT corpus-sized)
-      fits one task's budget: one Ray task runs vectorized min-label
-      pointer-jumping over the whole graph.  O(E) memory on ONE worker,
-      zero supersteps.
-    - ``bsp`` — distributed hash-min label propagation: only edge
-      ENDPOINTS participate (singletons never enter the loop), each
-      superstep is two ``node % K`` bucketed exchanges ((1) every edge
-      forwards its source's label to its target, (2) per-node min), and
-      labels only decrease so a stable global label sum is the fixpoint
-      test; O(component diameter) rounds.
-    - ``auto`` (default) — ``local`` while the measured edge count is
-      within ``local_edge_budget``, else ``bsp``.  A 100 TB corpus with
-      a pathological duplicate rate overflows the budget and degrades
-      gracefully to the superstep path instead of OOMing one worker.
-
-    Either way the final merge (component labels ∪ all-doc identity
-    labels, per-node min) is one bucketed exchange, and the pair graph
-    stays a DATASET end-to-end: edges are batch transforms of
-    :func:`_ngram_pairs_ds` — no driver-side structure proportional to
-    the pair count.
-    """
+def _endpoint_labels(pairs_dir: str, K: int, mode: str, max_iters: int = 64):
+    """Connected-component labels over edge ENDPOINTS only, as a
+    (node, label) Dataset — dup-proportional (singletons never enter the
+    solve).  Shared by :func:`dedup_clusters` (which unions the result
+    with all-doc identity labels) and :func:`dedup_apply` (which needs
+    only the removed set + cluster sizes, both derivable from endpoint
+    labels alone).  ``mode`` is ``local`` (one-task vectorized min-label
+    pointer jumping) or ``bsp`` (distributed hash-min label propagation);
+    see :func:`dedup_clusters` for the solver contracts."""
     import ray.data as rd
-
-    n_docs = _parquet_num_rows(_doc_path(sf_dir))
-    K = _scaled_shards(n_docs, 8192)
-    # edges come from the build-once pair artifact (shared with
-    # ngram_jaccard_pairs) — the set-similarity join is the expensive
-    # exchange and runs once per corpus, not once per consumer
-    pairs_dir, n_pairs = pair_graph_layout(
-        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
-    )
-
-    def identity_labels(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy().astype(np.int64)
-        return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
-
-    all_docs = rd.read_parquet(_doc_path(sf_dir), columns=[id_col]).map_batches(
-        identity_labels, batch_format="pyarrow"
-    )
 
     def emit_edges(t: pa.Table) -> pa.Table:
         """Both directions of each pair in the tagged-union superstep
@@ -665,22 +617,9 @@ def dedup_clusters(
             }
         )
 
-    # edge count is 2 x the artifact's footer-metadata pair count — the
-    # mode decision and the empty-graph short-circuit cost zero reads
-    n_edges = 2 * n_pairs
-    if n_edges == 0:
-        out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
-                "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
-            }
-        )
     edges = rd.read_parquet(pairs_dir).map_batches(
         emit_edges, batch_format="pyarrow"
     )
-    if mode == "auto":
-        mode = "local" if n_edges <= local_edge_budget else "bsp"
 
     def uf_block(t: pa.Table) -> pa.Table:
         """Whole-graph min-label pointer jumping in one task: O(log n)
@@ -705,10 +644,9 @@ def dedup_clusters(
         )
 
     if mode == "local":
-        labels_final = edges.repartition(1).map_batches(
+        return edges.repartition(1).map_batches(
             uf_block, batch_format="pyarrow"
         )
-        return _merge_cluster_labels(labels_final, all_docs, K)
 
     # BSP path: coalesce the edge blocks first — the pair pipeline leaves
     # one (often tiny) block per pshard, and each superstep's sort
@@ -780,14 +718,183 @@ def dedup_clusters(
             break
         prev_sum = cur
 
-    # final merge: endpoint labels ∪ identity labels, per-node min
-    return _merge_cluster_labels(
-        labels.map_batches(
-            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
-        ),
-        all_docs,
-        K,
+    return labels.map_batches(
+        lambda t: t.select(["node", "label"]), batch_format="pyarrow"
     )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    max_iters: int = 64,
+    mode: str = "auto",
+    local_edge_budget: int = 5_000_000,
+) -> pa.Table:
+    """Connected-component near-dup clusters: every doc labeled with the
+    SMALLEST doc_id reachable through the ngram-Jaccard pair graph — the
+    unit a 100 TB dedup job keeps one representative of.
+
+    Two component solvers behind one contract (``mode``, pytest-pinned
+    identical):
+
+    - ``local`` — the edge set (near-dup-rate-bounded, NOT corpus-sized)
+      fits one task's budget: one Ray task runs vectorized min-label
+      pointer-jumping over the whole graph.  O(E) memory on ONE worker,
+      zero supersteps.
+    - ``bsp`` — distributed hash-min label propagation: only edge
+      ENDPOINTS participate (singletons never enter the loop), each
+      superstep is two ``node % K`` bucketed exchanges ((1) every edge
+      forwards its source's label to its target, (2) per-node min), and
+      labels only decrease so a stable global label sum is the fixpoint
+      test; O(component diameter) rounds.
+    - ``auto`` (default) — ``local`` while the measured edge count is
+      within ``local_edge_budget``, else ``bsp``.  A 100 TB corpus with
+      a pathological duplicate rate overflows the budget and degrades
+      gracefully to the superstep path instead of OOMing one worker.
+
+    Either way the final merge (component labels ∪ all-doc identity
+    labels, per-node min) is one bucketed exchange, and the pair graph
+    stays a DATASET end-to-end: edges are batch transforms of
+    :func:`_ngram_pairs_ds` — no driver-side structure proportional to
+    the pair count.
+    """
+    import ray.data as rd
+
+    n_docs = _parquet_num_rows(_doc_path(sf_dir))
+    K = _scaled_shards(n_docs, 8192)
+    # edges come from the build-once pair artifact (shared with
+    # ngram_jaccard_pairs) — the set-similarity join is the expensive
+    # exchange and runs once per corpus, not once per consumer
+    pairs_dir, n_pairs = pair_graph_layout(
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
+    )
+
+    def identity_labels(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
+
+    all_docs = rd.read_parquet(_doc_path(sf_dir), columns=[id_col]).map_batches(
+        identity_labels, batch_format="pyarrow"
+    )
+
+    # edge count is 2 x the artifact's footer-metadata pair count — the
+    # mode decision and the empty-graph short-circuit cost zero reads
+    n_edges = 2 * n_pairs
+    if n_edges == 0:
+        out = all_docs.to_pandas().sort_values("node").reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+                "cluster": pa.array(out["label"].to_numpy(), pa.int64()),
+            }
+        )
+    if mode == "auto":
+        mode = "local" if n_edges <= local_edge_budget else "bsp"
+    labels_final = _endpoint_labels(pairs_dir, K, mode, max_iters)
+    # final merge: endpoint labels ∪ identity labels, per-node min
+    return _merge_cluster_labels(labels_final, all_docs, K)
+
+
+def dedup_apply(
+    sf_dir: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    max_iters: int = 64,
+    mode: str = "auto",
+    local_edge_budget: int = 5_000_000,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Materialize the DEDUPLICATED corpus: keep exactly one
+    representative — the smallest ``doc_id`` — per near-dup cluster of
+    :func:`dedup_clusters`, and report each survivor with its cluster
+    size.  This is the step a training-data pipeline actually ships:
+    labels are diagnostics, the filtered corpus is the product.
+
+    Scale shape: the solver runs over edge ENDPOINTS only
+    (:func:`_endpoint_labels`), so the labels pulled to the driver are
+    near-dup-rate-bounded, NOT corpus-sized.  The removal set (nodes
+    whose component min is a different doc) and the cluster-size map
+    (per-label endpoint counts) both derive from those labels and ride
+    ``ray.put`` ONCE into a single streaming corpus pass — no corpus-
+    sized exchange, no join.  Docs outside every edge are singletons
+    (size 1) and never leave their input block.  With ``output_path``
+    the survivor rows (ALL source columns + ``cluster_size``) stream to
+    partitioned parquet; the table path returns the
+    ``(doc_id, cluster_size)`` contract, column-pruned at the read.
+    """
+    import ray
+    import ray.data as rd
+
+    from ._sink import finish
+
+    pairs_dir, n_pairs = pair_graph_layout(
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
+    )
+    if n_pairs == 0:
+        removed_sorted = np.array([], np.int64)
+        reps_sorted = np.array([], np.int64)
+        rep_sizes = np.array([], np.int64)
+    else:
+        n_docs = _parquet_num_rows(_doc_path(sf_dir))
+        K = _scaled_shards(n_docs, 8192)
+        if mode == "auto":
+            mode = "local" if 2 * n_pairs <= local_edge_budget else "bsp"
+        lab_tbl = (
+            _endpoint_labels(pairs_dir, K, mode, max_iters)
+            .to_pandas()  # dup-proportional: endpoints only
+        )
+        node = lab_tbl["node"].to_numpy().astype(np.int64)
+        label = lab_tbl["label"].to_numpy().astype(np.int64)
+        dup = node != label
+        removed_sorted = np.sort(node[dup])
+        # component size = endpoint count per label (the representative is
+        # itself an endpoint, so no +1 bookkeeping)
+        reps_sorted, rep_sizes = np.unique(label, return_counts=True)
+        rep_sizes = rep_sizes.astype(np.int64)
+
+    removed_ref = ray.put(removed_sorted)
+    reps_ref = ray.put(reps_sorted)
+    sizes_ref = ray.put(rep_sizes)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        removed = ray.get(removed_ref)
+        reps = ray.get(reps_ref)
+        sizes = ray.get(sizes_ref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        drop = np.zeros(len(ids), bool)
+        if len(removed):
+            pos = np.searchsorted(removed, ids)
+            pos_c = np.minimum(pos, len(removed) - 1)
+            drop = removed[pos_c] == ids
+        kept = t.filter(pa.array(~drop))
+        kids = ids[~drop]
+        csize = np.ones(len(kids), np.int64)
+        if len(reps):
+            pos = np.searchsorted(reps, kids)
+            pos_c = np.minimum(pos, len(reps) - 1)
+            hit = reps[pos_c] == kids
+            csize[hit] = sizes[pos_c[hit]]
+        return kept.append_column("cluster_size", pa.array(csize))
+
+    cols = None if output_path is not None else [id_col]
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=cols).map_batches(
+        keep_batch, batch_format="pyarrow"
+    )
+    if output_path is None:
+        ds = ds.map_batches(
+            lambda t: t.select([id_col, "cluster_size"]),
+            batch_format="pyarrow",
+        )
+    return finish(ds, [id_col], output_path)
 
 
 # --- MinHash ---------------------------------------------------------------

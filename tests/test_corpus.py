@@ -264,3 +264,51 @@ def test_repetition_stats_brute_force(corpus_mod):
         assert r["top_token_count"] == (max(Counter(toks).values()) if toks else 0)
         assert r["n_bigrams"] == len(bigs)
         assert r["top_bigram_count"] == (max(Counter(bigs).values()) if bigs else 0)
+
+
+def test_remove_dup_spans_consistent_with_dup_spans(corpus_mod):
+    """The rewrite must agree with the signal op: docs with zero dup
+    windows keep every token verbatim; docs with dup windows drop
+    between n and n_dup_windows + n - 1 tokens (overlap collapses);
+    kept_text always re-joins exactly n_tokens - n_dropped tokens."""
+    sig = corpus_mod.dup_spans(SF).to_pandas().set_index("doc_id")
+    rw = corpus_mod.remove_dup_spans(SF).to_pandas().set_index("doc_id")
+    assert set(sig.index) == set(rw.index)
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    import re
+
+    for doc_id, r in rw.iterrows():
+        s = sig.loc[doc_id]
+        assert r["n_tokens"] == s["n_windows"] + 4 or s["n_windows"] == 0
+        toks = [
+            w for w in re.split(r"[^a-z0-9]+", texts[doc_id].lower()) if w
+        ]
+        assert r["n_tokens"] == len(toks)
+        kept = r["kept_text"].split(" ") if r["kept_text"] else []
+        assert len(kept) == r["n_tokens"] - r["n_dropped"]
+        if s["n_dup_windows"] == 0:
+            assert r["n_dropped"] == 0
+            assert kept == toks
+        else:
+            # w dup windows cover at most 5w tokens (disjoint) and at
+            # least w + 4 (one contiguous run)
+            assert (
+                min(r["n_tokens"], s["n_dup_windows"] + 4)
+                <= r["n_dropped"]
+                <= min(r["n_tokens"], 5 * s["n_dup_windows"])
+            )
+            # surviving tokens are an order-preserving subsequence
+            it = iter(toks)
+            assert all(w in it for w in kept)
+
+
+def test_remove_dup_spans_shard_invariance(corpus_mod):
+    a = corpus_mod.remove_dup_spans(SF).to_pandas()
+    b = corpus_mod.remove_dup_spans(SF, n_shards=3).to_pandas()
+    assert a.equals(b)

@@ -351,3 +351,19 @@ class TestFingerprintBatch:
         want = [fingerprint_scalar(r) for r in lists.to_pylist()]
         assert list(got) == want
         assert got[0] == 0 and got[1] == 0
+
+
+def test_dedup_apply_partitions_corpus(ray_session):
+    """Survivors are exactly the distinct cluster labels, every survivor
+    is its own cluster's minimum, and cluster sizes sum back to the
+    corpus row count (the kept + removed partition is exact)."""
+    from frankensearch_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    labels = dedup.dedup_clusters(sf).to_pandas()
+    applied = dedup.dedup_apply(sf).to_pandas()
+    reps = labels.groupby("cluster").size()
+    assert sorted(applied["doc_id"]) == sorted(reps.index)
+    got = applied.set_index("doc_id")["cluster_size"]
+    assert all(got[r] == n for r, n in reps.items())
+    assert int(applied["cluster_size"].sum()) == len(labels)

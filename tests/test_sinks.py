@@ -20,6 +20,8 @@ CASES = [
     ("corpus", "doc_keywords", ["doc_id"]),
     ("corpus", "repetition_stats", ["doc_id"]),
     ("corpus", "tokenize_ids", ["doc_id", "pos"]),
+    ("corpus", "remove_dup_spans", ["doc_id"]),
+    ("dedup", "dedup_apply", ["doc_id"]),
     ("chunks", "chunk_documents", ["doc_id", "ordinal"]),
     ("events", "asof_join", ["event_id"]),
     ("events", "range_join", ["event_id"]),
