@@ -102,6 +102,45 @@ def _bloom_query(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return ((h1 & h2) & np.uint64(1)).astype(bool)
 
 
+def _segment_triu_indices(
+    bounds: np.ndarray, ends: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global (row_a, row_b) index pairs enumerating the upper triangle
+    of every run ``[s, e)`` with ``2 <= size <= cap`` — the vectorized
+    form of a per-run ``np.triu_indices`` loop.  The loop version costs
+    one Python iteration per RUN (including every singleton, which only
+    hits ``continue``); on a near-unique key column that is one
+    iteration per row.  Here the pair row index inside each run is
+    inverted to (i, j) in closed form (triangular-number root, exact in
+    float64 far beyond any realistic ``cap``, with a ±1 integer
+    correction step), so cost is O(total pairs) numpy only."""
+    sizes = ends - bounds
+    sel = (sizes >= 2) & (sizes <= cap)
+    if not sel.any():
+        z = np.array([], np.int64)
+        return z, z
+    m = sizes[sel].astype(np.int64)
+    starts = bounds[sel].astype(np.int64)
+    c = m * (m - 1) // 2
+    total = int(c.sum())
+    run = np.repeat(np.arange(len(m)), c)
+    off = np.concatenate(([0], np.cumsum(c)[:-1]))
+    L = np.arange(total, dtype=np.int64) - off[run]
+    n = m[run]
+
+    def F(i: np.ndarray) -> np.ndarray:
+        # pairs whose first element index is < i, within a run of size n
+        return i * (2 * n - i - 1) // 2
+
+    i = ((2 * n - 1) - np.sqrt((2 * n - 1.0) ** 2 - 8.0 * L)) // 2
+    i = np.minimum(i.astype(np.int64), n - 2)
+    i = np.maximum(i, 0)
+    i -= F(i) > L
+    i += F(i + 1) <= L
+    j = L - F(i) + i + 1
+    return starts[run] + i, starts[run] + j
+
+
 def _hash_texts(batch: pa.Table, text_col: str) -> pa.Table:
     # zero-copy buffer-sliced blake2b (nulls hash as b""), shared with the
     # phase-A identity kernel — no per-row as_py/encode churn
@@ -321,19 +360,10 @@ def _ngram_pairs_ds(
             np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
         )
         ends = np.concatenate((bounds[1:], [len(codes_s)]))
-        pa_parts, pb_parts, sa_parts, sb_parts = [], [], [], []
-        for s, e in zip(bounds, ends):
-            n = e - s
-            if n < 2 or n > shingle_df_cap:
-                continue
-            d = doc_s[s:e]  # unique per shingle by construction
-            sz = size_s[s:e]
-            ia, ib = np.triu_indices(n, k=1)
-            pa_parts.append(d[ia])
-            pb_parts.append(d[ib])
-            sa_parts.append(sz[ia])
-            sb_parts.append(sz[ib])
-        if not pa_parts:
+        # docs are unique per shingle by construction, so runs expand
+        # directly through the vectorized triangular kernel
+        ra, rb = _segment_triu_indices(bounds, ends, shingle_df_cap)
+        if len(ra) == 0:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),
@@ -345,10 +375,10 @@ def _ngram_pairs_ds(
             )
         pairs = pa.table(
             {
-                "a": pa.array(np.concatenate(pa_parts), pa.int64()),
-                "b": pa.array(np.concatenate(pb_parts), pa.int64()),
-                "sa": pa.array(np.concatenate(sa_parts), pa.int64()),
-                "sb": pa.array(np.concatenate(sb_parts), pa.int64()),
+                "a": pa.array(doc_s[ra], pa.int64()),
+                "b": pa.array(doc_s[rb], pa.int64()),
+                "sa": pa.array(size_s[ra], pa.int64()),
+                "sb": pa.array(size_s[rb], pa.int64()),
             }
         )
         agg = pairs.group_by(["a", "b"], use_threads=False).aggregate(
@@ -1062,28 +1092,28 @@ class MinHashBander:
 def _run_pairs(keys: np.ndarray, docs: np.ndarray, cap: int) -> pa.Table:
     """Triangular (a, b) pairs per equal-key run, runs above ``cap``
     dropped — vectorized bucket pair expansion shared by the LSH blockers."""
+    if len(keys) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
     order = np.lexsort((docs, keys))
     keys_s, docs_s = keys[order], docs[order]
+    # global (key, doc) dedup replaces the old per-run np.unique: runs
+    # are (key, doc)-sorted, so first-of-pair keeps exactly one row per
+    # (key, doc) and leaves each run's docs sorted unique
+    keep = np.concatenate(
+        ([True], (keys_s[1:] != keys_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
+    )
+    keys_s, docs_s = keys_s[keep], docs_s[keep]
     bounds = np.flatnonzero(
         np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
     )
     ends = np.concatenate((bounds[1:], [len(keys_s)]))
-    a_parts, b_parts = [], []
-    for s, e in zip(bounds, ends):
-        d = np.unique(docs_s[s:e])
-        if len(d) < 2 or len(d) > cap:
-            continue
-        ia, ib = np.triu_indices(len(d), k=1)
-        a_parts.append(d[ia])
-        b_parts.append(d[ib])
-    if not a_parts:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
+    ra, rb = _segment_triu_indices(bounds, ends, cap)
     return pa.table(
         {
-            "a": pa.array(np.concatenate(a_parts).astype(np.int64)),
-            "b": pa.array(np.concatenate(b_parts).astype(np.int64)),
+            "a": pa.array(docs_s[ra].astype(np.int64)),
+            "b": pa.array(docs_s[rb].astype(np.int64)),
         }
     )
 
@@ -1710,17 +1740,8 @@ def simhash_pairs(
             np.concatenate(([True], k_s[1:] != k_s[:-1]))
         )
         ends = np.concatenate((bounds[1:], [len(k_s)]))
-        a_p, b_p, ha_p, hb_p = [], [], [], []
-        for s, e in zip(bounds, ends):
-            n = e - s
-            if n < 2 or n > bucket_cap:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            a_p.append(d_s[s:e][ia])
-            b_p.append(d_s[s:e][ib])
-            ha_p.append(s_s[s:e][ia])
-            hb_p.append(s_s[s:e][ib])
-        if not a_p:
+        ra, rb = _segment_triu_indices(bounds, ends, bucket_cap)
+        if len(ra) == 0:
             return pa.table(
                 {
                     "a": pa.array([], pa.int64()),
@@ -1728,11 +1749,9 @@ def simhash_pairs(
                     "hamming": pa.array([], pa.int64()),
                 }
             )
-        a = np.concatenate(a_p).astype(np.int64)
-        b = np.concatenate(b_p).astype(np.int64)
-        x = np.concatenate(ha_p).astype(np.uint64) ^ np.concatenate(
-            hb_p
-        ).astype(np.uint64)
+        a = d_s[ra].astype(np.int64)
+        b = d_s[rb].astype(np.int64)
+        x = s_s[ra].astype(np.uint64) ^ s_s[rb].astype(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & 1).astype(np.int64)

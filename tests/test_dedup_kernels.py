@@ -367,3 +367,47 @@ def test_dedup_apply_partitions_corpus(ray_session):
     got = applied.set_index("doc_id")["cluster_size"]
     assert all(got[r] == n for r, n in reps.items())
     assert int(applied["cluster_size"].sum()) == len(labels)
+
+
+def test_segment_triu_kernel_matches_loop():
+    """The closed-form triangular expansion must equal a per-run
+    np.triu_indices loop on random run layouts, including the cap rule
+    and the exact cap-sized run."""
+    import numpy as np
+
+    from frankensearch_ray.pipelines.dedup import _segment_triu_indices
+
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        sizes = rng.integers(1, 14, rng.integers(1, 30))
+        bounds = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        ends = np.cumsum(sizes)
+        cap = int(rng.integers(2, 15))
+        ra, rb = _segment_triu_indices(bounds, ends, cap)
+        a_parts, b_parts = [], []
+        for s, e in zip(bounds, ends):
+            n = e - s
+            if n < 2 or n > cap:
+                continue
+            ia, ib = np.triu_indices(n, 1)
+            a_parts.append(s + ia)
+            b_parts.append(s + ib)
+        want_a = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+        want_b = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+        key = lambda a, b: np.sort(a.astype(np.int64) * 10**6 + b)
+        assert np.array_equal(key(ra, rb), key(want_a, want_b))
+    ra, rb = _segment_triu_indices(np.array([0]), np.array([900]), 900)
+    ia, ib = np.triu_indices(900, 1)
+    assert np.array_equal(ra, ia) and np.array_equal(rb, ib)
+
+
+def test_run_pairs_dedupes_key_doc():
+    import numpy as np
+
+    from frankensearch_ray.pipelines.dedup import _run_pairs
+
+    keys = np.array([1, 1, 1, 2, 2, 3], np.int64)
+    docs = np.array([5, 5, 7, 9, 9, 4], np.int64)
+    t = _run_pairs(keys, docs, 10)
+    assert sorted(zip(t["a"].to_pylist(), t["b"].to_pylist())) == [(5, 7)]
+    assert _run_pairs(np.array([], np.int64), np.array([], np.int64), 4).num_rows == 0
