@@ -25,11 +25,10 @@ _TOKS = (
 )
 _DOCS_CTE = f"docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
 
-# word-3-shingle exact-Jaccard pair CTEs (stop-shingle df cap 1000,
-# threshold 0.8) — shared by dedup_ngram_jaccard and dedup_clusters so
-# the cluster oracle closes over EXACTLY the pair set the pair oracle
-# reports; terminal CTE is ``jpairs(doc_a, doc_b, jaccard_pct)``
-_NGRAM_PAIR_CTES = """ndocs AS (
+# word-3-shingle intersection CTEs (stop-shingle df cap 1000) — the
+# shared prefix of every shingle-overlap oracle; terminal CTE is
+# ``inter(doc_a, doc_b, i)`` with ``sizes(doc_id, sz)`` alongside
+_SHINGLE_INTER_CTES = """ndocs AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(text, ' '),
                                  x -> x <> '') AS toks
@@ -55,7 +54,15 @@ _NGRAM_PAIR_CTES = """ndocs AS (
                    AND a.doc_id < b.doc_id
               WHERE a.shingle IN (SELECT shingle FROM ok_sh)
               GROUP BY a.doc_id, b.doc_id
-            ),
+            )"""
+
+# exact-Jaccard pair terminal (threshold 0.8) — shared by
+# dedup_ngram_jaccard, dedup_clusters and dedup_apply so the cluster
+# oracles close over EXACTLY the pair set the pair oracle reports;
+# terminal CTE is ``jpairs(doc_a, doc_b, jaccard_pct)``
+_NGRAM_PAIR_CTES = (
+    _SHINGLE_INTER_CTES
+    + """,
             jpairs AS (
               SELECT doc_a, doc_b,
                      floor(100.0 * i / (sa.sz + sb.sz - i) + 1e-9)::BIGINT
@@ -65,6 +72,7 @@ _NGRAM_PAIR_CTES = """ndocs AS (
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE 1.0 * i / (sa.sz + sb.sz - i) >= 0.8
             )"""
+)
 
 
 def _fieldnorm_values_sql() -> str:
@@ -155,6 +163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the step a pipeline actually ships: keep the min-doc_id
         # representative per cluster, survivors + cluster sizes
         "dedup_apply": dedup.dedup_apply,
+        # one-sided containment (doc-inside-doc near-dups symmetric
+        # Jaccard misses) — same cached set-similarity join artifact
+        "dedup_containment": dedup.containment_pairs,
+        # cross-corpus exact anti-join (drop docs already present in a
+        # reference snapshot; ref side = doc_id % 7 slice for the oracle)
+        "dedup_against": dedup.dedup_against,
         "dedup_minhash": dedup.minhash_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_cosine_pairs,
@@ -191,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": corpus.doc_keywords,
         "curate_filter": corpus.curate_filter,
         "tokenize_ids": corpus.tokenize_ids,
+        # rare-token mass (Gopher-style garbage signal; scale-free
+        # threshold, no vocabulary broadcast)
+        "rare_token_scores": corpus.rare_token_scores,
         "dup_spans": corpus.dup_spans,
         # span-level rewrite of the dup_spans signal (Lee et al. 2021)
         "remove_dup_spans": corpus.remove_dup_spans,
@@ -483,6 +500,26 @@ def oracle_sql() -> dict[str, str]:
             WITH {_NGRAM_PAIR_CTES}
             SELECT doc_a, doc_b, jaccard_pct FROM jpairs
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLE_INTER_CTES}
+            SELECT doc_a, doc_b,
+                   floor(100.0 * i / least(sa.sz, sb.sz) + 1e-9)::BIGINT
+                     AS containment_pct
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 1.0 * i / least(sa.sz, sb.sz) >= 0.9
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_against": """
+            WITH h AS (
+              SELECT doc_id, substr(text, 1, 128) AS p FROM documents
+            )
+            SELECT doc_id FROM h
+            WHERE doc_id % 7 <> 0
+              AND p NOT IN (SELECT p FROM h WHERE doc_id % 7 = 0)
+            ORDER BY doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_NGRAM_PAIR_CTES},
@@ -777,6 +814,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df FROM r WHERE rn = 1
             ORDER BY doc_id
+        """,
+        # rare-token mass: a token is rare iff 128 * corpus_count <
+        # total corpus tokens (a fixed fraction of the mean token's
+        # share — scale-free), rare_pct by exact integer division
+        "rare_token_scores": f"""
+            WITH {docs},
+            t AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            tot AS (SELECT count(*) AS n FROM t),
+            cf AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+            r AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(CASE WHEN 128 * cf.c < tot.n THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_rare
+              FROM t JOIN cf USING (term) CROSS JOIN tot
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, n_rare,
+                   ((100 * n_rare) // n_tokens)::BIGINT AS rare_pct
+            FROM r ORDER BY doc_id
         """,
         # fused curation pass: the docs surviving length window, max word
         # length, digit ratio, top-token repetition ratio, and lang-ID

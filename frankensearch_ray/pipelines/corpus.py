@@ -483,6 +483,148 @@ def curate_filter(
 # --- per-doc keyword extraction -----------------------------------------------
 
 
+def _tf_partials(
+    t: pa.Table, id_col: str, text_col: str, n_shards: int
+) -> pa.Table:
+    """(tshard, term, doc_id, tf) partials for one batch — one row per
+    distinct doc-term pair (composite-key ``np.unique``), sharded on
+    ``blake2b(term) % n_shards`` so every row of a term lands in one
+    shard and in-shard per-term counts are exact.  Shared stage 1 of
+    the tf⨝df family (``doc_keywords``, ``rare_token_scores``)."""
+    lists = _tokens_of(t, text_col)
+    flat, doc_idx, _ = _flat_tokens(lists)
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    nz = lens > 0
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    flat = flat.filter(pa.array(nz))
+    doc_idx = doc_idx[nz]
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "tshard": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy().astype(np.int64)
+    vocab = denc.dictionary
+    v = len(vocab)
+    uk, cnt = np.unique(doc_idx * v + codes, return_counts=True)
+    d = (uk // v).astype(np.int64)
+    c = (uk % v).astype(np.int64)
+    ids = t[id_col].to_numpy().astype(np.int64)
+    # deterministic shard per UNIQUE term only (dictionary trick;
+    # zero-copy buffer-sliced blake2b, no to_pylist/encode churn)
+    shard = (hash64_column(vocab) % np.uint64(n_shards)).view(np.int64)
+    return pa.table(
+        {
+            "tshard": pa.array(shard[c]),
+            "term": vocab.take(pa.array(c)),
+            "doc_id": pa.array(ids[d]),
+            "tf": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def rare_token_scores(
+    sf_dir: str,
+    rel_denom: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens, n_rare, rare_pct): per-doc rare-token mass —
+    the Gopher-family garbage signal (a doc whose tokens are mostly
+    corpus-rare is OCR noise, codey junk, or boilerplate hash soup).
+    A token is RARE iff ``rel_denom * cf < total_tokens`` where ``cf``
+    is its corpus-wide occurrence count — a scale-free threshold (a
+    fixed fraction of the mean token's share), so the contract is
+    invariant to corpus size; ``rare_pct = (100 * n_rare) // n_tokens``
+    keeps the output integer-exact.
+
+    Scale shape: corpus totals come from zero-exchange per-batch count
+    partials (ONE scalar crosses to the driver); term counts are exact
+    within the ``blake2b(term) % K`` shard of the shared
+    :func:`_tf_partials` exchange, so the rare verdict is stamped
+    in-shard with NO vocabulary broadcast (at web scale the rare tail
+    IS the vocabulary — shipping it anywhere corpus-wide is the
+    anti-pattern); per-doc rollup re-shards by ``doc_id % K``.  Both
+    exchanges are the same hash-sharded shapes as ``doc_keywords``.
+    """
+    import ray.data as rd
+
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+
+    src = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, _, _ = _flat_tokens(lists)
+        n = int(
+            pc.sum(
+                pc.greater(pc.binary_length(flat), 0), min_count=0
+            ).as_py()
+        )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total_tokens = int(
+        src.map_batches(count_batch, batch_format="pyarrow").sum("n")
+    )
+
+    def stamp_rare(g: pa.Table) -> pa.Table:
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        codes = pc.dictionary_encode(term).indices.to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        cf = np.bincount(codes, weights=tf).astype(np.int64)[codes]
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        rare = (rel_denom * cf < total_tokens).astype(np.int64)
+        return pa.table(
+            {
+                "dshard": pa.array((ids % n_shards).astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "tf": pa.array(tf),
+                "rare_tf": pa.array(tf * rare),
+            }
+        )
+
+    def rollup(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        rtf = g["rare_tf"].to_numpy().astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        n_tok = np.bincount(inv, weights=tf).astype(np.int64)
+        n_rare = np.bincount(inv, weights=rtf).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "n_tokens": pa.array(n_tok),
+                "n_rare": pa.array(n_rare),
+                "rare_pct": pa.array((100 * n_rare) // n_tok),
+            }
+        )
+
+    from ._sink import finish
+
+    return finish(
+        src.map_batches(
+            lambda t: _tf_partials(t, id_col, text_col, n_shards),
+            batch_format="pyarrow",
+        )
+        .groupby("tshard")
+        .map_groups(stamp_rare, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(rollup, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
+    )
+
+
 def doc_keywords(
     sf_dir: str,
     id_col: str = "doc_id",
@@ -512,41 +654,7 @@ def doc_keywords(
         n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
 
     def tf_batch(t: pa.Table) -> pa.Table:
-        lists = _tokens_of(t, text_col)
-        flat, doc_idx, _ = _flat_tokens(lists)
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        nz = lens > 0
-        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-        flat = flat.filter(pa.array(nz))
-        doc_idx = doc_idx[nz]
-        if len(flat) == 0:
-            return pa.table(
-                {
-                    "tshard": pa.array([], pa.int64()),
-                    "term": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                }
-            )
-        denc = pc.dictionary_encode(flat)
-        codes = denc.indices.to_numpy().astype(np.int64)
-        vocab = denc.dictionary
-        v = len(vocab)
-        uk, cnt = np.unique(doc_idx * v + codes, return_counts=True)
-        d = (uk // v).astype(np.int64)
-        c = (uk % v).astype(np.int64)
-        ids = t[id_col].to_numpy().astype(np.int64)
-        # deterministic shard per UNIQUE term only (dictionary trick;
-        # zero-copy buffer-sliced blake2b, no to_pylist/encode churn)
-        shard = (hash64_column(vocab) % np.uint64(n_shards)).view(np.int64)
-        return pa.table(
-            {
-                "tshard": pa.array(shard[c]),
-                "term": vocab.take(pa.array(c)),
-                "doc_id": pa.array(ids[d]),
-                "tf": pa.array(cnt.astype(np.int64)),
-            }
-        )
+        return _tf_partials(t, id_col, text_col, n_shards)
 
     def attach_df(g: pa.Table) -> pa.Table:
         term = g["term"]

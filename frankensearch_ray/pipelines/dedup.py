@@ -307,10 +307,18 @@ def _ngram_pairs_ds(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int | None = None,
+    metric: str = "jaccard",
 ):
-    """Exact all-pairs word-k-shingle Jaccard >= threshold, as a LAZY
-    Dataset of (doc_a, doc_b, jaccard_pct) — the pair set never touches
+    """Exact all-pairs word-k-shingle similarity >= threshold, as a LAZY
+    Dataset of (doc_a, doc_b, <metric>_pct) — the pair set never touches
     the driver.
+
+    ``metric="jaccard"`` scores ``|A∩B| / |A∪B|`` (symmetric near-dup);
+    ``metric="containment"`` scores ``|A∩B| / min(|A|, |B|)`` — the
+    one-sided overlap that catches doc-inside-doc duplication (a page
+    quoting another wholesale) which symmetric Jaccard misses whenever
+    the sizes differ.  Both ride the identical exchange; only the final
+    in-task filter arithmetic differs.
 
     Distributed set-similarity join: explode (shingle, doc), drop shingles
     with df > cap (contractual stop-shingle rule), co-occurrence counts per
@@ -326,6 +334,9 @@ def _ngram_pairs_ds(
 
     import hashlib
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown pair metric: {metric!r}")
+    score_col = f"{metric}_pct"
     if n_buckets is None:
         n_buckets = _scaled_shards(
             _parquet_num_rows(_doc_path(sf_dir)), 512, floor=64
@@ -420,20 +431,21 @@ def _ngram_pairs_ds(
         inter = agg["n_sum"].to_numpy().astype(np.int64)
         a = agg["a"].to_numpy().astype(np.int64)
         b = agg["b"].to_numpy().astype(np.int64)
-        union = (
-            agg["sa_min"].to_numpy().astype(np.int64)
-            + agg["sb_min"].to_numpy().astype(np.int64)
-            - inter
-        )
-        jac = inter / union
-        keep = jac >= threshold
-        # integer-exact output for oracle comparison: jaccard as floor(pct)
+        sa = agg["sa_min"].to_numpy().astype(np.int64)
+        sb = agg["sb_min"].to_numpy().astype(np.int64)
+        if metric == "containment":
+            denom = np.minimum(sa, sb)
+        else:
+            denom = sa + sb - inter
+        score = inter / denom
+        keep = score >= threshold
+        # integer-exact output for oracle comparison: score as floor(pct)
         return pa.table(
             {
                 "doc_a": pa.array(a[keep], pa.int64()),
                 "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard_pct": pa.array(
-                    np.floor(jac[keep] * 100 + 1e-9).astype(np.int64)
+                score_col: pa.array(
+                    np.floor(score[keep] * 100 + 1e-9).astype(np.int64)
                 ),
             }
         )
@@ -453,6 +465,7 @@ def pair_graph_layout(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int | None = None,
+    metric: str = "jaccard",
 ) -> tuple[str, int]:
     """Build-or-reuse the near-dup EDGE artifact: the exact ngram-Jaccard
     pair set of :func:`_ngram_pairs_ds` streamed to parquet once per
@@ -480,7 +493,7 @@ def pair_graph_layout(
         _ann.CACHE_ROOT,
         tag,
         "dedup_idx",
-        f"pairs_t{int(round(threshold * 1000))}_k{k}_c{shingle_df_cap}"
+        f"pairs_{metric}_t{int(round(threshold * 1000))}_k{k}_c{shingle_df_cap}"
         f"_b{n_buckets}_{id_col}_{text_col}",
     )
     data_dir = os.path.join(out_dir, "data")
@@ -493,6 +506,7 @@ def pair_graph_layout(
         "n_buckets": n_buckets,
         "id_col": id_col,
         "text_col": text_col,
+        "metric": metric,
     }
     import json
 
@@ -513,7 +527,8 @@ def pair_graph_layout(
     tmp_data = os.path.join(tmp, "data")
     os.makedirs(tmp_data, exist_ok=True)
     _ngram_pairs_ds(
-        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets,
+        metric=metric,
     ).write_parquet(tmp_data)
     n_pairs = 0
     for fn in os.listdir(tmp_data):
@@ -559,6 +574,123 @@ def ngram_jaccard_pairs(
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(
         out[["doc_a", "doc_b", "jaccard_pct"]], preserve_index=False
+    )
+
+
+def containment_pairs(
+    sf_dir: str,
+    threshold: float = 0.9,
+    k: int = 3,
+    shingle_df_cap: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """One-sided shingle-containment near-dup pairs:
+    ``|A∩B| / min(|A|, |B|) >= threshold`` over word-k-shingles — the
+    doc-inside-doc detector (a page embedding another page's full text
+    scores ~1.0 here but can score arbitrarily low on symmetric Jaccard
+    as the host page grows).  Same cached edge-artifact discipline and
+    the exact same distributed set-similarity join as
+    :func:`ngram_jaccard_pairs`; only the in-task filter arithmetic
+    differs, so the scale shape is identical."""
+    import ray.data as rd
+
+    data_dir, n_pairs = pair_graph_layout(
+        sf_dir, threshold, k, shingle_df_cap, id_col, text_col, n_buckets,
+        metric="containment",
+    )
+    if n_pairs == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "containment_pct": pa.array([], pa.int64()),
+            }
+        )
+    out = rd.read_parquet(data_dir).to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["doc_a", "doc_b", "containment_pct"]], preserve_index=False
+    )
+
+
+def dedup_against(
+    sf_dir: str,
+    mod: int = 7,
+    prefix_chars: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Cross-corpus dedup: drop every new doc whose content key already
+    appears in a reference corpus (the previous crawl snapshot / an
+    already-trained-on shard).  The key is the first ``prefix_chars``
+    codepoints of the text — the CCNet-style head key that catches
+    "same article, different footer/timestamp" re-crawls that full-text
+    equality misses.  The reference side here is the deterministic
+    slice ``doc_id % mod == 0`` of the same table so the driver oracle
+    stays self-contained; a real job passes two parquet roots through
+    the same exchange.
+
+    Scale shape: ONE pass over both corpora, each row tagged with its
+    side and sharded on ``key_hash % K`` (K scales with the corpus)
+    — a hash-partitioned ANTI-JOIN.  All copies of a key land in one
+    shard, so the in-shard membership test is exact, the reference set
+    is never broadcast (at 100 TB the previous snapshot is as big as
+    the input), and survivors stream straight to the sink.  Equality is
+    by 64-bit key hash (the same zero-copy blake2b-slice kernel as
+    ``exact_dedup``); a 100 TB deployment widens the slice to 128 bits,
+    which changes no shapes."""
+    import ray.data as rd
+
+    from ..stages.tokenize import hash64_column
+
+    if n_shards is None:
+        n_shards = _scaled_shards(_parquet_num_rows(_doc_path(sf_dir)), 8192)
+
+    def tag_and_shard(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash64_column(
+            pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, prefix_chars)
+        )
+        return pa.table(
+            {
+                "hshard": pa.array((h % np.uint64(n_shards)).view(np.int64)),
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids),
+                "is_ref": pa.array(ids % mod == 0),
+            }
+        )
+
+    def anti_join(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        h = g["h"].to_numpy().astype(np.int64)
+        ref = g["is_ref"].to_numpy(zero_copy_only=False)
+        ref_h = np.unique(h[ref])
+        new = ~ref
+        if len(ref_h):
+            pos = np.searchsorted(ref_h, h[new])
+            pos[pos == len(ref_h)] = 0
+            hit = ref_h[pos] == h[new]
+        else:
+            hit = np.zeros(int(new.sum()), bool)
+        keep = ids[new][~hit]
+        return pa.table({"doc_id": pa.array(np.sort(keep), pa.int64())})
+
+    from ._sink import finish
+
+    return finish(
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(tag_and_shard, batch_format="pyarrow")
+        .groupby("hshard")
+        .map_groups(anti_join, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
     )
 
 

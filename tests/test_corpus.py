@@ -312,3 +312,50 @@ def test_remove_dup_spans_shard_invariance(corpus_mod):
     a = corpus_mod.remove_dup_spans(SF).to_pandas()
     b = corpus_mod.remove_dup_spans(SF, n_shards=3).to_pandas()
     assert a.equals(b)
+
+
+def test_rare_token_scores_local_reference(corpus_mod):
+    """Exact agreement with a brute-force local computation at sf0.001
+    (the oracle gate pins sf0.01) plus shard invariance."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = corpus_mod.rare_token_scores(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(SF + "/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    cf: collections.Counter = collections.Counter()
+    doc_toks = {}
+    for d, s in texts.items():
+        toks = [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+        doc_toks[d] = toks
+        cf.update(toks)
+    total = sum(cf.values())
+    for d, toks in doc_toks.items():
+        if not toks:
+            assert d not in got.index
+            continue
+        n_rare = sum(1 for w in toks if 128 * cf[w] < total)
+        r = got.loc[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_rare"] == n_rare
+        assert r["rare_pct"] == (100 * n_rare) // len(toks)
+    b = corpus_mod.rare_token_scores(SF, n_shards=3).to_pandas()
+    assert b.set_index("doc_id").equals(got)
+
+
+def test_rare_token_scores_sink_differential(corpus_mod, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    table = corpus_mod.rare_token_scores(SF).to_pandas()
+    out = str(tmp_path / "rare")
+    assert corpus_mod.rare_token_scores(SF, output_path=out) is None
+    sunk = (
+        rd.read_parquet(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sunk, table, check_dtype=False)

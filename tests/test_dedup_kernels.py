@@ -411,3 +411,61 @@ def test_run_pairs_dedupes_key_doc():
     t = _run_pairs(keys, docs, 10)
     assert sorted(zip(t["a"].to_pylist(), t["b"].to_pylist())) == [(5, 7)]
     assert _run_pairs(np.array([], np.int64), np.array([], np.int64), 4).num_rows == 0
+
+
+def test_containment_superset_of_jaccard(ray_session):
+    """At equal thresholds, containment >= jaccard pointwise, so the
+    jaccard pair set must be a subset of the containment pair set."""
+    from frankensearch_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    jac = dedup.ngram_jaccard_pairs(sf, threshold=0.8).to_pandas()
+    con = dedup.containment_pairs(sf, threshold=0.8).to_pandas()
+    jp = set(zip(jac["doc_a"], jac["doc_b"]))
+    cp = set(zip(con["doc_a"], con["doc_b"]))
+    assert jp <= cp
+    # containment_pct >= the pair's jaccard_pct wherever both report
+    c = con.set_index(["doc_a", "doc_b"])["containment_pct"]
+    for (a, b), j in zip(jp, jac.set_index(["doc_a", "doc_b"])
+                         .loc[list(jp), "jaccard_pct"]):
+        assert c.loc[(a, b)] >= j
+
+
+def test_dedup_against_partition_and_complement(ray_session):
+    """Survivors are shard-count-invariant, disjoint from the reference
+    slice, and exactly the non-ref docs minus prefix-key hits."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    a = dedup.dedup_against(sf).to_pandas()
+    b = dedup.dedup_against(sf, n_shards=3).to_pandas()
+    assert a.equals(b)
+    t = pq.read_table(sf + "/documents.parquet")
+    ids = t["doc_id"].to_pylist()
+    texts = dict(zip(ids, t["text"].to_pylist()))
+    ref_keys = {texts[d][:128] for d in ids if d % 7 == 0}
+    want = sorted(
+        d for d in ids if d % 7 != 0 and texts[d][:128] not in ref_keys
+    )
+    assert a["doc_id"].tolist() == want
+
+
+def test_dedup_against_sink_differential(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from frankensearch_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    table = dedup.dedup_against(sf).to_pandas()
+    out = str(tmp_path / "against")
+    assert dedup.dedup_against(sf, output_path=out) is None
+    sunk = (
+        rd.read_parquet(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sunk, table, check_dtype=False)
