@@ -860,204 +860,62 @@ def tokenize_ids(
 # --- duplicate n-gram span detection ------------------------------------------
 
 
-def dup_spans(
+def dup_routes_layout(
     sf_dir: str,
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int | None = None,
-    output_path: str | None = None,
-) -> pa.Table | None:
-    """(doc_id, n_windows, n_dup_windows): for every doc, how many of its
-    word ``n``-gram windows occur at least twice corpus-wide (including
-    within-doc repeats) — the per-document exact-substring-duplication
-    signal the webtext dedup literature removes spans by (Lee et al.
-    2021, "Deduplicating Training Data Makes Language Models Better",
-    arXiv:2107.06499, at n-gram rather than suffix-array granularity).
+) -> tuple[str, int]:
+    """Build-or-reuse the duplicated-gram ROUTE artifact: one parquet
+    row per (doc_id, gram, cnt) where ``gram`` is a word ``n``-gram
+    occurring >= 2 times corpus-wide and ``cnt`` its in-doc window
+    count — duplicated-content-proportional, never corpus-sized.  The
+    gram-count exchange is the expensive half of both span operators
+    (:func:`dup_spans` reads the signal, :func:`remove_dup_spans` the
+    rewrite); a 100 TB job computes it ONCE and feeds both consumers,
+    the same build-once discipline as ``dedup.pair_graph_layout``.
+    Returns ``(data_dir, n_routes)`` with the count from parquet
+    footers (no data read); writes are atomic (temp dir + rename),
+    keyed on source mtime + parameters."""
+    import json
+    import shutil
+    import uuid
+    from pathlib import Path
 
-    Scale shape: ONE corpus read.  The single pass emits two combiner
-    row kinds into one exchange: per-(gram, doc) count rows — already
-    collapsed to one row per (gram, doc) since a doc never splits across
-    batches — sharded on ``blake2b(gram) % K`` with K scaling with the
-    corpus, plus per-doc window-total rows (gram = null) sharded on
-    ``-(1 + doc_id % K)`` so they spread across their own groups instead
-    of forming one corpus-sized group.  Every occurrence of a gram lands
-    in one shard, so the in-shard total is exact, dup verdicts are
-    local, and each shard emits only per-doc partial sums; window-total
-    groups pass through.  The final per-doc rollup is a doc_id-keyed sum
-    over at most K+1 rows per doc.  This is the same exchange class as
-    the posting-list build: one all-to-all over the gram vocabulary (NOT
-    over positions — the combiner ships counts, not occurrences).
-    ``output_path`` streams the per-doc rows to partitioned parquet
-    instead of returning a table (the corpus-sized-output sink
-    discipline).
-    """
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    path = _doc_path(sf_dir)
-    if n_shards is None:
-        n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
-
-    def partials(t: pa.Table) -> pa.Table:
-        """One pass, two row kinds: (gram, doc, cnt) combiner rows on
-        gram-hash shards; (null, doc, n_windows) rows on doc-id shards."""
-        ids = t[id_col].to_numpy().astype(np.int64)
-        lists = _tokens_of(t, text_col)
-        flat, doc_idx, _ = _flat_tokens(lists)
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
-            np.int64
-        )
-        win_rows = pa.table(
-            {
-                "gram": pa.array([None] * len(ids), pa.string()),
-                "doc_id": pa.array(ids),
-                "cnt": pa.array(np.maximum(0, ntok - n + 1)),
-                "shard": pa.array(-(1 + ids % n_shards)),
-            }
-        )
-        grams, didx = _doc_ngrams(t, text_col, n)
-        if grams is None:
-            return win_rows
-        agg = (
-            pa.table({"gram": grams, "doc_id": pa.array(ids[didx])})
-            .group_by(["gram", "doc_id"], use_threads=False)
-            .aggregate([("gram", "count")])
-        )
-        # one blake2b per UNIQUE gram, broadcast back via dictionary codes
-        uniq = pc.unique(agg["gram"])
-        h = hash64_column(uniq)
-        codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
-            zero_copy_only=False
-        )
-        gram_rows = pa.table(
-            {
-                "gram": agg["gram"],
-                "doc_id": agg["doc_id"].cast(pa.int64()),
-                "cnt": agg["gram_count"].cast(pa.int64()),
-                "shard": pa.array(
-                    (h % np.uint64(n_shards)).view(np.int64)[codes]
-                ),
-            }
-        )
-        return pa.concat_tables([win_rows, gram_rows])
-
-    _sd_empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "n_windows": pa.array([], pa.int64()),
-            "dup_cnt": pa.array([], pa.int64()),
-        }
-    )
-
-    def shard_dup(g: pa.Table) -> pa.Table:
-        if int(g["shard"][0].as_py()) < 0:
-            # window-total group: rows are already per-doc final
-            return pa.table(
-                {
-                    "doc_id": g["doc_id"].cast(pa.int64()),
-                    "n_windows": g["cnt"].cast(pa.int64()),
-                    "dup_cnt": pa.array(np.zeros(len(g), np.int64)),
-                }
-            )
-        tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
-        dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
-        if len(dup_grams) == 0:
-            return _sd_empty
-        hit = g.filter(
-            pc.is_in(g["gram"], value_set=dup_grams.combine_chunks())
-        )
-        agg = hit.group_by("doc_id", use_threads=False).aggregate(
-            [("cnt", "sum")]
-        )
-        return pa.table(
-            {
-                "doc_id": agg["doc_id"].cast(pa.int64()),
-                "n_windows": pa.array(np.zeros(len(agg), np.int64)),
-                "dup_cnt": agg["cnt_sum"].cast(pa.int64()),
-            }
-        )
-
-    dups = (
-        rd.read_parquet(path, columns=[id_col, text_col])
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(shard_dup, batch_format="pyarrow")
-    )
-    # the per-doc rollup STAYS a Dataset: one doc-keyed exchange over at
-    # most K+1 small rows per doc, so the sink path never materializes a
-    # corpus-sized table on the driver
-    rolled = (
-        dups.groupby("doc_id")
-        .sum(["n_windows", "dup_cnt"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "n_windows": t["sum(n_windows)"].cast(pa.int64()),
-                    "n_dup_windows": t["sum(dup_cnt)"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    if output_path is not None:
-        rolled.write_parquet(output_path)
-        return None
-    out = rolled.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def remove_dup_spans(
-    sf_dir: str,
-    n: int = 5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_shards: int | None = None,
-    output_path: str | None = None,
-) -> pa.Table | None:
-    """(doc_id, n_tokens, n_dropped, kept_text): the span-level REWRITE
-    :func:`dup_spans` is the signal for — every token covered by at
-    least one duplicated ``n``-gram window (gram occurs >= 2 times
-    corpus-wide, within-doc repeats included) is dropped, and the doc's
-    surviving tokens are re-joined in order.  This is the Lee et al.
-    2021 (arXiv:2107.06499) ExactSubstr removal step at n-gram
-    granularity: dedup by deleting the repeated spans themselves rather
-    than whole documents.
-
-    Scale shape: two exchanges, both vocabulary/dup-bounded — never
-    position-bounded.  Pass A is :func:`dup_spans`'s combiner exchange
-    (per-batch (gram, doc, cnt) partials, gram-hash sharded, exact
-    in-shard totals); each shard emits only (doc_id, gram) DUP routes,
-    proportional to duplicated content.  Pass B co-locates each doc's
-    text with its dup routes via one ``doc_id % K`` tagged-union
-    exchange and rewrites locally: window starts are recomputed
-    vectorized (the same ``n``-offset AND-mask as
-    :func:`_doc_ngrams`), membership is one ``is_in`` on composed
-    ``doc\\x1fgram`` keys, coverage is a +1/-1 difference array summed
-    once over the group's flat token space (window spans never cross
-    doc boundaries, so one cumsum serves every doc), and the kept text
-    is one ``binary_join`` over a rebuilt list array.  No per-row
-    Python in either pass; ``output_path`` streams the rewritten rows
-    to partitioned parquet (the corpus-sized-output sink discipline).
-    """
-    import ray.data as rd
-
-    from ._sink import finish
+    from ..stages.tokenize import hash64_column
+    from . import ann as _ann
 
     path = _doc_path(sf_dir)
     if n_shards is None:
         n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
     K = n_shards
-
-    _empty_routes = pa.table(
-        {
-            "dshard": pa.array([], pa.int64()),
-            "kind": pa.array([], pa.int8()),
-            "doc_id": pa.array([], pa.int64()),
-            "payload": pa.array([], pa.string()),
-        }
+    tag = Path(sf_dir.rstrip("/")).name or "sf"
+    out_dir = os.path.join(
+        _ann.CACHE_ROOT,
+        tag,
+        "dup_idx",
+        f"routes_n{n}_k{K}_{id_col}_{text_col}",
     )
+    data_dir = os.path.join(out_dir, "data")
+    meta_path = os.path.join(out_dir, "meta.json")
+    want = {
+        "source_mtime": os.path.getmtime(path),
+        "n": n,
+        "n_shards": K,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("want") == want:
+            return data_dir, int(meta["n_routes"])
+    except (OSError, json.JSONDecodeError, KeyError, ValueError):
+        pass
 
     def gram_partials(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
@@ -1091,24 +949,198 @@ def remove_dup_spans(
             }
         )
 
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
     def dup_routes(g: pa.Table) -> pa.Table:
-        """Exact in-shard gram totals -> (doc, gram) routes for dup grams
-        only, deduped so pass B ships each (doc, gram) once."""
+        """Exact in-shard gram totals -> (doc, gram, cnt) routes for dup
+        grams only (a doc's rows were pre-combined per batch, so the
+        in-shard (doc, gram) row is already unique)."""
         tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
         dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
         if len(dup_grams) == 0:
-            return _empty_routes
+            return _empty
         hit = g.filter(
             pc.is_in(g["gram"], value_set=dup_grams.combine_chunks())
         )
-        d = hit.group_by(["doc_id", "gram"], use_threads=False).aggregate([])
-        ids = d["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": hit["doc_id"].cast(pa.int64()),
+                "gram": hit["gram"],
+                "cnt": hit["cnt"].cast(pa.int64()),
+            }
+        )
+
+    tmp = out_dir + f".{uuid.uuid4().hex}.tmp"
+    tmp_data = os.path.join(tmp, "data")
+    os.makedirs(tmp_data, exist_ok=True)
+    (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dup_routes, batch_format="pyarrow")
+        .write_parquet(tmp_data)
+    )
+    n_routes = 0
+    for fn in os.listdir(tmp_data):
+        if fn.endswith(".parquet"):
+            n_routes += pq.ParquetFile(
+                os.path.join(tmp_data, fn)
+            ).metadata.num_rows
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"want": want, "n_routes": n_routes}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    os.replace(tmp, out_dir)
+    return data_dir, n_routes
+
+
+def dup_spans(
+    sf_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_windows, n_dup_windows): for every doc, how many of its
+    word ``n``-gram windows occur at least twice corpus-wide (including
+    within-doc repeats) — the per-document exact-substring-duplication
+    signal the webtext dedup literature removes spans by (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at n-gram rather than suffix-array granularity).
+
+    Scale shape: the gram-count exchange lives in the shared
+    :func:`dup_routes_layout` artifact (sharded on ``blake2b(gram) % K``
+    with K scaling with the corpus; the combiner ships counts, not
+    occurrences — the same exchange class as the posting-list build),
+    computed ONCE per (corpus, n) and reused by
+    :func:`remove_dup_spans`.  This operator then reads the
+    dup-proportional routes plus ONE zero-exchange corpus pass for the
+    per-doc window totals, and rolls up over a doc_id-keyed exchange of
+    at most (1 + dup grams) small rows per doc.  ``output_path``
+    streams the per-doc rows to partitioned parquet instead of
+    returning a table (the corpus-sized-output sink discipline).
+    """
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+    data_dir, n_routes = dup_routes_layout(
+        sf_dir, n, id_col, text_col, n_shards
+    )
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_windows": pa.array(np.maximum(0, ntok - n + 1)),
+                "dup_cnt": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    rolled = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+        win_rows, batch_format="pyarrow"
+    )
+    if n_routes:
+        dup_rows = rd.read_parquet(
+            data_dir, columns=["doc_id", "cnt"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_windows": pa.array(np.zeros(len(t), np.int64)),
+                    "dup_cnt": t["cnt"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        rolled = rolled.union(dup_rows)
+    # the per-doc rollup STAYS a Dataset: one doc-keyed exchange over
+    # small rows, so the sink path never materializes a corpus-sized
+    # table on the driver
+    rolled = rolled.groupby("doc_id").sum(["n_windows", "dup_cnt"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_windows": t["sum(n_windows)"].cast(pa.int64()),
+                "n_dup_windows": t["sum(dup_cnt)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if output_path is not None:
+        rolled.write_parquet(output_path)
+        return None
+    out = rolled.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def remove_dup_spans(
+    sf_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens, n_dropped, kept_text): the span-level REWRITE
+    :func:`dup_spans` is the signal for — every token covered by at
+    least one duplicated ``n``-gram window (gram occurs >= 2 times
+    corpus-wide, within-doc repeats included) is dropped, and the doc's
+    surviving tokens are re-joined in order.  This is the Lee et al.
+    2021 (arXiv:2107.06499) ExactSubstr removal step at n-gram
+    granularity: dedup by deleting the repeated spans themselves rather
+    than whole documents.
+
+    Scale shape: two exchanges, both vocabulary/dup-bounded — never
+    position-bounded.  Pass A is the shared :func:`dup_routes_layout`
+    artifact (per-batch (gram, doc, cnt) partials, gram-hash sharded,
+    exact in-shard totals), computed once per (corpus, n) and reused
+    by :func:`dup_spans`; it holds only (doc_id, gram) DUP routes,
+    proportional to duplicated content.  Pass B co-locates each doc's
+    text with its dup routes via one ``doc_id % K`` tagged-union
+    exchange and rewrites locally: window starts are recomputed
+    vectorized (the same ``n``-offset AND-mask as
+    :func:`_doc_ngrams`), membership is one ``is_in`` on composed
+    ``doc\\x1fgram`` keys, coverage is a +1/-1 difference array summed
+    once over the group's flat token space (window spans never cross
+    doc boundaries, so one cumsum serves every doc), and the kept text
+    is one ``binary_join`` over a rebuilt list array.  No per-row
+    Python in either pass; ``output_path`` streams the rewritten rows
+    to partitioned parquet (the corpus-sized-output sink discipline).
+    """
+    import ray.data as rd
+
+    from ._sink import finish
+
+    path = _doc_path(sf_dir)
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(path) / 8192))
+    K = n_shards
+    data_dir, n_routes = dup_routes_layout(
+        sf_dir, n, id_col, text_col, n_shards
+    )
+
+    def route_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
         return pa.table(
             {
                 "dshard": pa.array(ids % K),
                 "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
                 "doc_id": pa.array(ids),
-                "payload": d["gram"],
+                "payload": t["gram"],
             }
         )
 
@@ -1188,19 +1220,16 @@ def remove_dup_spans(
             }
         )
 
-    routes = (
-        rd.read_parquet(path, columns=[id_col, text_col])
-        .map_batches(gram_partials, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(dup_routes, batch_format="pyarrow")
-    )
     docs_ds = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
         doc_rows, batch_format="pyarrow"
     )
-    out = (
-        docs_ds.union(routes)
-        .groupby("dshard")
-        .map_groups(rewrite, batch_format="pyarrow")
+    if n_routes:
+        routes = rd.read_parquet(
+            data_dir, columns=["doc_id", "gram"]
+        ).map_batches(route_rows, batch_format="pyarrow")
+        docs_ds = docs_ds.union(routes)
+    out = docs_ds.groupby("dshard").map_groups(
+        rewrite, batch_format="pyarrow"
     )
     return finish(out, ["doc_id"], output_path)
 
