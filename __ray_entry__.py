@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": textstats.media_resize,
         # corpus curation (training-data pipeline ops beyond the reference)
         "sample_stratified": corpus.sample_stratified,
+        # deterministic global shuffle + fixed-size training shards
+        # (hash-range exchange, not a full sort)
+        "shuffle_shards": corpus.shuffle_shards,
         "pack_sequences": corpus.pack_sequences,
         "ngram_topk": corpus.ngram_topk,
         "repetition_stats": corpus.repetition_stats,
@@ -675,6 +678,19 @@ def oracle_sql() -> dict[str, str]:
                            doc_id) AS rn
               FROM documents) WHERE rn <= 25
             ORDER BY lang, doc_id
+        """,
+        # deterministic global shuffle (knuth-hash total order) cut into
+        # fixed-size training shards
+        "shuffle_shards": """
+            WITH r AS (
+              SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                           doc_id) - 1 AS pos
+              FROM documents)
+            SELECT doc_id, (pos // 1000)::BIGINT AS shard_id,
+                   (pos % 1000)::BIGINT AS pos_in_shard
+            FROM r ORDER BY doc_id
         """,
         # GPT-style packing: docs concatenated in doc_id order, split at
         # fixed 128-token offsets; one row per (sequence, doc) overlap

@@ -249,6 +249,91 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    sf_dir: str,
+    shard_size: int = 1000,
+    id_col: str = "doc_id",
+    n_ranges: int | None = None,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, shard_id, pos_in_shard): deterministic seedless GLOBAL
+    shuffle + fixed-size training-shard assignment — the last step of a
+    curation pipeline (break crawl/source locality, cut the corpus into
+    equal shards for the trainer).  The shuffle order is the total
+    order ``((doc_id * 2654435761) % 2^32, doc_id)`` — the same
+    multiplicative hash contract as :func:`sample_stratified`, so the
+    assignment is reproducible from doc_ids alone, no RNG state.
+
+    Scale shape: a hash-RANGE exchange, not a full sort.  The key space
+    ``[0, 2^32)`` is cut into K equal slices (K scales with the
+    corpus); per-slice counts come back to the driver as K ints, the
+    exclusive offsets broadcast via ``ray.put``, and each slice group
+    sorts only ITS rows and enumerates from its offset — the same
+    distributed ordered-prefix-sum shape as :func:`pack_sequences`.
+    Because the key is a multiplicative hash of doc_id, slice counts
+    are near-uniform regardless of doc_id clustering; no sampling pass
+    is needed to find balanced cut points (the fact a general sort
+    must discover empirically, the hash gives by construction).
+    ``output_path`` streams assignments to partitioned parquet; the
+    trainer-facing layout then writes each ``shard_id`` range as one
+    file, so a failed export resumes per shard.
+    """
+    import ray
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+    if n_ranges is None:
+        n_ranges = max(4, math.ceil(_parquet_num_rows(path) / 65536))
+    width = math.ceil((1 << 32) / n_ranges)
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        key = _sample_hash(ids).astype(np.int64)
+        return pa.table(
+            {
+                "rng": pa.array(key // width),
+                "key": pa.array(key),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    keyed = (
+        rd.read_parquet(path, columns=[id_col])
+        .map_batches(key_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    per_range = keyed.groupby("rng").count().to_pandas()
+    totals = np.zeros(n_ranges, dtype=np.int64)
+    totals[per_range["rng"].to_numpy()] = per_range["count()"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    base_ref = ray.put(base)
+
+    def assign(g: pa.Table) -> pa.Table:
+        offsets = ray.get(base_ref)
+        rng = int(g["rng"][0].as_py())
+        key = g["key"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, key))
+        pos = offsets[rng] + np.arange(len(ids), dtype=np.int64)
+        inv = np.empty(len(ids), np.int64)
+        inv[order] = pos
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shard_id": pa.array(inv // shard_size),
+                "pos_in_shard": pa.array(inv % shard_size),
+            }
+        )
+
+    from ._sink import finish
+
+    return finish(
+        keyed.groupby("rng").map_groups(assign, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
+    )
+
+
 # --- word n-gram windows (shared) --------------------------------------------
 
 

@@ -359,3 +359,35 @@ def test_rare_token_scores_sink_differential(corpus_mod, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sunk, table, check_dtype=False)
+
+
+def test_shuffle_shards_is_balanced_permutation(corpus_mod):
+    """Positions form an exact 0..N-1 permutation, shards tile at
+    shard_size, and the assignment is range-count-invariant."""
+    t = corpus_mod.shuffle_shards(SF, shard_size=64).to_pandas()
+    n = len(t)
+    pos = (t["shard_id"].to_numpy() * 64 + t["pos_in_shard"].to_numpy())
+    assert sorted(pos) == list(range(n))
+    full = t["shard_id"].value_counts()
+    assert (full[full.index != t["shard_id"].max()] == 64).all()
+    b = corpus_mod.shuffle_shards(SF, shard_size=64, n_ranges=3).to_pandas()
+    assert b.equals(t)
+    # hash order: consecutive positions are not consecutive doc_ids
+    by_pos = t.set_index(pos).sort_index()["doc_id"].to_numpy()
+    assert (np.abs(np.diff(by_pos)) == 1).mean() < 0.1
+
+
+def test_shuffle_shards_sink_differential(corpus_mod, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    table = corpus_mod.shuffle_shards(SF).to_pandas()
+    out = str(tmp_path / "shuf")
+    assert corpus_mod.shuffle_shards(SF, output_path=out) is None
+    sunk = (
+        rd.read_parquet(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sunk, table, check_dtype=False)
