@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global shuffle + fixed-size training shards
         # (hash-range exchange, not a full sort)
         "shuffle_shards": corpus.shuffle_shards,
+        # mixture reweighting: per-source deterministic downsampling
+        # (zero exchange; src{i} keeps (100 - 5i)%)
+        "mix_sources": partial(
+            corpus.mix_sources,
+            pct_by_source={f"src{i}": 100 - 5 * i for i in range(20)},
+        ),
         "pack_sequences": corpus.pack_sequences,
         "ngram_topk": corpus.ngram_topk,
         "repetition_stats": corpus.repetition_stats,
@@ -691,6 +697,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (pos // 1000)::BIGINT AS shard_id,
                    (pos % 1000)::BIGINT AS pos_in_shard
             FROM r ORDER BY doc_id
+        """,
+        # mixture reweighting: doc survives iff knuth_hash(doc_id) % 100
+        # is under its source's percentage (src{i} -> 100 - 5i)
+        "mix_sources": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100
+                  < 100 - 5 * CAST(substr(source, 4) AS INTEGER)
+            ORDER BY doc_id
         """,
         # GPT-style packing: docs concatenated in doc_id order, split at
         # fixed 128-token offsets; one row per (sequence, doc) overlap

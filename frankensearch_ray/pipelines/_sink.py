@@ -25,5 +25,10 @@ def finish(
     if output_path is not None:
         ds.write_parquet(output_path)
         return None
-    out = ds.to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    out = ds.to_pandas()
+    # an all-empty Dataset loses its schema through to_pandas — nothing
+    # to sort then, and the caller only sees a 0-row table
+    cols = [c for c in sort_cols if c in out.columns]
+    if cols:
+        out = out.sort_values(cols).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -334,6 +334,60 @@ def shuffle_shards(
     )
 
 
+def mix_sources(
+    sf_dir: str,
+    pct_by_source: dict[str, int] | None = None,
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, source): deterministic per-source downsampling — the
+    mixture-reweighting step of a training-data pipeline (keep 100% of
+    the curated source, 10% of the crawl tail, ...).  A doc survives
+    iff ``knuth_hash(doc_id) % 100 < pct(source)``, so membership is
+    reproducible from ids alone (no RNG state, no coordination) and
+    MONOTONE in the percentage: raising a source's share only ADDS
+    docs, which lets mixture ratios be retuned between runs without
+    invalidating finished shards.
+
+    Scale shape: zero exchange — a pure vectorized filter per batch;
+    the pct table is a tiny broadcast closure (source cardinality is
+    config-sized by definition).  Survivors stream to the sink.
+    """
+    import ray.data as rd
+
+    pcts = dict(pct_by_source or {})
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        src = t[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        de = pc.dictionary_encode(src)
+        vocab = de.dictionary.to_pylist()
+        pct_of = np.array(
+            [int(pcts.get(s, default_pct)) for s in vocab], np.int64
+        )
+        pct = pct_of[de.indices.to_numpy()] if len(t) else np.zeros(0, np.int64)
+        keep = (_sample_hash(ids).astype(np.int64) % 100) < pct
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                source_col: src.filter(pa.array(keep)),
+            }
+        )
+
+    from ._sink import finish
+
+    return finish(
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, source_col])
+        .map_batches(keep_batch, batch_format="pyarrow"),
+        ["doc_id"],
+        output_path,
+    )
+
+
 # --- word n-gram windows (shared) --------------------------------------------
 
 

@@ -353,8 +353,13 @@ def _ngram_pairs_ds(
         b = vocab[de.indices.to_numpy()] if len(out) else np.zeros(0, np.uint32)
         return out.append_column("bucket", pa.array(b, pa.uint32()))
 
+    # NOTE: no mid-pipeline materialize — the shingle table is
+    # corpus-proportional (one row per (doc, distinct shingle)) and has
+    # exactly ONE consumer (the bucket exchange), so it streams straight
+    # into the groupby with backpressure instead of parking a full copy
+    # in the object store first
     ds = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
-    shingled = ds.map_batches(shingle_and_bucket, batch_format="pyarrow").materialize()
+    shingled = ds.map_batches(shingle_and_bucket, batch_format="pyarrow")
 
     def bucket_pair_counts(g: pa.Table) -> pa.Table:
         """Vectorized per-bucket pair expansion: sort by shingle, find runs,

@@ -391,3 +391,30 @@ def test_shuffle_shards_sink_differential(corpus_mod, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sunk, table, check_dtype=False)
+
+
+def test_mix_sources_monotone_and_exact(corpus_mod):
+    """Raising a source's share only ADDS docs (retune without
+    invalidating shards); 0 drops all, 100 keeps all; membership is the
+    pinned hash rule."""
+    import pyarrow.parquet as pq
+
+    full = corpus_mod.mix_sources(SF).to_pandas()
+    t = pq.read_table(SF + "/documents.parquet")
+    assert len(full) == t.num_rows  # default 100% keeps everything
+    half = corpus_mod.mix_sources(SF, default_pct=50).to_pandas()
+    quarter = corpus_mod.mix_sources(SF, default_pct=25).to_pandas()
+    assert set(quarter["doc_id"]) <= set(half["doc_id"]) <= set(
+        full["doc_id"]
+    )
+    ids = np.array(sorted(t["doc_id"].to_pylist()), np.int64)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    want = ids[(h.astype(np.int64) % 100) < 50]
+    assert half["doc_id"].tolist() == want.tolist()
+    none = corpus_mod.mix_sources(SF, default_pct=0).to_pandas()
+    assert len(none) == 0
+    # per-source override beats the default
+    one = corpus_mod.mix_sources(
+        SF, pct_by_source={"src0": 100}, default_pct=0
+    ).to_pandas()
+    assert set(one["source"]) == {"src0"}
