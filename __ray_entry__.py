@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real clustered corpora run far smaller probe sets — the
         # read-pruning mechanics are pytest-gated via ann.LAST_SCAN.
         "knn_bruteforce": ann.knn_bruteforce,
+        # filtered vector search: predicate pushed into the parquet scan
+        "knn_filtered": ann.knn_filtered,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
@@ -598,6 +600,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
               FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     (row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) - 1)
+                       AS rank
+              FROM sims
+            )
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # filtered vector search: exact cosine top-k among label=1 rows
+        "knn_filtered": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.label = 1
             ),
             ranked AS (
               SELECT query_id, neighbor_id,

@@ -241,6 +241,40 @@ def knn_bruteforce(
     return _merge_topk(partials.to_pandas(), k)
 
 
+def knn_filtered(
+    sf_dir: str,
+    label: int = 1,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+) -> pa.Table:
+    """(query_id, neighbor_id, rank): exact cosine top-k among only the
+    vectors whose ``label`` matches — FILTERED vector search, the
+    production shape of most ANN traffic (tenant / language / safety
+    filters).  The predicate is pushed into the parquet SCAN
+    (``read_parquet(filter=...)``): row groups whose ``label`` stats
+    exclude the value never leave storage and non-matching rows never
+    enter the object store — at 100 TB a selective filter makes this
+    exact path CHEAPER than an unfiltered ANN probe, which is why
+    filtered brute-force is the honest baseline before IVF-with-filter.
+    Scoring is the shared partial-top-k merge of :func:`knn_bruteforce`.
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    queries = _read_queries(sf_dir, query_ids)
+    queries_ref = ray.put(queries)
+    ds = rd.read_parquet(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("label") == label),
+    )
+    partials = ds.map_batches(
+        _BruteForceScorer(queries_ref, k), batch_format="pyarrow", batch_size=512
+    )
+    return _merge_topk(partials.to_pandas(), k)
+
+
 def _kmeans_lite(
     sample: np.ndarray, n_clusters: int, iters: int = 5, seed: int = 42
 ) -> np.ndarray:

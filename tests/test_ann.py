@@ -186,3 +186,34 @@ class TestPersistedLayoutPruning:
         from frankensearch_ray.pipelines.ann import knn_bruteforce, knn_lsh
 
         assert knn_lsh(sf_dir).equals(knn_bruteforce(sf_dir))
+
+
+def test_knn_filtered_neighbors_respect_predicate(ray_session):
+    """Every neighbor carries the filtered label, and the result equals
+    brute-force cosine restricted to that label."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    got = ann.knn_filtered(sf, label=1).to_pandas()
+    t = pq.read_table(sf + "/embeddings.parquet")
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    assert all(labels[n] == 1 for n in got["neighbor_id"])
+    # local exact reference among label==1 rows
+    ids = np.array(t["vec_id"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    sel = np.array([labels[i] == 1 for i in ids])
+    ids_f, m = ids[sel], mat[sel]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 1, 2, 3, 4):
+        qv = mat[ids == q][0]
+        qn = qv / np.linalg.norm(qv)
+        sims = mn @ qn
+        order = np.lexsort((ids_f, -sims))[:10]
+        want = ids_f[order].tolist()
+        have = got[got["query_id"] == q].sort_values("rank")[
+            "neighbor_id"
+        ].tolist()
+        assert have == want, q
