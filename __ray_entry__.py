@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docsearch,
         events,
         textstats,
+        webtext,
     )
 
     return {
@@ -224,6 +225,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": corpus.remove_dup_spans,
         "collocations": corpus.collocations,
         "source_quantiles": textstats.source_quantiles,
+        # webtext curation loop (CCNet/C4-style): PII redaction with a
+        # custom denylist rule, paragraph-granular boilerplate dedup
+        # (the synthetic corpus has no blank lines, so the driver entry
+        # splits on a frequent-token delimiter to exercise removal and
+        # reassembly for real; pytest pins the \n\n default), per-host
+        # caps, and the integer-bits unigram-LM quality score
+        "pii_redact": partial(
+            webtext.pii_redact,
+            custom_patterns=(("name", r"\bcustomer\b", "<NAME>"),),
+        ),
+        "dedup_paragraphs": partial(
+            webtext.dedup_paragraphs,
+            delim_regex=r"\s+the\s+",
+            joiner=" the ",
+            min_df=2,
+        ),
+        "source_caps": partial(webtext.source_caps, cap=10),
+        "quality_lm": webtext.quality_lm,
     }
 
 
@@ -1199,4 +1218,80 @@ def oracle_sql() -> dict[str, str]:
     """
     # the BSP solver must reproduce the local solver's labels exactly
     sqls["dedup_clusters_bsp"] = sqls["dedup_clusters"]
+
+    # PII redaction: nested regexp_replace chain, counts taken against
+    # the text state ENTERING each rule (both engines are RE2 on
+    # identical pattern strings, so redacted text is byte-exact)
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    _ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    _phone = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+    _name = "\\bcustomer\\b"
+    sqls["pii_redact"] = f"""
+        WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(t, '{_email}'))::BIGINT AS n_email,
+                      regexp_replace(t, '{_email}', '<EMAIL>', 'g') AS t FROM s0),
+        s2 AS (SELECT doc_id, n_email,
+                      len(regexp_extract_all(t, '{_ssn}'))::BIGINT AS n_ssn,
+                      regexp_replace(t, '{_ssn}', '<SSN>', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ssn,
+                      len(regexp_extract_all(t, '{_ipv4}'))::BIGINT AS n_ipv4,
+                      regexp_replace(t, '{_ipv4}', '<IP>', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+                      len(regexp_extract_all(t, '{_phone}'))::BIGINT AS n_phone,
+                      regexp_replace(t, '{_phone}', '<PHONE>', 'g') AS t FROM s3)
+        SELECT doc_id,
+               regexp_replace(t, '{_name}', '<NAME>', 'g') AS text_clean,
+               n_email, n_ssn, n_ipv4, n_phone,
+               len(regexp_extract_all(t, '{_name}'))::BIGINT AS n_name
+        FROM s4 ORDER BY doc_id
+    """
+
+    # paragraph-granular boilerplate dedup (CCNet §3.1): split parts
+    # with df >= 2 are dropped; survivors re-joined in order
+    sqls["dedup_paragraphs"] = r"""
+        WITH s AS (SELECT doc_id,
+                          string_split_regex(text, '\s+the\s+') AS parts
+                   FROM documents),
+        p AS (SELECT doc_id, unnest(parts) AS part,
+                     unnest(generate_series(1, len(parts))) AS pos
+              FROM s),
+        df AS (SELECT part, count(DISTINCT doc_id) AS df FROM p GROUP BY part),
+        k AS (SELECT p.doc_id, p.part, p.pos, (df.df >= 2) AS rm
+              FROM p JOIN df USING (part))
+        SELECT doc_id,
+               count(*)::BIGINT AS n_paras,
+               sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+               coalesce(string_agg(part, ' the ' ORDER BY pos)
+                          FILTER (WHERE NOT rm), '') AS text_clean
+        FROM k GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # per-host cap: the first `cap` docs per source in crawl order
+    sqls["source_caps"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id
+    """
+
+    # unigram-LM NLL in integer bits: each token occurrence costs
+    # bit_length(total // cf) — format('{:b}') length == np.frexp's
+    # exact binary exponent, so the contract is integer-exact
+    sqls["quality_lm"] = f"""
+        WITH {docs},
+        t AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+        tot AS (SELECT count(*) AS n FROM t),
+        cf AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+        b AS (SELECT t.doc_id,
+                     length(format('{{:b}}', tot.n // cf.c))::BIGINT AS bits
+              FROM t JOIN cf USING (term) CROSS JOIN tot)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(bits)::BIGINT AS nll_bits,
+               ((100 * sum(bits)) // count(*))::BIGINT AS bits_per_token_x100
+        FROM b GROUP BY doc_id ORDER BY doc_id
+    """
     return sqls
