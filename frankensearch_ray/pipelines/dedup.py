@@ -102,6 +102,41 @@ def _bloom_query(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return ((h1 & h2) & np.uint64(1)).astype(bool)
 
 
+def bloom_of_ids(ds, cols: list[str]) -> np.ndarray:
+    """OR-reduced FIXED-128-KiB bloom filter of the int64 id columns of
+    ``ds`` (partial filters per block, one-task OR reduction) — the
+    shared semi-join pushdown kernel (MinHash verify, paragraph dedup).
+    Never proportional to the id count; at pathological rates it
+    saturates and degrades to ship-everything behavior."""
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        ids = np.concatenate(
+            [t[c].to_numpy().astype(np.int64) for c in cols]
+        )
+        if len(ids):
+            _bloom_insert(bits, ids)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    def bloom_or(t: pa.Table) -> pa.Table:
+        acc = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        for bv in t["bits"].to_pylist():
+            acc |= np.frombuffer(bv, np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
+
+    parts = (
+        ds.map_batches(bloom_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(bloom_or, batch_format="pyarrow")
+        .take_all()
+    )
+    return (
+        np.frombuffer(parts[0]["bits"], np.uint64).copy()
+        if parts
+        else np.zeros(_BLOOM_BITS // 64, np.uint64)
+    )
+
+
 def _segment_triu_indices(
     bounds: np.ndarray, ends: np.ndarray, cap: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1577,39 +1612,7 @@ def minhash_pairs(
         return _finish_pair_verify(joined, threshold)
     bloom_ref = None
     if use_bloom:
-
-        def bloom_partial(t: pa.Table) -> pa.Table:
-            bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
-            ids = np.concatenate(
-                (
-                    t["a"].to_numpy().astype(np.int64),
-                    t["b"].to_numpy().astype(np.int64),
-                )
-            )
-            if len(ids):
-                _bloom_insert(bits, ids)
-            return pa.table(
-                {"bits": pa.array([bits.tobytes()], pa.large_binary())}
-            )
-
-        def bloom_or(t: pa.Table) -> pa.Table:
-            acc = np.zeros(_BLOOM_BITS // 64, np.uint64)
-            for bv in t["bits"].to_pylist():
-                acc |= np.frombuffer(bv, np.uint64)
-            return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
-
-        parts = (
-            cand.map_batches(bloom_partial, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(bloom_or, batch_format="pyarrow")
-            .take_all()
-        )
-        bloom_bits = (
-            np.frombuffer(parts[0]["bits"], np.uint64).copy()
-            if parts
-            else np.zeros(_BLOOM_BITS // 64, np.uint64)
-        )
-        bloom_ref = ray.put(bloom_bits)
+        bloom_ref = ray.put(bloom_of_ids(cand, ["a", "b"]))
 
     # each candidate pair -> two member rows keyed by doc_id, each
     # carrying the full pair identity (pa_, pb_) — no pair-index table.

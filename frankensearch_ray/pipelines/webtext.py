@@ -123,6 +123,8 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int | None = None,
+    semi_join: str = "auto",
+    semi_join_min_docs: int = 500_000,
     output_path: str | None = None,
 ) -> pa.Table | None:
     """(doc_id, n_paras, n_removed, text_clean): drop every paragraph
@@ -146,6 +148,16 @@ def dedup_paragraphs(
     tagged-union exchange co-locates each doc's text with its removal
     routes; the rewrite re-splits locally and re-joins kept parts with
     one ``binary_join`` — no Python per row, no vocabulary broadcast.
+
+    ``semi_join``: above ``semi_join_min_docs`` ("auto"; or forced with
+    "bloom") the route set is materialized and a FIXED-128-KiB bloom of
+    affected doc ids (the shared :func:`~.dedup.bloom_of_ids` kernel) is
+    pushed into the doc pass — UNAFFECTED docs emit their final row
+    directly with zero exchange, so the text-carrying all-to-all ships
+    only the dup-affected subset (plus harmless false positives) instead
+    of the corpus.  "none" keeps the fully streaming ship-all path,
+    which small inputs prefer (the filter costs ~2 fixed stages).
+    Modes are output-identical, pytest-pinned.
     """
     import ray.data as rd
 
@@ -295,13 +307,53 @@ def dedup_paragraphs(
         .groupby("pshard")
         .map_groups(frequent_routes, batch_format="pyarrow")
     )
-    docs = src.map_batches(doc_rows, batch_format="pyarrow")
-    out = (
-        docs.union(routes)
+    use_bloom = semi_join == "bloom" or (
+        semi_join == "auto" and _parquet_num_rows(path) >= semi_join_min_docs
+    )
+    if not use_bloom:
+        docs = src.map_batches(doc_rows, batch_format="pyarrow")
+        out = (
+            docs.union(routes)
+            .groupby("dshard")
+            .map_groups(rewrite, batch_format="pyarrow")
+        )
+        return finish(out, [id_col], output_path)
+
+    import ray
+
+    from .dedup import _bloom_query, bloom_of_ids
+
+    routes = routes.materialize()  # route set is boilerplate-bounded
+    bloom_ref = ray.put(bloom_of_ids(routes, ["doc_id"]))
+
+    def candidate_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        keep = _bloom_query(ray.get(bloom_ref), ids)
+        return doc_rows(t.filter(pa.array(keep)))
+
+    def untouched_final(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        keep = ~_bloom_query(ray.get(bloom_ref), ids)
+        t = t.filter(pa.array(keep))
+        lists = _split(t[text_col])
+        n_paras = np.diff(lists.offsets.to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "n_paras": pa.array(n_paras),
+                "n_removed": pa.array(np.zeros(len(t), np.int64)),
+                "text_clean": pc.fill_null(pc.binary_join(lists, joiner), ""),
+            }
+        )
+
+    rewritten = (
+        src.map_batches(candidate_rows, batch_format="pyarrow")
+        .union(routes)
         .groupby("dshard")
         .map_groups(rewrite, batch_format="pyarrow")
     )
-    return finish(out, [id_col], output_path)
+    direct = src.map_batches(untouched_final, batch_format="pyarrow")
+    return finish(rewritten.union(direct), [id_col], output_path)
 
 
 def source_caps(

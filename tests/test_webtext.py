@@ -122,6 +122,30 @@ def test_dedup_paragraphs_shard_invariance(webtext_mod):
     assert a.equals(b)
 
 
+def test_dedup_paragraphs_bloom_semi_join_mode_equality(webtext_mod, tmp_path):
+    # bloom pushdown must be output-identical to ship-all, including
+    # docs with removals, untouched docs, and the joiner normalization
+    boiler = "copyright footer"
+    sf = _write_docs(
+        tmp_path,
+        [f"unique {i}\n\n{boiler}" if i % 3 == 0 else f"solo {i}\n\n\ntext {i}" for i in range(30)],
+    )
+    a = webtext_mod.dedup_paragraphs(sf, semi_join="none").to_pandas()
+    b = webtext_mod.dedup_paragraphs(sf, semi_join="bloom").to_pandas()
+    assert a.equals(b)
+    assert (a["n_removed"] > 0).any() and (a["n_removed"] == 0).any()
+    # \n\n\n collapses to the \n\n joiner on BOTH paths (untouched docs
+    # emit the normalized re-join, not the raw text)
+    assert b.set_index("doc_id").loc[1, "text_clean"] == "solo 1\n\ntext 1"
+
+
+def test_dedup_paragraphs_bloom_mode_equality_on_sf(webtext_mod):
+    kw = dict(delim_regex=r"\s+the\s+", joiner=" the ")
+    a = webtext_mod.dedup_paragraphs(SF, semi_join="none", **kw).to_pandas()
+    b = webtext_mod.dedup_paragraphs(SF, semi_join="bloom", **kw).to_pandas()
+    assert a.equals(b)
+
+
 def test_source_caps_keeps_doc_id_prefix(webtext_mod, tmp_path):
     sf = _write_docs(
         tmp_path,
