@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range": docsearch.numeric_range,
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
+        # Lucene-MoreLikeThis-flavoured similar-document search (repo addition)
+        "more_like_this": docsearch.more_like_this,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -345,6 +347,57 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
                      AS rank
             FROM scores
+            ORDER BY rank LIMIT 10
+        """,
+        "more_like_this": f"""
+            WITH {docs},
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM docs
+            ),
+            dl AS (
+              SELECT doc_id, (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM docs
+            ),
+            alltf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              GROUP BY doc_id, term
+            ),
+            cdf AS (SELECT term, count(*)::DOUBLE AS df FROM alltf GROUP BY term),
+            seed AS (
+              SELECT term, tf AS stf FROM alltf
+              WHERE doc_id = 7 AND length(term) BETWEEN 3 AND 64
+            ),
+            selected AS (
+              SELECT seed.term FROM seed JOIN cdf USING (term)
+              ORDER BY seed.stf DESC, cdf.df ASC, seed.term ASC
+              LIMIT 8
+            ),
+            tf AS (
+              SELECT * FROM alltf
+              WHERE term IN (SELECT term FROM selected)
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + ((SELECT n FROM stats) - cdf.df + 0.5)
+                              / (cdf.df + 0.5)) * 2.2
+                       * tf.tf
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                             / (SELECT n FROM stats))))
+                     ) AS score
+              FROM tf
+              JOIN cdf USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+                     AS rank
+            FROM scores WHERE doc_id <> 7
             ORDER BY rank LIMIT 10
         """,
         "chunk_search": f"""

@@ -265,3 +265,58 @@ def bm25_topk(sf_dir: str, query: str = "hash merge window", k: int = 10) -> pa.
             "rank": pa.array([h["rank"] for h in res["hits"]], pa.int64()),
         }
     )
+
+
+def more_like_this(
+    sf_dir: str,
+    seed_doc_id: int = 7,
+    k: int = 10,
+    max_terms: int = 8,
+    min_len: int = 3,
+    max_len: int = 64,
+) -> pa.Table:
+    """Similar-document search (Lucene-MoreLikeThis-flavoured repo addition
+    extending SURVEY §2.9): pick the seed document's representative terms by
+    ``(tf desc, df asc, term asc)`` after a ``[min_len, max_len]`` length
+    gate, run them as a SHOULD disjunction through the pruned BM25 engine
+    (same f32 contract as ``bm25_topk``), and return the top-k neighbours
+    with the seed itself excluded.
+
+    Scale shape: the seed read is a row-group-pruned point lookup, term
+    selection is O(distinct seed terms) termdict df probes (``term_rows``
+    without posting decode), and the query itself is an ordinary block-max
+    top-k — no corpus scan anywhere."""
+    import re
+
+    from ..contract.query_ast import ParsedQuery
+
+    s = searcher_for(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    seed_tbl = pq.read_table(
+        src,
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", int(seed_doc_id))],
+    )
+    if seed_tbl.num_rows != 1:
+        raise ValueError(f"seed doc_id {seed_doc_id} not found in {src}")
+    text = seed_tbl["text"][0].as_py() or ""
+    tf: dict[str, int] = {}
+    for t in re.split(r"[^a-z0-9]+", text.lower()):
+        if min_len <= len(t) <= max_len:
+            tf[t] = tf.get(t, 0) + 1
+    cand = []
+    for term, f in tf.items():
+        df = sum(int(r["df"]) for _b, r in s.term_rows(FIELD_CONTENT, term))
+        if df > 0:
+            cand.append((-f, df, term))
+    cand.sort()
+    selected = [t for _nf, _df, t in cand[:max_terms]]
+    node = Boolean([Clause(SHOULD, _content_term(t)) for t in selected])
+    res = s.run_parsed(ParsedQuery(node), limit=k + 1)
+    hits = [h for h in res["hits"] if int(h["id"]) != int(seed_doc_id)][:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["id"]) for h in hits], pa.int64()),
+            "rank": pa.array(list(range(len(hits))), pa.int64()),
+        }
+    )
