@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CASS 15-field schema index (schema.rs:379-497; query.rs:3386-3649)
         "cass_filter_search": cassearch.cass_filter_search,
         "cass_prefix_search": cassearch.cass_prefix_search,
+        # facet panel counts over a CASS match set (repo addition)
+        "facet_counts": cassearch.facet_counts,
         "doc_lengths": docsearch.doc_lengths,
         "boolean_and": docsearch.boolean_and,
         "boolean_or_not": docsearch.boolean_or_not,
@@ -900,6 +902,29 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('es', 'fr')
               AND doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "facet_counts": """
+            WITH docs AS (
+              SELECT doc_id, string_split(text, ' ') AS toks, source, lang
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, source, lang FROM docs
+              WHERE len(list_filter(toks, x -> x LIKE 'merge%')) > 0
+            ),
+            f AS (
+              SELECT 'agent' AS facet, source AS value FROM m
+              UNION ALL
+              SELECT 'workspace' AS facet, lang AS value FROM m
+              UNION ALL
+              SELECT 'origin_kind' AS facet,
+                     CASE WHEN doc_id % 3 = 0 THEN 'local' ELSE 'ssh' END
+                       AS value
+              FROM m
+            )
+            SELECT facet, value, count(*)::BIGINT AS n
+            FROM f GROUP BY facet, value
+            ORDER BY facet, value
         """,
         # benchmark decontamination: distinct 3-gram overlap of training
         # docs vs the eval suite (doc_id % 97 == 0)

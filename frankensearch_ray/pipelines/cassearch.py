@@ -189,3 +189,46 @@ def cass_prefix_search(sf_dir: str) -> pa.Table:
         "mer*",
         CassQueryFilters(workspaces=["es", "fr"], source_filter="local"),
     )
+
+
+def facet_counts(
+    sf_dir: str,
+    query: str = "merge",
+    facets: tuple[str, ...] = ("agent", "workspace", "origin_kind"),
+) -> pa.Table:
+    """Per-facet value counts over a CASS query's match set (the classic
+    search-UI facet panel; repo addition extending SURVEY §2.9).
+
+    Engine shape: one ordinary query evaluation, then — per facet field —
+    a field-pruned termdict enumeration (``iter_terms_range``; keyword
+    facet cardinality is tiny by construction) and a sorted-postings
+    intersection per value.  No corpus scan and no STOREDMETA hydration:
+    every count comes from index structures, so at 100 TB this costs
+    O(match postings + facet vocabulary postings)."""
+    searcher = _searcher(sf_dir)
+    s = searcher.s
+    from ..cassindex import CASS_KEYWORD_ORDS
+
+    parsed = parse_cass(query, CassQueryFilters())
+    docids, _scores = s.evaluate(parsed.query)
+    live = s.live_mask(docids)
+    matched = np.unique(docids[live].astype(np.uint64))
+    rows: list[tuple[str, str, int]] = []
+    for facet in facets:
+        ford = CASS_KEYWORD_ORDS[facet]
+        values: set[str] = set()
+        for sid in range(s.num_shards):
+            values.update(s.shards.iter_terms_range(sid, ford))
+        for value in sorted(values):
+            d, _tf, _df, _ = s.postings(ford, value)
+            n = int(np.intersect1d(matched, d.astype(np.uint64)).size)
+            if n:
+                rows.append((facet, value, n))
+    rows.sort()
+    return pa.table(
+        {
+            "facet": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

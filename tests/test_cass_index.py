@@ -282,3 +282,39 @@ class TestPrefixVectorizedParity:
             )
 
         assert canon(new).equals(canon(old))
+
+
+class TestFacetCounts:
+    """facet_counts invariants; exact value parity is covered by the
+    driver-gate mirror in test_entry_oracle.py."""
+
+    def test_counts_sum_to_match_set_per_facet(self, ray_session):
+        from frankensearch_ray.contract.cass import CassQueryFilters, parse_cass
+        from frankensearch_ray.pipelines import cassearch
+
+        t = cassearch.facet_counts(SF, query="merge")
+        s = cassearch._searcher(SF).s
+        parsed = parse_cass("merge", CassQueryFilters())
+        docids, _ = s.evaluate(parsed.query)
+        n_matches = int(s.live_mask(docids).sum())
+        import collections
+
+        sums = collections.Counter()
+        for f, n in zip(t["facet"].to_pylist(), t["n"].to_pylist()):
+            assert n > 0
+            sums[f] += n
+        # every matched doc carries exactly one value per keyword facet
+        assert sums == {
+            "agent": n_matches,
+            "workspace": n_matches,
+            "origin_kind": n_matches,
+        }
+
+    def test_sorted_and_deterministic(self, ray_session):
+        from frankensearch_ray.pipelines import cassearch
+
+        a = cassearch.facet_counts(SF)
+        b = cassearch.facet_counts(SF)
+        assert a.equals(b)
+        keys = list(zip(a["facet"].to_pylist(), a["value"].to_pylist()))
+        assert keys == sorted(keys)
