@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docsearch.bm25_topk,
         # Lucene-MoreLikeThis-flavoured similar-document search (repo addition)
         "more_like_this": docsearch.more_like_this,
+        # per-hit LexicalBm25 score explanation (core/src/explanation.rs)
+        "explain_topk": docsearch.explain_topk,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -401,6 +403,52 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM scores WHERE doc_id <> 7
             ORDER BY rank LIMIT 10
+        """,
+        "explain_topk": f"""
+            WITH {docs},
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM docs
+            ),
+            dl AS (
+              SELECT doc_id, (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM docs
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              WHERE term IN ('hash', 'merge', 'window')
+              GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+                              / (df.df + 0.5)) * 2.2
+                       * tf.tf
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                             / (SELECT n FROM stats))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            ),
+            top AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+                       AS rank
+              FROM scores ORDER BY rank LIMIT 10
+            )
+            SELECT top.doc_id, top.rank, tf.term,
+                   tf.tf::BIGINT AS tf, df.df::BIGINT AS df
+            FROM top
+            JOIN tf ON tf.doc_id = top.doc_id
+            JOIN df USING (term)
+            ORDER BY top.rank, tf.term
         """,
         "chunk_search": f"""
             WITH d AS (

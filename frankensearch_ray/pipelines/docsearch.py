@@ -320,3 +320,58 @@ def more_like_this(
             "rank": pa.array(list(range(len(hits))), pa.int64()),
         }
     )
+
+
+def explain_topk(
+    sf_dir: str, query: str = "hash merge window", k: int = 10
+) -> pa.Table:
+    """Per-hit score explanation, lexical component (reference
+    ``core/src/explanation.rs`` ``ExplainedSource::LexicalBm25`` —
+    matched_terms + tf/idf decomposition; the semantic/reranker components
+    belong to the out-of-scope hybrid tier).
+
+    One row per (hit, matched query term) with the INTEGER scoring inputs
+    (tf, df) so the DuckDB oracle is value-exact; the f32 per-term score
+    contributions are pytest-gated instead (their clause-order sum must be
+    bit-identical to the engine's hit score, ``tests/test_explain.py``).
+
+    Scale shape: the top-k query itself plus one cached postings probe per
+    (query term) and a searchsorted per hit — no rescan of anything."""
+    from ..contract.parser import parse_default
+    from ..contract.query_ast import Term as TermNode
+
+    s = searcher_for(sf_dir)
+    res = s.search(query, limit=k)
+
+    terms: list[str] = []
+
+    def walk(n):
+        if isinstance(n, TermNode):
+            if n.text not in terms:
+                terms.append(n.text)
+        for c in getattr(n, "children", []) or []:
+            walk(getattr(c, "query", c))
+
+    walk(parse_default(query, analyze=s._query_analyze).query)
+
+    out_doc, out_rank, out_term, out_tf, out_df = [], [], [], [], []
+    for h in res["hits"]:
+        docid = np.uint64(h["docid"])
+        for t in sorted(terms):
+            docids, tfs, df, _ = s.postings(FIELD_CONTENT, t)
+            i = int(np.searchsorted(docids, docid))
+            if i < len(docids) and docids[i] == docid:
+                out_doc.append(int(h["id"]))
+                out_rank.append(int(h["rank"]))
+                out_term.append(t)
+                out_tf.append(int(tfs[i]))
+                out_df.append(int(df))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+        }
+    )
