@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         docsearch,
         events,
+        ingestio,
         textstats,
         webtext,
     )
@@ -151,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": docsearch.more_like_this,
         # per-hit LexicalBm25 score explanation (core/src/explanation.rs)
         "explain_topk": docsearch.explain_topk,
+        # row-format ingestion round-trips (sources/ingest.py staging path)
+        "ingest_jsonl": ingestio.ingest_jsonl,
+        "ingest_csv": ingestio.ingest_csv,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -950,6 +954,14 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('es', 'fr')
               AND doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "ingest_jsonl": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "ingest_csv": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents ORDER BY doc_id
         """,
         "facet_counts": """
             WITH docs AS (
