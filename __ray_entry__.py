@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-format ingestion round-trips (sources/ingest.py staging path)
         "ingest_jsonl": ingestio.ingest_jsonl,
         "ingest_csv": ingestio.ingest_csv,
+        # did-you-mean suggestion via bounded edit-1 termdict probes
+        "term_suggest": docsearch.term_suggest,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -954,6 +956,17 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('es', 'fr')
               AND doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "term_suggest": f"""
+            WITH {docs},
+            t AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM t GROUP BY term
+            )
+            SELECT term, df FROM df
+            WHERE levenshtein(term, 'mergge') <= 1
+            ORDER BY df DESC, term LIMIT 10
         """,
         "ingest_jsonl": """
             SELECT doc_id, lang, source, n_chars

@@ -375,3 +375,52 @@ def explain_topk(
             "df": pa.array(out_df, pa.int64()),
         }
     )
+
+
+_SUGGEST_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _edit1_neighborhood(q: str) -> list[str]:
+    """All strings within Levenshtein distance <= 1 of ``q`` over the
+    analyzer's token alphabet, deduplicated and sorted."""
+    out = {q}
+    for i in range(len(q)):
+        out.add(q[:i] + q[i + 1 :])  # deletion
+        for c in _SUGGEST_ALPHABET:
+            out.add(q[:i] + c + q[i + 1 :])  # substitution
+    for i in range(len(q) + 1):
+        for c in _SUGGEST_ALPHABET:
+            out.add(q[:i] + c + q[i:])  # insertion
+    out.discard("")
+    return sorted(out)
+
+
+def term_suggest(
+    sf_dir: str, term: str = "mergge", k: int = 10, max_edits: int = 1
+) -> pa.Table:
+    """Did-you-mean term suggestion (repo addition): every indexed content
+    term within Levenshtein distance <= 1 of the query term, ranked by
+    document frequency (df desc, term asc).
+
+    SymSpell-flavoured generate-and-probe: the edit-1 neighbourhood over
+    the token alphabet (~37*(2*len+1) strings) is generated up front and
+    each candidate is a bounded ``_keys``-sidecar termdict point probe —
+    cost is independent of vocabulary size, so there is NO termdict scan
+    to meter (contrast the glob residual scans, which must walk covering
+    row groups)."""
+    if max_edits != 1:
+        raise ValueError("term_suggest supports max_edits=1 only")
+    s = searcher_for(sf_dir)
+    rows: list[tuple[int, str]] = []
+    for cand in _edit1_neighborhood(term.lower()):
+        df = sum(int(r["df"]) for _b, r in s.term_rows(FIELD_CONTENT, cand))
+        if df > 0:
+            rows.append((-df, cand))
+    rows.sort()
+    rows = rows[:k]
+    return pa.table(
+        {
+            "term": pa.array([t for _nd, t in rows], pa.string()),
+            "df": pa.array([-nd for nd, _t in rows], pa.int64()),
+        }
+    )

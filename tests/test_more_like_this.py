@@ -71,3 +71,59 @@ class TestMoreLikeThis:
         docids, _tfs, _df, _ = s.postings(FIELD_CONTENT, term)
         have = set(int(x) for x in s.ids_for(docids))
         assert set(t["doc_id"].to_pylist()) <= have
+
+
+class TestTermSuggest:
+    """term_suggest invariants; exact (term, df) parity is covered by the
+    driver-gate mirror in test_entry_oracle.py."""
+
+    def test_neighborhood_complete_vs_bruteforce(self, ray_session):
+        """The probe plan must find exactly the vocabulary terms at
+        edit distance <= 1 — cross-checked against a full-vocab walk."""
+        from frankensearch_ray.pipelines.docsearch import (
+            _edit1_neighborhood,
+            searcher_for,
+            term_suggest,
+        )
+        from frankensearch_ray.schema import FIELD_CONTENT
+
+        q = "mergge"
+        s = searcher_for(SF)
+        vocab = set()
+        for sid in range(s.num_shards):
+            vocab.update(s.shards.iter_terms_range(sid, FIELD_CONTENT))
+
+        def ed1(a: str, b: str) -> bool:
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return False
+            if la == lb:
+                return sum(x != y for x, y in zip(a, b)) <= 1
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = 0
+            while i < la and a[i] == b[i]:
+                i += 1
+            return a[i:] == b[i + 1 :]
+
+        brute = {t for t in vocab if ed1(q, t)}
+        probed = set(_edit1_neighborhood(q)) & vocab
+        assert probed == brute
+        got = set(term_suggest(SF, q, k=10_000)["term"].to_pylist())
+        assert got == brute
+
+    def test_df_ranking_and_ties(self, ray_session):
+        from frankensearch_ray.pipelines.docsearch import term_suggest
+
+        t = term_suggest(SF, "mergge", k=10)
+        pairs = list(zip(t["df"].to_pylist(), t["term"].to_pylist()))
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        assert all(d > 0 for d, _ in pairs)
+
+    def test_max_edits_gate(self, ray_session):
+        import pytest
+
+        from frankensearch_ray.pipelines.docsearch import term_suggest
+
+        with pytest.raises(ValueError):
+            term_suggest(SF, "mergge", max_edits=2)
