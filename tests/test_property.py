@@ -138,3 +138,28 @@ def test_tokenize_column_matches_scalar(texts):
         ]
         have = sorted(got.get(i, []), key=lambda x: x[1])
         assert want == have, (i, text, want[:5], have[:5])
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_tok = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+
+
+@given(q=_tok, t=_tok)
+@settings(max_examples=300, deadline=None)
+def test_edit1_neighborhood_is_exactly_levenshtein_le_1(q, t):
+    """term_suggest's generate-and-probe plan: a token is in the edit-1
+    neighbourhood of q iff its true Levenshtein distance to q is <= 1."""
+    from frankensearch_ray.pipelines.docsearch import _edit1_neighborhood
+
+    assert (t in set(_edit1_neighborhood(q))) == (_levenshtein(q, t) <= 1)
