@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_csv": ingestio.ingest_csv,
         # did-you-mean suggestion via bounded edit-1 termdict probes
         "term_suggest": docsearch.term_suggest,
+        # index introspection (stats.rs surface): O(1) manifest stats +
+        # salt-corrected distinct-term count from shard footer columns
+        "index_stats": docsearch.index_stats,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -956,6 +959,15 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('es', 'fr')
               AND doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "index_stats": f"""
+            WITH {docs}
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(toks))::BIGINT AS total_tokens,
+                   (SELECT count(DISTINCT term)
+                    FROM (SELECT unnest(toks) AS term FROM docs))::BIGINT
+                     AS n_terms
+            FROM docs
         """,
         "term_suggest": f"""
             WITH {docs},

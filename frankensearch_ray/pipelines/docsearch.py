@@ -424,3 +424,60 @@ def term_suggest(
             "df": pa.array([-nd for nd, _t in rows], pa.int64()),
         }
     )
+
+
+def index_stats(sf_dir: str) -> pa.Table:
+    """Index introspection (the reference's stats surface, ``stats.rs``):
+    live doc count, total content tokens, and the distinct content-term
+    count, all from index structures.
+
+    n_docs / total_tokens are O(1) manifest-stats reads.  The distinct
+    term count never builds a vocabulary set: it is (content rows across
+    shard termdicts) − (salt-bucket duplicate rows), where the row count
+    is a vectorized column scan of the shard parquet (field column only)
+    and the salted correction probes only the manifest's salted-term
+    list (small by construction)."""
+    import ray.data as rd
+
+    from ..build import load_manifest
+    from ..stages.encode import shard_file_names
+
+    s = searcher_for(sf_dir)
+    index_dir = documents_index(sf_dir)
+    manifest = load_manifest(index_dir)
+    shard_files = sorted(
+        os.path.join(
+            index_dir,
+            "shards",
+            e.get("file")
+            or shard_file_names(int(e["index"]), int(e.get("generation", 0) or 0))[0],
+        )
+        for e in manifest["shards"]
+    )
+    ds = rd.read_parquet(shard_files, columns=["field"])
+    content_rows = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [int(np.equal(t["field"].to_numpy(), FIELD_CONTENT).sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    dup_rows = 0
+    for field, term in s.salted:
+        if int(field) == FIELD_CONTENT:
+            dup_rows += max(0, len(s.term_rows(FIELD_CONTENT, term)) - 1)
+    return pa.table(
+        {
+            "n_docs": pa.array([int(s.doc_count())], pa.int64()),
+            "total_tokens": pa.array(
+                [int(s.field_stats["content"]["total_tokens"])], pa.int64()
+            ),
+            "n_terms": pa.array([content_rows - dup_rows], pa.int64()),
+        }
+    )

@@ -127,3 +127,25 @@ class TestTermSuggest:
 
         with pytest.raises(ValueError):
             term_suggest(SF, "mergge", max_edits=2)
+
+
+class TestIndexStats:
+    def test_matches_doclen_sidecars(self, ray_session):
+        """n_docs/total_tokens from manifest stats must equal what the
+        doclen sidecars say; n_terms must equal a full vocab walk."""
+        from frankensearch_ray.pipelines.docsearch import (
+            doc_lengths,
+            index_stats,
+            searcher_for,
+        )
+        from frankensearch_ray.schema import FIELD_CONTENT
+
+        t = index_stats(SF)
+        dl = doc_lengths(SF)
+        assert t["n_docs"][0].as_py() == dl.num_rows
+        assert t["total_tokens"][0].as_py() == sum(dl["n_tokens"].to_pylist())
+        s = searcher_for(SF)
+        vocab = set()
+        for sid in range(s.num_shards):
+            vocab.update(s.shards.iter_terms_range(sid, FIELD_CONTENT))
+        assert t["n_terms"][0].as_py() == len(vocab)
