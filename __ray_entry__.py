@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index introspection (stats.rs surface): O(1) manifest stats +
         # salt-corrected distinct-term count from shard footer columns
         "index_stats": docsearch.index_stats,
+        # exact count path (pruning gated off, index.rs:7907-7908)
+        "count_query": docsearch.count_query,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -959,6 +961,14 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('es', 'fr')
               AND doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "count_query": f"""
+            WITH {docs}
+            SELECT count(*) FILTER (list_contains(toks, 'hash')
+                                    OR list_contains(toks, 'merge'))::BIGINT
+                     AS total,
+                   count(*)::BIGINT AS n_docs
+            FROM docs
         """,
         "index_stats": f"""
             WITH {docs}

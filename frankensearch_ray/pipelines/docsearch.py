@@ -481,3 +481,17 @@ def index_stats(sf_dir: str) -> pa.Table:
             "n_terms": pa.array([content_rows - dup_rows], pa.int64()),
         }
     )
+
+
+def count_query(sf_dir: str, query: str = "hash merge") -> pa.Table:
+    """Exact match count through the engine's count path (pruning is
+    gated off when counting, like the reference's ``index.rs:7907-7908``
+    exact-count gate) plus the O(1) live doc count."""
+    s = searcher_for(sf_dir)
+    res = s.search(query, limit=0, count=True)
+    return pa.table(
+        {
+            "total": pa.array([int(res["total"])], pa.int64()),
+            "n_docs": pa.array([int(s.doc_count())], pa.int64()),
+        }
+    )
