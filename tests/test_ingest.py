@@ -137,3 +137,42 @@ class TestIndexEquivalence:
             assert [(h["id"], h["score_bits"]) for h in a] == [
                 (h["id"], h["score_bits"]) for h in b
             ], q
+
+
+class TestIngestEdges:
+    def test_empty_jsonl_stages_cleanly(self, ray_session, tmp_path):
+        p = str(tmp_path / "empty.jsonl")
+        open(p, "w").close()
+        n = ingest.convert_file(p, str(tmp_path / "o.parquet"), "jsonl")
+        assert n == 0
+        assert pq.read_metadata(str(tmp_path / "o.parquet")).num_rows == 0
+
+    def test_blank_lines_skipped(self, ray_session, tmp_path):
+        p = str(tmp_path / "gaps.jsonl")
+        with open(p, "w") as f:
+            f.write('{"a": 1}\n\n   \n{"a": 2}\n')
+        n = ingest.convert_file(p, str(tmp_path / "o.parquet"), "jsonl")
+        assert n == 2
+        assert pq.read_table(str(tmp_path / "o.parquet"))["a"].to_pylist() == [1, 2]
+
+    def test_csv_quoting_roundtrip(self, ray_session, tmp_path):
+        import pyarrow.csv as pcsv
+
+        src = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ['has, comma', 'has "quotes"', "has\nnewline"], pa.string()
+                ),
+            }
+        )
+        p = str(tmp_path / "tricky.csv")
+        pcsv.write_csv(src, p)
+        n = ingest.convert_file(p, str(tmp_path / "o.parquet"), "csv")
+        got = pq.read_table(str(tmp_path / "o.parquet"))
+        assert n == 3
+        assert got["text"].to_pylist() == src["text"].to_pylist()
+
+    def test_unknown_format_rejected(self, ray_session, tmp_path):
+        with pytest.raises(ValueError):
+            ingest.convert_file("x", "y", "avro")
