@@ -162,6 +162,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": docsearch.index_stats,
         # exact count path (pruning gated off, index.rs:7907-7908)
         "count_query": docsearch.count_query,
+        # typo-tolerant BM25 via edit-1 term expansion (repo addition)
+        "fuzzy_search": docsearch.fuzzy_search,
+        # RegexQuery termdict expansion (query.rs:3450 regex lowering)
+        "regex_search": docsearch.regex_search,
+        # ordered sloppy phrase over position sidecars (repo EXTENSION;
+        # the parser path still raises the reference's UnsupportedQuery)
+        "phrase_near": docsearch.phrase_near,
         "search_snippets": docsearch.search_snippets,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
@@ -229,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "pack_sequences": corpus.pack_sequences,
         "ngram_topk": corpus.ngram_topk,
+        # grouped top-k: per-source vocabulary profile (terms sub-agg)
+        "top_terms_per_source": corpus.top_terms_per_source,
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         "doc_keywords": corpus.doc_keywords,
@@ -989,6 +998,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df FROM df
             WHERE levenshtein(term, 'mergge') <= 1
             ORDER BY df DESC, term LIMIT 10
+        """,
+        "fuzzy_search": f"""
+            WITH {docs},
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM docs
+            ),
+            dl AS (
+              SELECT doc_id, (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM docs
+            ),
+            alltf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              GROUP BY doc_id, term
+            ),
+            cdf AS (SELECT term, count(*)::DOUBLE AS df FROM alltf GROUP BY term),
+            variants AS (
+              SELECT term FROM cdf
+              WHERE levenshtein(term, 'mergge') <= 1
+                 OR levenshtein(term, 'windoq') <= 1
+            ),
+            tf AS (
+              SELECT * FROM alltf
+              WHERE term IN (SELECT term FROM variants)
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + ((SELECT n FROM stats) - cdf.df + 0.5)
+                              / (cdf.df + 0.5)) * 2.2
+                       * tf.tf
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                             / (SELECT n FROM stats))))
+                     ) AS score
+              FROM tf
+              JOIN cdf USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+                     AS rank
+            FROM scores
+            ORDER BY rank LIMIT 10
+        """,
+        "regex_search": f"""
+            WITH {docs},
+            vt AS (SELECT DISTINCT unnest(toks) AS term FROM docs),
+            m AS (
+              SELECT term FROM vt
+              WHERE regexp_full_match(term, 'ha.h(ing|es)?')
+            )
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+            WHERE term IN (SELECT term FROM m)
+            ORDER BY doc_id
+        """,
+        "phrase_near": f"""
+            WITH {docs},
+            o1 AS (
+              SELECT doc_id,
+                     unnest([i FOR i IN range(1, len(toks)+1)
+                             IF toks[i] = 'hash']) AS p
+              FROM docs
+            ),
+            o2 AS (
+              SELECT doc_id,
+                     unnest([i FOR i IN range(1, len(toks)+1)
+                             IF toks[i] = 'table']) AS p
+              FROM docs
+            )
+            SELECT DISTINCT o1.doc_id FROM o1 JOIN o2 USING (doc_id)
+            WHERE o2.p > o1.p AND o2.p - o1.p <= 3
+            ORDER BY doc_id
+        """,
+        "top_terms_per_source": f"""
+            WITH {docs},
+            t AS (
+              SELECT d.source, unnest(docs.toks) AS term
+              FROM documents d JOIN docs ON docs.doc_id = d.doc_id
+            ),
+            c AS (
+              SELECT source, term, count(*)::BIGINT AS cnt
+              FROM t GROUP BY source, term
+            ),
+            r AS (
+              SELECT source, term, cnt,
+                     (row_number() OVER (PARTITION BY source
+                        ORDER BY cnt DESC, term) - 1)::BIGINT AS rank
+              FROM c
+            )
+            SELECT source, term, cnt, rank FROM r WHERE rank < 10
+            ORDER BY source, rank
         """,
         "ingest_jsonl": """
             SELECT doc_id, lang, source, n_chars

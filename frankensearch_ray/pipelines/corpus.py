@@ -1534,3 +1534,133 @@ def repetition_stats(
         ["doc_id"],
         output_path,
     )
+
+
+# --- per-source vocabulary profile ---------------------------------------------
+
+
+def top_terms_per_source(
+    sf_dir: str,
+    k: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_shards: int | None = None,
+) -> pa.Table:
+    """(source, term, cnt, rank): the k most frequent terms of every
+    source (count desc, term asc) — the per-domain vocabulary-drift
+    profile a curation pipeline reads before deciding per-source
+    filters (grouped top-k, the shape ES calls a terms sub-aggregation).
+
+    Scale shape: per-batch composite ``(source, term)`` combiner (one
+    ``np.unique`` over ``scode * V + tcode``), then ONE exchange sharded
+    on ``blake2b(term) % K`` — every occurrence of a term lands in one
+    shard, so in-shard per-pair sums are exact and each shard cuts to
+    its local per-source top-k (the global per-source top-k is a subset
+    of the union of shard top-ks) before the driver merges the
+    K x n_sources x k candidate rows.  No stage ever holds the full
+    vocabulary; the driver table is bounded by sources x k."""
+    import ray.data as rd
+
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nz = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nz))
+        doc_idx = doc_idx[nz]
+        if len(flat) == 0:
+            return empty
+        src = t[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = pc.dictionary_encode(src)
+        scodes = senc.indices.to_numpy().astype(np.int64)[doc_idx]
+        tenc = pc.dictionary_encode(flat)
+        tcodes = tenc.indices.to_numpy().astype(np.int64)
+        v = len(tenc.dictionary)
+        uk, cnt = np.unique(scodes * v + tcodes, return_counts=True)
+        sc = (uk // v).astype(np.int64)
+        tc = (uk % v).astype(np.int64)
+        # shard per UNIQUE term (dictionary trick) so a term's pairs
+        # meet in exactly one shard regardless of source
+        shard = (hash64_column(tenc.dictionary) % np.uint64(n_shards)).view(
+            np.int64
+        )
+        return pa.table(
+            {
+                "shard": pa.array(shard[tc]),
+                "source": senc.dictionary.take(pa.array(sc)),
+                "term": tenc.dictionary.take(pa.array(tc)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        senc = pc.dictionary_encode(src)
+        tenc = pc.dictionary_encode(term)
+        sc = senc.indices.to_numpy().astype(np.int64)
+        tc = tenc.indices.to_numpy().astype(np.int64)
+        v = len(tenc.dictionary)
+        uk, inv = np.unique(sc * v + tc, return_inverse=True)
+        tot = np.bincount(inv, weights=g["cnt"].to_numpy()).astype(np.int64)
+        usc = (uk // v).astype(np.int64)
+        utc = (uk % v).astype(np.int64)
+        terms = np.asarray(tenc.dictionary.to_pylist(), dtype=object)[utc]
+        # per-source local cut: sort (source, cnt desc, term asc), keep
+        # the first k rows of every source run
+        order = np.lexsort((terms, -tot, usc))
+        usc, tot, terms = usc[order], tot[order], terms[order]
+        starts = np.flatnonzero(np.diff(usc, prepend=usc[0] - 1))
+        rank_in = np.arange(len(usc)) - np.repeat(starts, np.diff(
+            np.append(starts, len(usc))
+        ))
+        keep = rank_in < k
+        return pa.table(
+            {
+                "source": senc.dictionary.take(pa.array(usc[keep])),
+                "term": pa.array(list(terms[keep]), pa.string()),
+                "cnt": pa.array(tot[keep]),
+            }
+        )
+
+    out = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[source_col, text_col])
+        .map_batches(batch_counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["source", "cnt", "term"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out["rank"] = out.groupby("source").cumcount()
+    out = out[out["rank"] < k].reset_index(drop=True)
+    return pa.table(
+        {
+            "source": pa.array(out["source"].to_numpy(), pa.string()),
+            "term": pa.array(out["term"].to_numpy(), pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+            "rank": pa.array(out["rank"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -483,6 +483,103 @@ def index_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def fuzzy_search(
+    sf_dir: str, query: str = "mergge windoq", k: int = 10
+) -> pa.Table:
+    """Typo-tolerant BM25 search (repo addition, Tantivy-FuzzyTermQuery
+    flavoured): each query term expands to every indexed content term
+    within Levenshtein distance <= 1, and the deduplicated variant set
+    runs as a SHOULD disjunction through the pruned BM25 engine (same
+    f32 contract as ``bm25_topk``; the SQL oracle is the f64 recompute
+    over the ``levenshtein() <= 1`` variant set).
+
+    Scale shape: expansion is SymSpell-style generate-and-probe (the
+    same bounded ``_keys``-sidecar point probes as ``term_suggest``, so
+    cost is O(len(term)) probes, independent of vocabulary size), and
+    the query itself is an ordinary block-max top-k."""
+    import re
+
+    from ..contract.query_ast import ParsedQuery
+
+    s = searcher_for(sf_dir)
+    qterms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    variants: set[str] = set()
+    for qt in qterms:
+        for cand in _edit1_neighborhood(qt):
+            if cand in variants:
+                continue
+            df = sum(int(r["df"]) for _b, r in s.term_rows(FIELD_CONTENT, cand))
+            if df > 0:
+                variants.add(cand)
+    if not variants:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+        )
+    node = Boolean([Clause(SHOULD, _content_term(t)) for t in sorted(variants)])
+    res = s.run_parsed(ParsedQuery(node), limit=k)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["id"]) for h in res["hits"]], pa.int64()),
+            "rank": pa.array([h["rank"] for h in res["hits"]], pa.int64()),
+        }
+    )
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest leading literal run of ``pattern`` over the token alphabet
+    (stops before any metacharacter, and before a literal that a following
+    quantifier could erase) — a NECESSARY term prefix, safe for pruning."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c not in _SUGGEST_ALPHABET:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def regex_search(sf_dir: str, pattern: str = "ha.h(ing|es)?") -> pa.Table:
+    """Docs containing any content term that fully matches ``pattern`` —
+    the RegexQuery surface (reference wildcards lower to an anchor-free
+    FST regex and union postings const-score, ``quill/src/query.rs:3450``,
+    ``3454-3518``; here the pattern is arbitrary, not just a wildcard).
+
+    Scale shape: the termdict scan is bounded to the pattern's literal
+    prefix range when one exists and fuel-metered otherwise (same
+    admission as the glob residual scans); the doc union is a sorted
+    postings merge."""
+    s = searcher_for(sf_dir)
+    matched = s.regex_terms(
+        FIELD_CONTENT, pattern, _regex_literal_prefix(pattern)
+    )
+    docs = np.zeros(0, np.uint64)
+    for term in matched:
+        d, _, _, _ = s.postings(FIELD_CONTENT, term)
+        if len(d):
+            docs = np.union1d(docs, d) if len(docs) else d
+    doc_ids = sorted(_docids_to_doc_ids(s, docs.astype(np.uint64)))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
+
+
+def phrase_near(
+    sf_dir: str, w1: str = "hash", w2: str = "table", slop: int = 2
+) -> pa.Table:
+    """Docs where ``w1`` is followed by ``w2`` within ``slop`` extra
+    positions (ordered sloppy phrase) — repo EXTENSION: the reference's
+    parser path raises the typed ``UnsupportedQuery`` for ``"a b"~N``
+    (and so does this engine's, pinned in the parity goldens); this is
+    the separate programmatic entry point over the same position
+    sidecars.  ``slop=0`` degenerates to :func:`phrase_match`."""
+    s = searcher_for(sf_dir)
+    docids = s.phrase_near(FIELD_CONTENT, [w1, w2], slop)
+    doc_ids = sorted(_docids_to_doc_ids(s, docids))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
+
+
 def count_query(sf_dir: str, query: str = "hash merge") -> pa.Table:
     """Exact match count through the engine's count path (pruning is
     gated off when counting, like the reference's ``index.rs:7907-7908``

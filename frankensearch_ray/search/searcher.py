@@ -1163,6 +1163,81 @@ class LocalSearcher:
         ]
         return self._sum_aligned(parts)
 
+    def phrase_near(self, field: int, terms: list[str], slop: int) -> np.ndarray:
+        """Ordered sloppy phrase — repo EXTENSION beyond the reference
+        (whose parser path keeps raising the typed ``UnsupportedQuery``
+        for ``"a b"~N``, ``quill/src/index.rs:10637-10641``; this is a
+        separate programmatic entry point, so the parity goldens hold).
+
+        Semantics: a doc matches iff there exist strictly increasing
+        positions ``p_0 < p_1 < ... < p_{n-1}`` with ``p_i`` an occurrence
+        of ``terms[i]`` and total span ``p_{n-1} - p_0 <= slop + n - 1``
+        (slop = extra gap budget; slop 0 = exact adjacency).
+
+        Vectorized greedy chain over the same flat ``cand_idx<<32|pos``
+        key arrays as :meth:`_phrase_keys`: for each start occurrence the
+        minimal-end chain is built with one ``searchsorted`` per term
+        (greedy next-position is optimal for fixed start), so cost is
+        O(occurrences x n_terms x log) with no per-candidate Python loop.
+        Returns sorted matching docids."""
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        per_term = []
+        for term in terms:
+            docids, _tfs, _df, _ = self.postings(field, term)
+            if len(docids) == 0:
+                return np.zeros(0, np.uint64)
+            per_term.append(docids)
+        cand = per_term[0]
+        for d in per_term[1:]:
+            cand = cand[_isin_sorted(cand, d)]
+        if len(cand) == 0:
+            return cand.astype(np.uint64)
+        self._charge(sum(len(d) for d in per_term) + len(cand) * len(terms))
+        keys = [self._phrase_keys(field, t, cand) for t in terms]
+        k0 = keys[0]
+        if len(k0) == 0:
+            return np.zeros(0, np.uint64)
+        alive = np.ones(len(k0), dtype=bool)
+        cur = k0.copy()
+        for ti in range(1, len(terms)):
+            kt = keys[ti]
+            if len(kt) == 0:
+                return np.zeros(0, np.uint64)
+            idx = np.searchsorted(kt, cur + np.uint64(1), side="left")
+            ok = idx < len(kt)
+            nxt = kt[np.minimum(idx, len(kt) - 1)]
+            same = ok & ((nxt >> np.uint64(32)) == (cur >> np.uint64(32)))
+            alive &= same
+            cur = np.where(same, nxt, cur)
+        span = (cur & np.uint64(0xFFFFFFFF)).astype(np.int64) - (
+            k0 & np.uint64(0xFFFFFFFF)
+        ).astype(np.int64)
+        good = alive & (span <= slop + len(terms) - 1)
+        if not good.any():
+            return np.zeros(0, np.uint64)
+        ci = np.unique((k0[good] >> np.uint64(32)).astype(np.int64))
+        return cand[ci].astype(np.uint64)
+
+    def regex_terms(self, field: int, pattern: str, literal_prefix: str = ""):
+        """Every indexed term of ``field`` fully matching ``pattern`` —
+        the RegexQuery expansion surface (reference wildcards lower to an
+        anchor-free FST regex, ``quill/src/query.rs:3450``; this exposes
+        the same bounded termdict scan for arbitrary patterns).
+
+        The scan is prefix-bounded when ``literal_prefix`` is non-empty
+        and every scanned term is charged against the query fuel budget,
+        exactly like the glob residual scans."""
+        import re
+
+        prog = re.compile(pattern)
+        out = []
+        for term in self._terms_matching_pred(field, prog, literal_prefix):
+            out.append(term)
+            if len(out) >= self.GLOB_EXPANSION_LIMIT:
+                break
+        return sorted(set(out))
+
     def _eval_range_set(self, node, boost: float):
         """RangeStr/SetStr: keyword id via idmap; text fields via termdict
         scan.  Constant score 1.0 per match (ConstScorer semantics)."""
