@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FSFS 8-field chunk schema index (schema.rs:300-377)
         "chunk_search": chunksearch.chunk_search,
         "sessionize_events": events.sessionize,
+        # ordered funnel prefix counts (greedy chain ≡ existence)
+        "funnel_counts": events.funnel_counts,
         "window_events": events.window_aggregate,
         "asof_click_purchase": events.asof_join,
         "range_join_events": events.range_join,
@@ -238,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": corpus.ngram_topk,
         # grouped top-k: per-source vocabulary profile (terms sub-agg)
         "top_terms_per_source": corpus.top_terms_per_source,
+        # ES-significant-terms: df-lift of a match slice vs the corpus
+        "significant_terms": corpus.significant_terms,
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         "doc_keywords": corpus.doc_keywords,
@@ -1075,6 +1079,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o1.doc_id FROM o1 JOIN o2 USING (doc_id)
             WHERE o2.p > o1.p AND o2.p - o1.p <= 3
             ORDER BY doc_id
+        """,
+        "funnel_counts": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s0 ON s0.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+            )
+            SELECT step, event_type, n_users FROM (VALUES
+              (0::BIGINT, 'view', (SELECT count(*)::BIGINT FROM s0)),
+              (1::BIGINT, 'click', (SELECT count(*)::BIGINT FROM s1)),
+              (2::BIGINT, 'purchase', (SELECT count(*)::BIGINT FROM s2)))
+              AS v(step, event_type, n_users)
+            ORDER BY step
+        """,
+        "significant_terms": f"""
+            WITH {docs},
+            m AS (
+              SELECT doc_id FROM docs
+              WHERE list_contains(toks, 'hash') AND list_contains(toks, 'merge')
+            ),
+            td AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+            agg AS (
+              SELECT term, count(*)::BIGINT AS bg,
+                     count(*) FILTER (doc_id IN (SELECT doc_id FROM m))::BIGINT
+                       AS fg
+              FROM td GROUP BY term
+            ),
+            tot AS (
+              SELECT (SELECT count(*) FROM docs) AS n,
+                     (SELECT count(*) FROM m) AS f
+            ),
+            r AS (
+              SELECT term, fg, bg,
+                     (row_number() OVER (
+                        ORDER BY (fg * n * 1.0) / (bg * f) DESC, term) - 1
+                     )::BIGINT AS rank
+              FROM agg, tot WHERE fg >= 5
+            )
+            SELECT term, fg AS fg_df, bg AS bg_df, rank FROM r
+            WHERE rank < 20 ORDER BY rank
         """,
         "top_terms_per_source": f"""
             WITH {docs},

@@ -1664,3 +1664,178 @@ def top_terms_per_source(
             "rank": pa.array(out["rank"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# --- significant terms (conditioned aggregation) -------------------------------
+
+
+def significant_terms(
+    sf_dir: str,
+    t1: str = "hash",
+    t2: str = "merge",
+    k: int = 20,
+    min_fg: int = 5,
+    text_col: str = "text",
+    n_shards: int | None = None,
+) -> pa.Table:
+    """(term, fg_df, bg_df, rank): the terms most overrepresented in the
+    docs containing BOTH ``t1`` and ``t2``, ranked by document-frequency
+    lift ``(fg_df * N) / (bg_df * F)`` (N = corpus docs, F = matched
+    docs; fg_df >= min_fg) — the ES significant-terms shape: "what is
+    this query's slice about, beyond the query itself".
+
+    Scale shape: the match predicate is evaluated IN-BATCH during the
+    one corpus pass (no index round-trip, no matched-docid broadcast —
+    at web scale a head query's match set is itself corpus-sized), which
+    emits per-batch (term, fg, bg) df partials; ONE ``blake2b(term)%K``
+    exchange makes in-shard sums exact, and because the lift needs only
+    the two corpus scalars (N, F — a zero-exchange count pass, two ints
+    to the driver), each shard scores and pre-cuts to its local top-k
+    before the driver merges K x k rows.  The lift is a single f64
+    division of exact int64 products (< 2^53), so both engines order
+    identically; ties break term asc."""
+    import ray.data as rd
+
+    if n_shards is None:
+        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+
+    src = rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+
+    def _doc_term_pairs(t: pa.Table):
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nz = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nz))
+        doc_idx = doc_idx[nz]
+        if len(flat) == 0:
+            return None
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        vocab = denc.dictionary
+        v = len(vocab)
+        uk = np.unique(doc_idx * v + codes)
+        d = (uk // v).astype(np.int64)
+        c = (uk % v).astype(np.int64)
+        return vocab, v, d, c, len(t)
+
+    def _match_mask(vocab, v, d, c, ndocs) -> np.ndarray:
+        idx = pc.index_in(pa.array([t1, t2]), value_set=vocab)
+        i1, i2 = idx[0].as_py(), idx[1].as_py()
+        has1 = np.zeros(ndocs, bool)
+        has2 = np.zeros(ndocs, bool)
+        if i1 is not None:
+            has1[d[c == i1]] = True
+        if i2 is not None:
+            has2[d[c == i2]] = True
+        return has1 & has2
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        got = _doc_term_pairs(t)
+        if got is None:
+            return pa.table(
+                {"n": pa.array([len(t)], pa.int64()), "f": pa.array([0], pa.int64())}
+            )
+        vocab, v, d, c, ndocs = got
+        matched = _match_mask(vocab, v, d, c, ndocs)
+        return pa.table(
+            {
+                "n": pa.array([ndocs], pa.int64()),
+                "f": pa.array([int(matched.sum())], pa.int64()),
+            }
+        )
+
+    totals = src.map_batches(count_batch, batch_format="pyarrow")
+    tot = totals.to_pandas().sum()
+    n_docs, f_docs = int(tot["n"]), int(tot["f"])
+    if f_docs == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "fg_df": pa.array([], pa.int64()),
+                "bg_df": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "fg": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.int64()),
+        }
+    )
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        got = _doc_term_pairs(t)
+        if got is None:
+            return empty
+        vocab, v, d, c, ndocs = got
+        matched = _match_mask(vocab, v, d, c, ndocs)
+        bg = np.bincount(c, minlength=v).astype(np.int64)
+        fg = np.bincount(c[matched[d]], minlength=v).astype(np.int64)
+        shard = (hash64_column(vocab) % np.uint64(n_shards)).view(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "term": vocab,
+                "fg": pa.array(fg),
+                "bg": pa.array(bg),
+            }
+        )
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        term = g["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        tenc = pc.dictionary_encode(term)
+        tc = tenc.indices.to_numpy().astype(np.int64)
+        v = len(tenc.dictionary)
+        fg = np.bincount(tc, weights=g["fg"].to_numpy(), minlength=v).astype(
+            np.int64
+        )
+        bg = np.bincount(tc, weights=g["bg"].to_numpy(), minlength=v).astype(
+            np.int64
+        )
+        keep = np.flatnonzero(fg >= min_fg)
+        if len(keep) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "fg": pa.array([], pa.int64()),
+                    "bg": pa.array([], pa.int64()),
+                }
+            )
+        terms = np.asarray(tenc.dictionary.to_pylist(), dtype=object)[keep]
+        fg, bg = fg[keep], bg[keep]
+        lift = (fg * n_docs).astype(np.float64) / (bg * f_docs).astype(np.float64)
+        order = np.lexsort((terms, -lift))[:k]
+        return pa.table(
+            {
+                "term": pa.array(list(terms[order]), pa.string()),
+                "fg": pa.array(fg[order]),
+                "bg": pa.array(bg[order]),
+            }
+        )
+
+    out = (
+        src.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    lift = (out["fg"].to_numpy() * n_docs).astype(np.float64) / (
+        out["bg"].to_numpy() * f_docs
+    ).astype(np.float64)
+    order = np.lexsort((out["term"].to_numpy(), -lift))[:k]
+    out = out.iloc[order].reset_index(drop=True)
+    return pa.table(
+        {
+            "term": pa.array(out["term"].to_numpy(), pa.string()),
+            "fg_df": pa.array(out["fg"].to_numpy().astype(np.int64)),
+            "bg_df": pa.array(out["bg"].to_numpy().astype(np.int64)),
+            "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        }
+    )

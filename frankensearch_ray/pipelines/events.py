@@ -422,3 +422,111 @@ def range_join(
         ["event_id"],
         output_path,
     )
+
+
+def _funnel_bucket(g: pa.Table, steps: list[str]) -> pa.Table:
+    """Vectorized greedy funnel chain over one bucket's users.
+
+    A user completes step i iff there exist strictly increasing
+    timestamps t_0 < t_1 < ... < t_i with t_j an occurrence of
+    ``steps[j]`` — and the greedy minimal chain (earliest t_0, then
+    earliest t_1 > t_0, ...) decides existence exactly (for a fixed
+    start, taking each next occurrence as early as possible minimizes
+    every later timestamp).  One searchsorted per step over composite
+    ``ucode * B + (ts - off)`` keys chains EVERY user in the bucket at
+    once; B = bucket time span + 2, so the composite stays exact int64."""
+    empty = pa.table(
+        {
+            "step": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+    if len(g) == 0:
+        return empty
+    uid = g["user_id"].to_numpy()
+    ts = g["ts"].cast(pa.int64()).to_numpy()
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    _uniq, ucode = np.unique(uid, return_inverse=True)
+    off = int(ts.min())
+    b = np.int64(int(ts.max()) - off + 2)
+    per_step = []
+    for s in steps:
+        m = et == s
+        k = ucode[m].astype(np.int64) * b + (ts[m] - off)
+        k.sort()
+        per_step.append(k)
+    counts = np.zeros(len(steps), np.int64)
+    k0 = per_step[0]
+    if len(k0):
+        u0 = k0 // b
+        first = np.concatenate(([True], u0[1:] != u0[:-1]))
+        cur = k0[first]  # per-user earliest step-0 occurrence
+        counts[0] = len(cur)
+        for i in range(1, len(steps)):
+            ki = per_step[i]
+            if len(ki) == 0 or len(cur) == 0:
+                break
+            idx = np.searchsorted(ki, cur + 1, side="left")
+            ok = idx < len(ki)
+            nxt = ki[np.minimum(idx, len(ki) - 1)]
+            same = ok & (nxt // b == cur // b)
+            cur = nxt[same]
+            counts[i] = len(cur)
+    return pa.table(
+        {
+            "step": pa.array(np.arange(len(steps), dtype=np.int64)),
+            "n_users": pa.array(counts),
+        }
+    )
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    n_buckets: int = 64,
+) -> pa.Table:
+    """(step, event_type, n_users): how many users completed each ordered
+    funnel prefix — step i counts users with strictly increasing
+    timestamps through ``steps[0..i]`` (the product-analytics funnel; the
+    behavioral-corpus analogue of :func:`sessionize`).
+
+    Scale shape: the read is column-pruned and filtered to the step
+    types in-scan; users route through the same ``hash(user) % K``
+    bucketed exchange as ``sessionize`` (O(K) groups, never per-user
+    tasks); inside a bucket ALL users chain simultaneously with one
+    ``searchsorted`` per step; only K x n_steps partial-count rows
+    reach the driver."""
+    import ray.data as rd
+
+    steps = list(steps)
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("steps must be non-empty and distinct")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
+            n_buckets
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    pred = " or ".join(f"event_type == '{s}'" for s in steps)
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id", "event_type"],
+        )
+        .filter(expr=pred)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _funnel_bucket(g, steps), batch_format="pyarrow")
+        .to_pandas()
+    )
+    tot = partials.groupby("step")["n_users"].sum()
+    n = [int(tot.get(i, 0)) for i in range(len(steps))]
+    return pa.table(
+        {
+            "step": pa.array(np.arange(len(steps), dtype=np.int64)),
+            "event_type": pa.array(steps, pa.string()),
+            "n_users": pa.array(n, pa.int64()),
+        }
+    )
