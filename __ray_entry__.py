@@ -176,6 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": events.sessionize,
         # ordered funnel prefix counts (greedy chain ≡ existence)
         "funnel_counts": events.funnel_counts,
+        # signup-cohort retention triangle (distinct weekly actives)
+        "cohort_retention": events.cohort_retention,
+        # co-engagement top-k item pairs (collaborative-filtering prim.)
+        "item_cooccurrence": events.item_cooccurrence,
+        # top-k session event-type journeys (gap sessions -> path mining)
+        "session_paths": events.session_paths,
         "window_events": events.window_aggregate,
         "asof_click_purchase": events.asof_join,
         "range_join_events": events.range_join,
@@ -1101,6 +1107,82 @@ def oracle_sql() -> dict[str, str]:
               (2::BIGINT, 'purchase', (SELECT count(*)::BIGINT FROM s2)))
               AS v(step, event_type, n_users)
             ORDER BY step
+        """,
+        "cohort_retention": """
+            WITH su AS (
+              SELECT user_id, epoch_us(min(ts)) // 604800000000 AS cw
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT e.user_id, su.cw,
+                     epoch_us(e.ts) // 604800000000 - su.cw AS off
+              FROM events e JOIN su USING (user_id)
+              WHERE epoch_us(e.ts) // 604800000000 >= su.cw
+            )
+            SELECT cw::BIGINT AS cohort_week, off::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM act GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "item_cooccurrence": """
+            WITH it AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS item
+              FROM events WHERE event_type = 'click'
+            ),
+            ok AS (
+              SELECT user_id FROM it GROUP BY user_id HAVING count(*) <= 50
+            ),
+            c AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     count(*)::BIGINT AS n_users
+              FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+              WHERE a.user_id IN (SELECT user_id FROM ok)
+              GROUP BY 1, 2
+            )
+            SELECT item_a, item_b, n_users,
+                   (row_number() OVER (
+                      ORDER BY n_users DESC, item_a, item_b) - 1)::BIGINT
+                     AS rank
+            FROM c QUALIFY rank < 20 ORDER BY rank
+        """,
+        "session_paths": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER w AS prev_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            marked AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                              OR ts_us - prev_us > 30*60*1000000
+                         THEN 1 ELSE 0 END AS new_session
+              FROM e
+            ),
+            sessions AS (
+              SELECT *, sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     AS session
+              FROM marked
+            ),
+            numbered AS (
+              SELECT *, row_number() OVER
+                       (PARTITION BY user_id, session
+                        ORDER BY ts_us, event_id) AS rn
+              FROM sessions
+            ),
+            p AS (
+              SELECT user_id, session,
+                     string_agg(event_type, '>' ORDER BY ts_us, event_id)
+                       AS path
+              FROM numbered WHERE rn <= 8 GROUP BY user_id, session
+            ),
+            c AS (
+              SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY path
+            )
+            SELECT path, n_sessions,
+                   (row_number() OVER (
+                      ORDER BY n_sessions DESC, path) - 1)::BIGINT AS rank
+            FROM c QUALIFY rank < 20 ORDER BY rank
         """,
         "significant_terms": f"""
             WITH {docs},

@@ -530,3 +530,411 @@ def funnel_counts(
             "n_users": pa.array(n, pa.int64()),
         }
     )
+
+
+# --- cohort retention ----------------------------------------------------------
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def _user_bucket_col(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Append the shared multiplicative-hash user bucket column."""
+    u = t["user_id"].to_numpy().astype(np.uint64)
+    b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
+        n_buckets
+    )
+    return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+
+def _retention_bucket(g: pa.Table, signup_type: str) -> pa.Table:
+    """Exact per-bucket (cohort_week, week_offset) distinct-user counts.
+
+    Users partition by bucket, so a user's full history is local: the
+    per-user min signup week (one ``np.minimum.at``) and the user's
+    DISTINCT activity weeks (one composite-key ``np.unique``) are both
+    exact, and the emitted partial counts sum exactly across buckets."""
+    empty = pa.table(
+        {
+            "cohort_week": pa.array([], pa.int64()),
+            "week_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+    if len(g) == 0:
+        return empty
+    uid = g["user_id"].to_numpy()
+    week = g["ts"].cast(pa.int64()).to_numpy() // _WEEK_US
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    _u, ucode = np.unique(uid, return_inverse=True)
+    nu = len(_u)
+    sign = et == signup_type
+    cohort = np.full(nu, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(cohort, ucode[sign], week[sign])
+    has = cohort != np.iinfo(np.int64).max
+    off = week - cohort[ucode]
+    keep = has[ucode] & (off >= 0)
+    if not keep.any():
+        return empty
+    span = int(off[keep].max()) + 1
+    # distinct (user, offset); cohort is a per-user constant
+    uk = np.unique(ucode[keep] * span + off[keep])
+    u_of = (uk // span).astype(np.int64)
+    o_of = (uk % span).astype(np.int64)
+    key = np.stack([cohort[u_of], o_of], axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return pa.table(
+        {
+            "cohort_week": pa.array(uniq[:, 0]),
+            "week_offset": pa.array(uniq[:, 1]),
+            "n_users": pa.array(n),
+        }
+    )
+
+
+def cohort_retention(
+    sf_dir: str,
+    signup_type: str = "signup",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """(cohort_week, week_offset, n_users): the classic retention
+    triangle — users cohorted by the epoch-week of their FIRST
+    ``signup_type`` event, counted once per later week they were active
+    (any event type; activity strictly before signup is ignored).
+    ``cohort_week`` is ``epoch_us // one_week``; ``week_offset`` is the
+    activity week minus the cohort week (offset 0 = the signup week).
+
+    Scale shape: one column-pruned pass routes events through the same
+    ``hash(user) % K`` bucketed exchange as :func:`sessionize` (O(K)
+    groups); inside a bucket the cohort assignment and the distinct
+    (user, week) reduction are single vectorized kernels across ALL the
+    bucket's users, and because users never straddle buckets the partial
+    (cohort, offset) counts are exact — only K x cohorts x offsets tiny
+    count rows reach the driver."""
+    import ray.data as rd
+
+    partials = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id", "event_type"],
+        )
+        .map_batches(lambda t: _user_bucket_col(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _retention_bucket(g, signup_type), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["cohort_week", "week_offset"], as_index=False)[
+            "n_users"
+        ]
+        .sum()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cohort_week": pa.array(out["cohort_week"].to_numpy().astype(np.int64)),
+            "week_offset": pa.array(out["week_offset"].to_numpy().astype(np.int64)),
+            "n_users": pa.array(out["n_users"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+# --- item co-occurrence ---------------------------------------------------------
+
+
+_ITEM_RE = r'"k":\s*(?P<k>-?\d+)'
+
+
+def _props_item(props: pa.Array) -> np.ndarray:
+    """Vectorized item-id extraction from the ``props`` JSON column
+    (``{"k": <int>}``) — one RE2 pass over the whole column, no per-row
+    json.loads.  Rows without a match become -1 (excluded upstream)."""
+    import pyarrow.compute as pc
+
+    if isinstance(props, pa.ChunkedArray):
+        props = props.combine_chunks()
+    m = pc.extract_regex(props, _ITEM_RE)
+    k = pc.struct_field(m, "k")
+    return (
+        pc.cast(pc.coalesce(k, "-1"), pa.int64()).to_numpy(zero_copy_only=False)
+    )
+
+
+def item_cooccurrence(
+    sf_dir: str,
+    event_type: str = "click",
+    k: int = 20,
+    max_items_per_user: int = 50,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> pa.Table:
+    """(item_a, item_b, n_users, rank): the item pairs most often
+    co-engaged by the same user — count of distinct users whose
+    ``event_type`` events touch BOTH items (item = ``props.k``), global
+    top-k by (n_users desc, item_a asc, item_b asc).  The
+    collaborative-filtering "related items" primitive.
+
+    Admission rule (documented, mirrored exactly in the SQL oracle):
+    users with more than ``max_items_per_user`` DISTINCT items are
+    dropped whole — the standard co-occurrence bound, since one crawler
+    account touching 10^5 items would emit 10^10 pairs.
+
+    Scale shape: the read is type-filtered and column-pruned; users
+    route through the shared ``hash(user) % K`` exchange so each user's
+    distinct item set (and the cap) is exact-local, and the triangular
+    pair expansion reuses the LSH blockers' vectorized
+    ``_run_pairs`` kernel (O(total pairs) numpy, capped per user).
+    Per-bucket pair counts then take ONE ``hash(pair) % S`` exchange —
+    a pair lives in exactly one shard, so in-shard sums are exact and
+    each shard pre-cuts to its local top-k before the driver merges
+    S x k rows.  No stage ever holds the item vocabulary or the global
+    pair table."""
+    import ray.data as rd
+
+    from .dedup import _run_pairs
+
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "item_a": pa.array([], pa.int64()),
+            "item_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def parse_items(t: pa.Table) -> pa.Table:
+        item = _props_item(t["props"])
+        ok = item >= 0
+        out = pa.table(
+            {
+                "user_id": pa.array(
+                    t["user_id"].to_numpy()[ok].astype(np.int64)
+                ),
+                "item": pa.array(item[ok]),
+            }
+        )
+        return _user_bucket_col(out, n_buckets)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        pairs = _run_pairs(
+            g["user_id"].to_numpy().astype(np.int64),
+            g["item"].to_numpy().astype(np.int64),
+            max_items_per_user,
+        )
+        if len(pairs) == 0:
+            return empty
+        ab = np.stack(
+            [pairs["a"].to_numpy(), pairs["b"].to_numpy()], axis=1
+        )
+        uniq, counts = np.unique(ab, axis=0, return_counts=True)
+        a, b = uniq[:, 0], uniq[:, 1]
+        h = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        shard = ((h >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "item_a": pa.array(a),
+                "item_b": pa.array(b),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        ab = np.stack(
+            [g["item_a"].to_numpy(), g["item_b"].to_numpy()], axis=1
+        )
+        uniq, inv = np.unique(ab, axis=0, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy().astype(np.int64))
+        order = np.lexsort((uniq[:, 1], uniq[:, 0], -n))[:k]
+        return pa.table(
+            {
+                "item_a": pa.array(uniq[order, 0]),
+                "item_b": pa.array(uniq[order, 1]),
+                "n_users": pa.array(n[order]),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "props"],
+        )
+        .filter(expr=f"event_type == '{event_type}'")
+        .select_columns(["user_id", "props"])
+        .map_batches(parse_items, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (
+            out["item_b"].to_numpy(),
+            out["item_a"].to_numpy(),
+            -out["n_users"].to_numpy(),
+        )
+    )[:k]
+    out = out.iloc[order].reset_index(drop=True)
+    return pa.table(
+        {
+            "item_a": pa.array(out["item_a"].to_numpy().astype(np.int64)),
+            "item_b": pa.array(out["item_b"].to_numpy().astype(np.int64)),
+            "n_users": pa.array(out["n_users"].to_numpy().astype(np.int64)),
+            "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        }
+    )
+
+
+# --- session path mining --------------------------------------------------------
+
+
+def _session_paths_bucket(
+    g: pa.Table, gap_us: int, max_len: int, n_shards: int
+) -> pa.Table:
+    """Per-bucket (shard, path, n) partial counts of session event-type
+    paths.  Sessionization is the same vectorized multi-user gap scan as
+    :func:`_sessionize_bucket`; the path string for EVERY session in the
+    bucket is assembled column-at-a-time (``max_len`` vectorized string
+    concats across all sessions — never a per-session join loop)."""
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "path": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(g) == 0:
+        return empty
+    uid = g["user_id"].to_numpy()
+    ts = g["ts"].cast(pa.int64()).to_numpy()
+    eid = g["event_id"].to_numpy()
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, et = uid[order], ts[order], et[order]
+
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    gap = np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+    bounds = np.flatnonzero(new_user | gap)
+    ends = np.concatenate((bounds[1:], [len(uid)]))
+
+    names = et.astype("U")
+    paths = np.full(len(bounds), "", dtype=f"U{(names.itemsize // 4 + 1) * max_len}")
+    for j in range(max_len):
+        valid = bounds + j < ends
+        if not valid.any():
+            break
+        step = np.where(valid, names[np.minimum(bounds + j, len(names) - 1)], "")
+        if j > 0:
+            step = np.char.add(np.where(valid, ">", ""), step)
+        paths = np.char.add(paths, step)
+
+    uniq, counts = np.unique(paths, return_counts=True)
+    arr = pa.array(uniq, pa.string())
+    from ..stages.tokenize import hash64_column
+
+    shard = (hash64_column(arr) % np.uint64(n_shards)).view(np.int64)
+    return pa.table(
+        {
+            "shard": pa.array(shard),
+            "path": arr,
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def session_paths(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    max_len: int = 8,
+    k: int = 20,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> pa.Table:
+    """(path, n_sessions, rank): the top-k most common session
+    event-type sequences — each gap-session (same rule as
+    :func:`sessionize`) reduced to the '>'-joined types of its first
+    ``max_len`` events (ordered by (ts, event_id)), counted across all
+    sessions, ranked (n_sessions desc, path asc).  The behavioral
+    "common journeys" miner.
+
+    Scale shape: the same ``hash(user) % K`` bucketed exchange as
+    ``sessionize`` localizes each user's history; paths build
+    column-at-a-time vectorized across every session in a bucket; ONE
+    ``blake2b(path) % S`` exchange makes path counts exact in-shard
+    (the path universe is type-alphabet^max_len — shards, never the
+    driver, hold it), each shard pre-cuts to k, and the driver merges
+    S x k rows."""
+    import ray.data as rd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(lambda t: _user_bucket_col(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _session_paths_bucket(g, gap_us, max_len, n_shards),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: _path_shard_topk(g, k), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (out["path"].to_numpy(), -out["n_sessions"].to_numpy())
+    )[:k]
+    out = out.iloc[order].reset_index(drop=True)
+    return pa.table(
+        {
+            "path": pa.array(out["path"].to_numpy(), pa.string()),
+            "n_sessions": pa.array(
+                out["n_sessions"].to_numpy().astype(np.int64)
+            ),
+            "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        }
+    )
+
+
+def _path_shard_topk(g: pa.Table, k: int) -> pa.Table:
+    """Exact in-shard path rollup + local top-k pre-cut."""
+    import pyarrow.compute as pc
+
+    path = g["path"]
+    if isinstance(path, pa.ChunkedArray):
+        path = path.combine_chunks()
+    if len(path) == 0:
+        return pa.table(
+            {
+                "path": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+            }
+        )
+    enc = pc.dictionary_encode(path)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    v = len(enc.dictionary)
+    n = np.zeros(v, np.int64)
+    np.add.at(n, codes, g["n"].to_numpy().astype(np.int64))
+    names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    order = np.lexsort((names, -n))[:k]
+    return pa.table(
+        {
+            "path": pa.array(list(names[order]), pa.string()),
+            "n_sessions": pa.array(n[order]),
+        }
+    )
