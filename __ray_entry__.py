@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_or_not": docsearch.boolean_or_not,
         "phrase_match": docsearch.phrase_match,
         "numeric_range": docsearch.numeric_range,
+        # ES/Lucene sort clause: match set ordered by a numeric fast field
+        "sort_search": docsearch.sort_search,
+        # ES histogram aggregation over a match set's numeric field
+        "numeric_histogram": docsearch.numeric_histogram,
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
         # Lucene-MoreLikeThis-flavoured similar-document search (repo addition)
@@ -329,6 +333,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(docs.toks, 'merge')
               AND d.n_chars >= 500 AND d.n_chars < 900
             ORDER BY d.doc_id
+        """,
+        "sort_search": f"""
+            WITH {docs}
+            SELECT d.doc_id, d.n_chars AS sort_value,
+                   (row_number() OVER (
+                      ORDER BY d.n_chars DESC, d.doc_id) - 1)::BIGINT AS rank
+            FROM documents d
+            JOIN docs ON docs.doc_id = d.doc_id
+            WHERE list_contains(docs.toks, 'merge')
+            QUALIFY rank < 20 ORDER BY rank
+        """,
+        "numeric_histogram": f"""
+            WITH {docs}
+            SELECT CAST(floor(d.n_chars / 100.0) * 100 AS BIGINT) AS bucket_lo,
+                   count(*)::BIGINT AS n_docs
+            FROM documents d
+            JOIN docs ON docs.doc_id = d.doc_id
+            WHERE list_contains(docs.toks, 'merge')
+            GROUP BY 1 ORDER BY 1
         """,
         "topk_by_tf": f"""
             WITH {docs},

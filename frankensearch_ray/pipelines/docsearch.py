@@ -592,3 +592,101 @@ def count_query(sf_dir: str, query: str = "hash merge") -> pa.Table:
             "n_docs": pa.array([int(s.doc_count())], pa.int64()),
         }
     )
+
+
+_NUMERIC_BY_DOCID: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _numeric_by_docid(s: LocalSearcher, field: str):
+    """The numeric fast field re-sorted by docid (cached per index+field)
+    so match-set value gathers are one ``searchsorted`` — the sort-by-field
+    twin of the value-sorted view `_numeric` keeps for ranges."""
+    key = (s.index_dir, field)
+    got = _NUMERIC_BY_DOCID.get(key)
+    if got is None:
+        v, d = s._numeric(field)
+        order = np.argsort(d, kind="stable")
+        got = (d[order], v[order])
+        _NUMERIC_BY_DOCID[key] = got
+    return got
+
+
+def sort_search(
+    sf_dir: str,
+    term: str = "merge",
+    field: str = "n_chars",
+    k: int = 20,
+) -> pa.Table:
+    """(doc_id, sort_value, rank): docs matching ``term``, top-k ordered by
+    a numeric fast field instead of BM25 score (the ES/Lucene ``sort``
+    clause; descending value, doc_id asc ties) — the missing sibling of
+    ``numeric_range``'s filter use of the NUMERIC sidecar.
+
+    Scale shape: the match set comes from the ordinary postings probe;
+    values gather via ONE ``searchsorted`` against the docid-sorted
+    sidecar view (cached per replica, field-pruned on first touch exactly
+    like ``_numeric``), then an O(matches) top-k cut.  Per-replica in the
+    sharded layout, merged like every other top-k."""
+    s = searcher_for(sf_dir)
+    docids, _ = s.evaluate(_content_term(term))
+    if len(docids) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "sort_value": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    d_sorted, v_sorted = _numeric_by_docid(s, field)
+    idx = np.searchsorted(d_sorted, docids)
+    ok = (idx < len(d_sorted)) & (d_sorted[np.minimum(idx, len(d_sorted) - 1)] == docids)
+    vals = v_sorted[idx[ok]]
+    doc_ids = np.asarray(_docids_to_doc_ids(s, docids[ok]), dtype=np.int64)
+    order = np.lexsort((doc_ids, -vals))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[order]),
+            "sort_value": pa.array(vals[order].astype(np.int64)),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        }
+    )
+
+
+def numeric_histogram(
+    sf_dir: str,
+    term: str = "merge",
+    field: str = "n_chars",
+    width: int = 100,
+) -> pa.Table:
+    """(bucket_lo, n_docs): fixed-width histogram of a numeric fast field
+    over the docs matching ``term`` — the ES ``histogram`` aggregation
+    (``facet_counts``' numeric sibling).  Bucket = ``floor(v / width) *
+    width``; empty buckets are omitted.
+
+    Scale shape: identical gather to :func:`sort_search` (postings probe +
+    one sidecar ``searchsorted``), then an O(matches) bincount; only the
+    occupied-bucket rows leave the replica."""
+    s = searcher_for(sf_dir)
+    docids, _ = s.evaluate(_content_term(term))
+    empty = pa.table(
+        {
+            "bucket_lo": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+    if len(docids) == 0:
+        return empty
+    d_sorted, v_sorted = _numeric_by_docid(s, field)
+    idx = np.searchsorted(d_sorted, docids)
+    ok = (idx < len(d_sorted)) & (d_sorted[np.minimum(idx, len(d_sorted) - 1)] == docids)
+    vals = v_sorted[idx[ok]]
+    if len(vals) == 0:
+        return empty
+    b = np.floor_divide(vals, width) * width
+    uniq, counts = np.unique(b, return_counts=True)
+    return pa.table(
+        {
+            "bucket_lo": pa.array(uniq.astype(np.int64)),
+            "n_docs": pa.array(counts.astype(np.int64)),
+        }
+    )

@@ -184,3 +184,38 @@ def test_top_terms_shard_precut_is_lossless(ray_session):
     a = corpus.top_terms_per_source(SF, k=3, n_shards=2)
     b = corpus.top_terms_per_source(SF, k=3, n_shards=64)
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_sort_search_matches_source_values(ray_session, doc_tokens):
+    """The sidecar gather must agree with the source parquet's n_chars for
+    every matched doc, the order must be (value desc, doc_id asc), and the
+    match set must equal the token-containment brute force."""
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "n_chars"])
+    nchars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    term = "merge"
+    want_ids = sorted(d for d, toks in doc_tokens.items() if term in toks)
+    out = docsearch.sort_search(SF, term=term, k=10_000)
+    got = list(
+        zip(out["doc_id"].to_pylist(), out["sort_value"].to_pylist())
+    )
+    assert sorted(d for d, _v in got) == want_ids
+    assert all(v == nchars[d] for d, v in got)
+    assert got == sorted(got, key=lambda dv: (-dv[1], dv[0]))
+    # k cut is a strict prefix of the full ordering
+    head = docsearch.sort_search(SF, term=term, k=3)
+    assert list(zip(head["doc_id"].to_pylist(), head["sort_value"].to_pylist())) == got[:3]
+
+
+def test_numeric_histogram_partitions_match_set(ray_session, doc_tokens):
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "n_chars"])
+    nchars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    term = "merge"
+    vals = [nchars[d] for d, toks in doc_tokens.items() if term in toks]
+    out = docsearch.numeric_histogram(SF, term=term, width=250)
+    got = dict(zip(out["bucket_lo"].to_pylist(), out["n_docs"].to_pylist()))
+    want: dict[int, int] = {}
+    for v in vals:
+        b = (v // 250) * 250
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(vals)
