@@ -1007,13 +1007,20 @@ def dup_routes_layout(
     n_shards: int | None = None,
 ) -> tuple[str, int]:
     """Build-or-reuse the duplicated-gram ROUTE artifact: one parquet
-    row per (doc_id, gram, cnt) where ``gram`` is a word ``n``-gram
-    occurring >= 2 times corpus-wide and ``cnt`` its in-doc window
-    count — duplicated-content-proportional, never corpus-sized.  The
+    row per (kind=1, doc_id, gram, cnt) where ``gram`` is a word
+    ``n``-gram occurring >= 2 times corpus-wide and ``cnt`` its in-doc
+    window count, PLUS one (kind=0, doc_id, NULL, n_windows) row per doc
+    — the per-doc window totals ride the same tokenization pass for
+    free, so :func:`dup_spans` never re-reads the corpus.  Route rows
+    stay duplicated-content-proportional; the win rows add one int row
+    per doc (the same cardinality as dup_spans' own output).  The
     gram-count exchange is the expensive half of both span operators
     (:func:`dup_spans` reads the signal, :func:`remove_dup_spans` the
     rewrite); a 100 TB job computes it ONCE and feeds both consumers,
     the same build-once discipline as ``dedup.pair_graph_layout``.
+    Win and route rows land in separate shard groups (negative vs
+    non-negative exchange keys), hence separate parquet files, so a
+    ``kind`` filter prunes whole row groups at read.
     Returns ``(data_dir, n_routes)`` with the count from parquet
     footers (no data read); writes are atomic (temp dir + rename),
     keyed on source mtime + parameters."""
@@ -1042,6 +1049,7 @@ def dup_routes_layout(
     data_dir = os.path.join(out_dir, "data")
     meta_path = os.path.join(out_dir, "meta.json")
     want = {
+        "fmt": 2,  # 2 = win rows fused in (kind column)
         "source_mtime": os.path.getmtime(path),
         "n": n,
         "n_shards": K,
@@ -1058,16 +1066,24 @@ def dup_routes_layout(
 
     def gram_partials(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
+            np.int64
+        )
+        win_rows = pa.table(
+            {
+                "shard": pa.array(-(1 + ids % K)),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "gram": pa.array([None] * len(ids), pa.string()),
+                "doc_id": pa.array(ids),
+                "cnt": pa.array(np.maximum(0, ntok - n + 1)),
+            }
+        )
         grams, didx = _doc_ngrams(t, text_col, n)
         if grams is None:
-            return pa.table(
-                {
-                    "shard": pa.array([], pa.int64()),
-                    "gram": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                }
-            )
+            return win_rows
         agg = (
             pa.table({"gram": grams, "doc_id": pa.array(ids[didx])})
             .group_by(["gram", "doc_id"], use_threads=False)
@@ -1079,17 +1095,20 @@ def dup_routes_layout(
         codes = pc.index_in(agg["gram"], value_set=uniq).to_numpy(
             zero_copy_only=False
         )
-        return pa.table(
+        gram_rows = pa.table(
             {
                 "shard": pa.array((h % np.uint64(K)).view(np.int64)[codes]),
+                "kind": pa.array(np.ones(len(agg), np.int8), pa.int8()),
                 "gram": agg["gram"],
                 "doc_id": agg["doc_id"].cast(pa.int64()),
                 "cnt": agg["gram_count"].cast(pa.int64()),
             }
         )
+        return pa.concat_tables([win_rows, gram_rows])
 
     _empty = pa.table(
         {
+            "kind": pa.array([], pa.int8()),
             "doc_id": pa.array([], pa.int64()),
             "gram": pa.array([], pa.string()),
             "cnt": pa.array([], pa.int64()),
@@ -1099,7 +1118,13 @@ def dup_routes_layout(
     def dup_routes(g: pa.Table) -> pa.Table:
         """Exact in-shard gram totals -> (doc, gram, cnt) routes for dup
         grams only (a doc's rows were pre-combined per batch, so the
-        in-shard (doc, gram) row is already unique)."""
+        in-shard (doc, gram) row is already unique).  Win-total groups
+        (negative shard key) pass straight through."""
+        kind = g["kind"]
+        if isinstance(kind, pa.ChunkedArray):
+            kind = kind.combine_chunks()
+        if len(g) and kind[0].as_py() == 0:
+            return g.select(["kind", "doc_id", "gram", "cnt"])
         tot = g.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
         dup_grams = tot.filter(pc.greater_equal(tot["cnt_sum"], 2))["gram"]
         if len(dup_grams) == 0:
@@ -1109,6 +1134,7 @@ def dup_routes_layout(
         )
         return pa.table(
             {
+                "kind": hit["kind"].cast(pa.int8()),
                 "doc_id": hit["doc_id"].cast(pa.int64()),
                 "gram": hit["gram"],
                 "cnt": hit["cnt"].cast(pa.int64()),
@@ -1127,10 +1153,20 @@ def dup_routes_layout(
     )
     n_routes = 0
     for fn in os.listdir(tmp_data):
-        if fn.endswith(".parquet"):
-            n_routes += pq.ParquetFile(
-                os.path.join(tmp_data, fn)
-            ).metadata.num_rows
+        if not fn.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(tmp_data, fn))
+        kidx = pf.schema_arrow.get_field_index("kind")
+        for gi in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(gi)
+            st = rg.column(kidx).statistics
+            if st is not None and st.has_min_max and st.min == st.max:
+                n_routes += rg.num_rows if st.min == 1 else 0
+            else:  # stats missing/mixed: count the 1s from the tiny column
+                k = pf.read_row_group(gi, columns=["kind"])["kind"]
+                n_routes += int(
+                    pc.sum(pc.cast(k, pa.int64())).as_py() or 0
+                )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"want": want, "n_routes": n_routes}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -1159,53 +1195,34 @@ def dup_spans(
     with K scaling with the corpus; the combiner ships counts, not
     occurrences — the same exchange class as the posting-list build),
     computed ONCE per (corpus, n) and reused by
-    :func:`remove_dup_spans`.  This operator then reads the
-    dup-proportional routes plus ONE zero-exchange corpus pass for the
-    per-doc window totals, and rolls up over a doc_id-keyed exchange of
-    at most (1 + dup grams) small rows per doc.  ``output_path``
+    :func:`remove_dup_spans` — and since the layout pass fuses the
+    per-doc window totals in as kind=0 rows, this operator NEVER
+    re-reads the corpus: it consumes the artifact alone (win rows +
+    dup-proportional routes) and rolls up over a doc_id-keyed exchange
+    of at most (1 + dup grams) small rows per doc.  ``output_path``
     streams the per-doc rows to partitioned parquet instead of
     returning a table (the corpus-sized-output sink discipline).
     """
     import ray.data as rd
 
-    path = _doc_path(sf_dir)
-    data_dir, n_routes = dup_routes_layout(
+    data_dir, _n_routes = dup_routes_layout(
         sf_dir, n, id_col, text_col, n_shards
     )
 
-    def win_rows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy().astype(np.int64)
-        lists = _tokens_of(t, text_col)
-        flat, doc_idx, _ = _flat_tokens(lists)
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        ntok = np.bincount(doc_idx[lens > 0], minlength=len(lists)).astype(
-            np.int64
-        )
+    def split_rows(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy()
+        cnt = t["cnt"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "n_windows": pa.array(np.maximum(0, ntok - n + 1)),
-                "dup_cnt": pa.array(np.zeros(len(ids), np.int64)),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_windows": pa.array(np.where(kind == 0, cnt, 0)),
+                "dup_cnt": pa.array(np.where(kind == 1, cnt, 0)),
             }
         )
 
-    rolled = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
-        win_rows, batch_format="pyarrow"
-    )
-    if n_routes:
-        dup_rows = rd.read_parquet(
-            data_dir, columns=["doc_id", "cnt"]
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "n_windows": pa.array(np.zeros(len(t), np.int64)),
-                    "dup_cnt": t["cnt"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        rolled = rolled.union(dup_rows)
+    rolled = rd.read_parquet(
+        data_dir, columns=["kind", "doc_id", "cnt"]
+    ).map_batches(split_rows, batch_format="pyarrow")
     # the per-doc rollup STAYS a Dataset: one doc-keyed exchange over
     # small rows, so the sink path never materializes a corpus-sized
     # table on the driver
@@ -1363,8 +1380,14 @@ def remove_dup_spans(
         doc_rows, batch_format="pyarrow"
     )
     if n_routes:
+        import pyarrow.dataset as pads
+
+        # kind=0 win rows live in their own row groups (disjoint shard
+        # keys), so this filter prunes them at the footer, no row decode
         routes = rd.read_parquet(
-            data_dir, columns=["doc_id", "gram"]
+            data_dir,
+            columns=["doc_id", "gram"],
+            filter=(pads.field("kind") == 1),
         ).map_batches(route_rows, batch_format="pyarrow")
         docs_ds = docs_ds.union(routes)
     out = docs_ds.groupby("dshard").map_groups(
