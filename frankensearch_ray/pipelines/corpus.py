@@ -1707,20 +1707,24 @@ def significant_terms(
     docs; fg_df >= min_fg) — the ES significant-terms shape: "what is
     this query's slice about, beyond the query itself".
 
-    Scale shape: the match predicate is evaluated IN-BATCH during the
-    one corpus pass (no index round-trip, no matched-docid broadcast —
-    at web scale a head query's match set is itself corpus-sized), which
-    emits per-batch (term, fg, bg) df partials; ONE ``blake2b(term)%K``
-    exchange makes in-shard sums exact, and because the lift needs only
-    the two corpus scalars (N, F — a zero-exchange count pass, two ints
-    to the driver), each shard scores and pre-cuts to its local top-k
-    before the driver merges K x k rows.  The lift is a single f64
-    division of exact int64 products (< 2^53), so both engines order
-    identically; ties break term asc."""
+    Scale shape: ONE corpus tokenization pass.  The match predicate is
+    evaluated IN-BATCH (no index round-trip, no matched-docid broadcast
+    — at web scale a head query's match set is itself corpus-sized),
+    emitting per-batch (term, fg, bg) df partials that are MATERIALIZED
+    once (they are exactly the exchange's input — vocab-per-batch rows,
+    spillable, never corpus-sized) so the two lift scalars come for
+    free: N is the parquet footer row count and F = sum of t1's fg
+    partials, since by construction every matched doc contains ``t1``.
+    Then ONE ``blake2b(term)%K`` exchange makes in-shard sums exact and
+    each shard scores and pre-cuts to its local top-k before the driver
+    merges K x k rows.  The lift is a single f64 division of exact
+    int64 products (< 2^53), so both engines order identically; ties
+    break term asc."""
     import ray.data as rd
 
+    n_docs = _parquet_num_rows(_doc_path(sf_dir))
     if n_shards is None:
-        n_shards = max(4, math.ceil(_parquet_num_rows(_doc_path(sf_dir)) / 8192))
+        n_shards = max(4, math.ceil(n_docs / 8192))
 
     src = rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
 
@@ -1754,34 +1758,6 @@ def significant_terms(
             has2[d[c == i2]] = True
         return has1 & has2
 
-    def count_batch(t: pa.Table) -> pa.Table:
-        got = _doc_term_pairs(t)
-        if got is None:
-            return pa.table(
-                {"n": pa.array([len(t)], pa.int64()), "f": pa.array([0], pa.int64())}
-            )
-        vocab, v, d, c, ndocs = got
-        matched = _match_mask(vocab, v, d, c, ndocs)
-        return pa.table(
-            {
-                "n": pa.array([ndocs], pa.int64()),
-                "f": pa.array([int(matched.sum())], pa.int64()),
-            }
-        )
-
-    totals = src.map_batches(count_batch, batch_format="pyarrow")
-    tot = totals.to_pandas().sum()
-    n_docs, f_docs = int(tot["n"]), int(tot["f"])
-    if f_docs == 0:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "fg_df": pa.array([], pa.int64()),
-                "bg_df": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-            }
-        )
-
     empty = pa.table(
         {
             "shard": pa.array([], pa.int64()),
@@ -1806,6 +1782,34 @@ def significant_terms(
                 "term": vocab,
                 "fg": pa.array(fg),
                 "bg": pa.array(bg),
+            }
+        )
+
+    partials = src.map_batches(df_partials, batch_format="pyarrow").materialize()
+
+    # F = fg(t1): every matched doc contains t1, and per-batch fg rows
+    # count distinct docs (docs never split across batches), so the sum
+    # of t1's partials IS the matched-doc count — no second corpus pass.
+    def _t1_fg(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.equal(t["term"], t1))
+        s = pc.sum(hit["fg"]).as_py() or 0
+        return pa.table({"f": pa.array([int(s)], pa.int64())})
+
+    f_docs = int(
+        sum(
+            b["f"].to_pylist()[0]
+            for b in partials.map_batches(
+                _t1_fg, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    if f_docs == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "fg_df": pa.array([], pa.int64()),
+                "bg_df": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
             }
         )
 
@@ -1844,8 +1848,7 @@ def significant_terms(
         )
 
     out = (
-        src.map_batches(df_partials, batch_format="pyarrow")
-        .groupby("shard")
+        partials.groupby("shard")
         .map_groups(shard_topk, batch_format="pyarrow")
         .to_pandas()
     )
