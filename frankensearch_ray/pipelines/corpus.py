@@ -684,10 +684,12 @@ def rare_token_scores(
     invariant to corpus size; ``rare_pct = (100 * n_rare) // n_tokens``
     keeps the output integer-exact.
 
-    Scale shape: corpus totals come from zero-exchange per-batch count
-    partials (ONE scalar crosses to the driver); term counts are exact
-    within the ``blake2b(term) % K`` shard of the shared
-    :func:`_tf_partials` exchange, so the rare verdict is stamped
+    Scale shape: ONE corpus tokenization pass — the shared
+    :func:`_tf_partials` exchange input is materialized once (vocab-per-
+    batch rows, spillable, never corpus-sized) and the corpus token
+    total is just ``sum(tf)`` over it, so no separate count pass
+    re-reads the corpus.  Term counts are exact within the
+    ``blake2b(term) % K`` shard, so the rare verdict is stamped
     in-shard with NO vocabulary broadcast (at web scale the rare tail
     IS the vocabulary — shipping it anywhere corpus-wide is the
     anti-pattern); per-doc rollup re-shards by ``doc_id % K``.  Both
@@ -700,19 +702,11 @@ def rare_token_scores(
 
     src = rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
 
-    def count_batch(t: pa.Table) -> pa.Table:
-        lists = _tokens_of(t, text_col)
-        flat, _, _ = _flat_tokens(lists)
-        n = int(
-            pc.sum(
-                pc.greater(pc.binary_length(flat), 0), min_count=0
-            ).as_py()
-        )
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    total_tokens = int(
-        src.map_batches(count_batch, batch_format="pyarrow").sum("n")
-    )
+    partials = src.map_batches(
+        lambda t: _tf_partials(t, id_col, text_col, n_shards),
+        batch_format="pyarrow",
+    ).materialize()
+    total_tokens = int(partials.sum("tf") or 0)
 
     def stamp_rare(g: pa.Table) -> pa.Table:
         term = g["term"]
@@ -751,11 +745,7 @@ def rare_token_scores(
     from ._sink import finish
 
     return finish(
-        src.map_batches(
-            lambda t: _tf_partials(t, id_col, text_col, n_shards),
-            batch_format="pyarrow",
-        )
-        .groupby("tshard")
+        partials.groupby("tshard")
         .map_groups(stamp_rare, batch_format="pyarrow")
         .groupby("dshard")
         .map_groups(rollup, batch_format="pyarrow"),
