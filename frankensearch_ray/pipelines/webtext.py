@@ -422,8 +422,9 @@ def quality_lm(
     marks rare-word soup; abnormally low marks boilerplate loops.
 
     Scale shape: byte-for-byte the ``rare_token_scores`` plan — ONE
-    scalar total from zero-exchange count partials, exact per-term cf
-    inside the shared ``_tf_partials`` term-hash shard (no vocabulary
+    corpus tokenization pass (the shared ``_tf_partials`` exchange input
+    is materialized once and the corpus token total is its ``sum(tf)``),
+    exact per-term cf inside the term-hash shard (no vocabulary
     broadcast), per-doc rollup re-sharded on ``doc_id % K``.
     """
     import ray.data as rd
@@ -435,13 +436,10 @@ def quality_lm(
 
     src = rd.read_parquet(path, columns=[id_col, text_col])
 
-    def count_batch(t: pa.Table) -> pa.Table:
-        lists = _tokens_of(t, text_col)
-        flat, _, _ = _flat_tokens(lists)
-        n = int(pc.sum(pc.greater(pc.binary_length(flat), 0), min_count=0).as_py())
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    total_tokens = int(src.map_batches(count_batch, batch_format="pyarrow").sum("n"))
+    partials = src.map_batches(
+        lambda t: _tf_partials(t, id_col, text_col, K), batch_format="pyarrow"
+    ).materialize()
+    total_tokens = int(partials.sum("tf") or 0)
 
     def stamp_bits(g: pa.Table) -> pa.Table:
         term = g["term"]
@@ -481,10 +479,7 @@ def quality_lm(
         )
 
     out = (
-        src.map_batches(
-            lambda t: _tf_partials(t, id_col, text_col, K), batch_format="pyarrow"
-        )
-        .groupby("tshard")
+        partials.groupby("tshard")
         .map_groups(stamp_bits, batch_format="pyarrow")
         .groupby("dshard")
         .map_groups(rollup, batch_format="pyarrow")
