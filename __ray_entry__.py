@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k session event-type journeys (gap sessions -> path mining)
         "session_paths": events.session_paths,
         "window_events": events.window_aggregate,
+        # sliding/hopping windows (size = m x hop overlapping assignment)
+        "hopping_window_events": events.hopping_window_aggregate,
         "asof_click_purchase": events.asof_join,
         "range_join_events": events.range_join,
         # dedup family
@@ -630,6 +632,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT
                      AS sum_value_milli
             FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hopping_window_events": """
+            SELECT (epoch_us(ts) // 1800000000 - g.i) * 1800 AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT
+                     AS sum_value_milli
+            FROM events, range(2) g(i)
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "asof_click_purchase": """

@@ -938,3 +938,108 @@ def _path_shard_topk(g: pa.Table, k: int) -> pa.Table:
             "n_sessions": pa.array(n[order]),
         }
     )
+
+
+# --- hopping (sliding) windows --------------------------------------------------
+
+
+def hopping_window_aggregate(
+    sf_dir: str,
+    size_minutes: int = 60,
+    hop_minutes: int = 30,
+) -> pa.Table:
+    """Hopping-window aggregate per (window_start, event_type): event
+    count, EXACT distinct-user count, integer-exact value sum — the
+    sliding sibling of :func:`window_aggregate` (size = m x hop; every
+    event belongs to exactly m = size/hop overlapping windows).  This is
+    the streaming-engine HOP/SLIDE shape batch pipelines need for
+    rolling rates.
+
+    Scale shape: the per-event window fan-out (a factor-of-m
+    ``np.repeat``, m is a small constant) happens INSIDE the per-batch
+    combiner, which still emits at most one row per distinct (window,
+    type, user) triple — so the first shuffle stays triple-bounded and
+    stage 2 is the same shuffle-free rollup as the tumbling operator.
+    """
+    import ray.data as rd
+
+    if size_minutes % hop_minutes != 0:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    m = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+    hop_sec = hop_minutes * 60
+
+    def triple_partials(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        base = ts // hop_us  # the LAST window (by start) containing ts
+        uid = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        milli = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        et_codes, et_names = _factorize_str(et)
+        n = len(ts)
+        # fan each event to its m windows: window i = (base - i) * hop
+        win = (np.repeat(base, m) - np.tile(np.arange(m), n)) * hop_sec
+        key = np.stack(
+            [win, np.repeat(uid, m), np.repeat(et_codes, m)], axis=1
+        )
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, np.repeat(milli, m))
+        return pa.table(
+            {
+                "window_start": pa.array(uniq[:, 0]),
+                "user_id": pa.array(uniq[:, 1]),
+                "event_type": pa.array(et_names[uniq[:, 2]]),
+                "n_events": pa.array(cnt),
+                "sum_value_milli": pa.array(s),
+            }
+        )
+
+    def window_partials(t: pa.Table) -> pa.Table:
+        win = t["window_start"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        et_codes, et_names = _factorize_str(et)
+        key = np.stack([win, et_codes], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        users = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, t["n_events"].to_numpy().astype(np.int64))
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, t["sum_value_milli"].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "window_start": pa.array(uniq[:, 0]),
+                "event_type": pa.array(et_names[uniq[:, 1]]),
+                "n_events": pa.array(n),
+                "n_users": pa.array(users),
+                "sum_value_milli": pa.array(s),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+    triples = (
+        ds.map_batches(triple_partials, batch_format="pyarrow")
+        .groupby(["window_start", "event_type", "user_id"])
+        .sum(["n_events", "sum_value_milli"])
+        .rename_columns(
+            {
+                "sum(n_events)": "n_events",
+                "sum(sum_value_milli)": "sum_value_milli",
+            }
+        )
+    )
+    out = (
+        triples.map_batches(window_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["window_start", "event_type"], as_index=False)[
+            ["n_events", "n_users", "sum_value_milli"]
+        ]
+        .sum()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

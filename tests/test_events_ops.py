@@ -252,3 +252,29 @@ class TestSinkVariants:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(sunk[["doc_id"]], table)
+
+
+class TestHoppingWindow:
+    def test_hop_equals_size_is_tumbling(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        hop = ev.hopping_window_aggregate(sf, size_minutes=60, hop_minutes=60)
+        tum = ev.window_aggregate(sf, window_minutes=60)
+        assert hop.equals(tum)
+
+    def test_every_event_lands_in_m_windows(self, ray_session):
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        n_events = pq.ParquetFile(sf + "/events.parquet").metadata.num_rows
+        out = ev.hopping_window_aggregate(sf, size_minutes=90, hop_minutes=30)
+        assert int(np.sum(out["n_events"].to_numpy())) == 3 * n_events
+        # window starts align to the hop grid
+        assert all(w % 1800 == 0 for w in out["window_start"].to_pylist())
+
+    def test_rejects_non_multiple(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ev.hopping_window_aggregate(
+                "/root/testdata/sf0.001", size_minutes=50, hop_minutes=30
+            )
