@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": events.hopping_window_aggregate,
         "asof_click_purchase": events.asof_join,
         "range_join_events": events.range_join,
+        # general two-table hash equi-join (documents ⨝ events.props.k)
+        "doc_click_stats": events.doc_click_stats,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -633,6 +635,18 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_milli
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_click_stats": """
+            SELECT d.doc_id, d.source,
+                   count(*)::BIGINT AS n_clicks,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users,
+                   sum(CAST(floor(e.value * 1000) AS BIGINT))::BIGINT
+                     AS sum_value_milli
+            FROM events e
+            JOIN documents d
+              ON d.doc_id = CAST(json_extract(e.props, '$.k') AS BIGINT)
+            WHERE e.event_type = 'click'
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "hopping_window_events": """
             SELECT (epoch_us(ts) // 1800000000 - g.i) * 1800 AS window_start,

@@ -1043,3 +1043,152 @@ def hopping_window_aggregate(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- cross-table hash equi-join -------------------------------------------------
+
+
+def doc_click_stats(
+    sf_dir: str,
+    event_type: str = "click",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """(doc_id, source, n_clicks, n_users, sum_value_milli): per-document
+    engagement — every ``event_type`` event whose ``props.k`` item id
+    equals a document id, joined to the documents table for the doc's
+    ``source``, with an EXACT distinct-user count and an integer-exact
+    value sum.  The general two-table hash equi-join (documents ⨝
+    events) the single-table operators don't exercise; inner join —
+    items with no matching document and documents with no clicks drop.
+
+    Scale shape: NEITHER side broadcasts (at web scale both tables are
+    corpus-sized).  The events side pre-combines per batch to one row
+    per (item, user) — so the exchange is distinct-pair-bounded, not
+    event-bounded — and both sides route through ONE ``doc_id % K``
+    tagged-union exchange (the same co-location shape as
+    ``remove_dup_spans`` pass B); the join itself is a vectorized
+    in-bucket ``searchsorted`` against the bucket's sorted doc ids.
+    Only joined per-doc rows leave the bucket."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    K = n_buckets
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % K),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "doc_id": pa.array(ids),
+                "source": t["source"],
+                "user_id": pa.array(np.zeros(len(ids), np.int64)),
+                "n": pa.array(np.zeros(len(ids), np.int64)),
+                "milli": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    def event_rows(t: pa.Table) -> pa.Table:
+        item = _props_item(t["props"])
+        ok = item >= 0
+        item = item[ok]
+        uid = t["user_id"].to_numpy()[ok].astype(np.int64)
+        milli = np.floor(t["value"].to_numpy()[ok] * 1000.0).astype(np.int64)
+        # per-batch combine: one row per distinct (item, user)
+        key = np.stack([item, uid], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, milli)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq[:, 0] % K),
+                "kind": pa.array(np.ones(len(uniq), np.int8), pa.int8()),
+                "doc_id": pa.array(uniq[:, 0]),
+                "source": pa.array([None] * len(uniq), pa.string()),
+                "user_id": pa.array(uniq[:, 1]),
+                "n": pa.array(n),
+                "milli": pa.array(s),
+            }
+        )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_clicks": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "sum_value_milli": pa.array([], pa.int64()),
+            }
+        )
+        kind = g["kind"].to_numpy()
+        dmask = kind == 0
+        if not dmask.any() or dmask.all():
+            return empty
+        d_ids = g["doc_id"].to_numpy()[dmask].astype(np.int64)
+        d_order = np.argsort(d_ids, kind="stable")
+        d_sorted = d_ids[d_order]
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        e_ids = g["doc_id"].to_numpy()[~dmask].astype(np.int64)
+        e_uid = g["user_id"].to_numpy()[~dmask].astype(np.int64)
+        e_n = g["n"].to_numpy()[~dmask].astype(np.int64)
+        e_s = g["milli"].to_numpy()[~dmask].astype(np.int64)
+        # inner-join membership: keep event rows whose item IS a doc id
+        pos = np.searchsorted(d_sorted, e_ids)
+        hit = (pos < len(d_sorted)) & (
+            d_sorted[np.minimum(pos, len(d_sorted) - 1)] == e_ids
+        )
+        if not hit.any():
+            return empty
+        e_ids, e_uid, e_n, e_s = e_ids[hit], e_uid[hit], e_n[hit], e_s[hit]
+        # a (doc, user) pair lives wholly in this bucket; merge its
+        # per-batch partial rows before counting distinct users
+        key = np.stack([e_ids, e_uid], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n2 = np.zeros(len(uniq), np.int64)
+        np.add.at(n2, inv, e_n)
+        s2 = np.zeros(len(uniq), np.int64)
+        np.add.at(s2, inv, e_s)
+        docs, dinv = np.unique(uniq[:, 0], return_inverse=True)
+        users = np.bincount(dinv, minlength=len(docs)).astype(np.int64)
+        clicks = np.zeros(len(docs), np.int64)
+        np.add.at(clicks, dinv, n2)
+        sums = np.zeros(len(docs), np.int64)
+        np.add.at(sums, dinv, s2)
+        # fetch each joined doc's source from the doc side
+        dp = np.searchsorted(d_sorted, docs)
+        src_np = src.to_numpy(zero_copy_only=False)[dmask][d_order][dp]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "source": pa.array(list(src_np), pa.string()),
+                "n_clicks": pa.array(clicks),
+                "n_users": pa.array(users),
+                "sum_value_milli": pa.array(sums),
+            }
+        )
+
+    docs_ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).map_batches(doc_rows, batch_format="pyarrow")
+    events_ds = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "value", "props"],
+        )
+        .filter(expr=f"event_type == '{event_type}'")
+        .map_batches(event_rows, batch_format="pyarrow")
+    )
+    out = (
+        docs_ds.union(events_ds)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

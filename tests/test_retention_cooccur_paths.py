@@ -267,3 +267,77 @@ def test_session_paths_timestamp_tie_uses_event_id(ray_session, tmp_path):
     sf = _write(tmp_path, rows)
     got = _paths_list(ev.session_paths(sf, k=5))
     assert got == [("view>purchase>click", 1)]
+
+
+# --- doc_click_stats (two-table hash equi-join) ---------------------------------
+
+
+def test_doc_click_stats_crafted_edges(ray_session, tmp_path):
+    rows = [
+        # doc 1: two users; u1 clicks it twice (values 1.5 and 2.25)
+        (0, 10, 1, "click", 1),
+        (1, 20, 1, "click", 1),
+        (2, 30, 2, "click", 1),
+        # doc 2: one click, but also a view that must not count
+        (3, 40, 3, "click", 2),
+        (4, 50, 3, "view", 2),
+        # item 99 has no matching document -> dropped (inner join)
+        (5, 60, 4, "click", 99),
+    ]
+    sf = _write(tmp_path, rows)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "b", "c"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = ev.doc_click_stats(sf, n_buckets=3)
+    got = {
+        r["doc_id"]: (r["source"], r["n_clicks"], r["n_users"], r["sum_value_milli"])
+        for r in out.to_pylist()
+    }
+    # value column in _write is 1.0 for every row -> 1000 milli each
+    assert got == {1: ("a", 3, 2, 3000), 2: ("b", 1, 1, 1000)}
+    # doc 3 (no clicks) absent; item 99 (no doc) absent
+    assert 3 not in got and 99 not in got
+
+
+def test_doc_click_stats_matches_bruteforce_sf(ray_session):
+    ev_t = pq.read_table(
+        SF + "/events.parquet",
+        columns=["user_id", "event_type", "value", "props"],
+    )
+    doc_t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "source"])
+    src = dict(zip(doc_t["doc_id"].to_pylist(), doc_t["source"].to_pylist()))
+    agg: dict[int, list] = {}
+    for u, et, v, p in zip(
+        ev_t["user_id"].to_pylist(),
+        ev_t["event_type"].to_pylist(),
+        ev_t["value"].to_pylist(),
+        ev_t["props"].to_pylist(),
+    ):
+        if et != "click":
+            continue
+        item = json.loads(p).get("k")
+        if item not in src:
+            continue
+        a = agg.setdefault(item, [0, set(), 0])
+        a[0] += 1
+        a[1].add(u)
+        a[2] += int(np.floor(v * 1000))
+    want = {
+        d: (src[d], n, len(users), s) for d, (n, users, s) in agg.items()
+    }
+    for nb in (1, 64):
+        out = ev.doc_click_stats(SF, n_buckets=nb)
+        got = {
+            r["doc_id"]: (
+                r["source"],
+                r["n_clicks"],
+                r["n_users"],
+                r["sum_value_milli"],
+            )
+            for r in out.to_pylist()
+        }
+        assert got == want, nb
