@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": events.range_join,
         # general two-table hash equi-join (documents ⨝ events.props.k)
         "doc_click_stats": events.doc_click_stats,
+        # exact per-type value percentiles (histogram partials, no shuffle)
+        "value_quantiles": events.value_quantiles,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -635,6 +637,19 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_milli
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "value_quantiles": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS m
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   quantile_disc(m, 0.5)::BIGINT AS p50_milli,
+                   quantile_disc(m, 0.9)::BIGINT AS p90_milli,
+                   quantile_disc(m, 0.99)::BIGINT AS p99_milli,
+                   max(m)::BIGINT AS max_milli
+            FROM m GROUP BY 1 ORDER BY 1
         """,
         "doc_click_stats": """
             SELECT d.doc_id, d.source,

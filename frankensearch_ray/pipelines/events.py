@@ -1192,3 +1192,74 @@ def doc_click_stats(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- exact value quantiles per event type ---------------------------------------
+
+
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """(event_type, n_events, p50_milli, p90_milli, p99_milli,
+    max_milli): exact discrete quantiles of the event ``value`` column
+    per type, quantized to integer milli units (``floor(value*1000)``)
+    — the percentile-latency/revenue profile, integer-exact for the
+    oracle (the same quantization contract as ``window_aggregate``).
+
+    Scale shape: the :func:`source_quantiles` discipline applied to
+    events — each batch emits a (type, milli, cnt) VALUE-HISTOGRAM
+    partial (bounded by |types| x distinct quantized values — the milli
+    quantization IS the fixed histogram resolution, independent of
+    event count), the driver merges histograms and walks each CDF.  No
+    shuffle; quantile index matches DuckDB ``quantile_disc``
+    (``max(0, ceil(q*n) - 1)``)."""
+    import math as _math
+
+    import ray.data as rd
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        milli = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        agg = (
+            pa.table({"event_type": t["event_type"], "m": pa.array(milli)})
+            .group_by(["event_type", "m"], use_threads=False)
+            .aggregate([("m", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "m": agg["m"],
+                "cnt": agg["m_count"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(hist_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = (
+        hist.groupby(["event_type", "m"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["event_type", "m"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["m"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        q = {}
+        for name, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            target = max(0, _math.ceil(frac * n) - 1) + 1  # 1-based rank
+            q[name] = int(vals[np.searchsorted(cum, target)])
+        rows.append((str(et), n, q["p50"], q["p90"], q["p99"], int(vals[-1])))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "p50_milli": pa.array([r[2] for r in rows], pa.int64()),
+            "p90_milli": pa.array([r[3] for r in rows], pa.int64()),
+            "p99_milli": pa.array([r[4] for r in rows], pa.int64()),
+            "max_milli": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )

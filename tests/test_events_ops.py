@@ -278,3 +278,26 @@ class TestHoppingWindow:
             ev.hopping_window_aggregate(
                 "/root/testdata/sf0.001", size_minutes=50, hop_minutes=30
             )
+
+
+def test_value_quantiles_matches_numpy(ray_session):
+    """CDF-walk quantiles must equal the quantile_disc index contract
+    max(0, ceil(q*n)-1) computed directly on the sorted milli values."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/events.parquet", columns=["event_type", "value"])
+    milli = np.floor(np.asarray(t["value"].to_pylist()) * 1000.0).astype(np.int64)
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    out = ev.value_quantiles(sf)
+    for r in out.to_pylist():
+        vals = np.sort(milli[et == r["event_type"]])
+        assert r["n_events"] == len(vals)
+        for frac, col in ((0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli")):
+            assert r[col] == int(vals[max(0, math.ceil(frac * len(vals)) - 1)]), (
+                r["event_type"],
+                col,
+            )
+        assert r["max_milli"] == int(vals[-1])
