@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": ann.knn_bruteforce,
         # filtered vector search: predicate pushed into the parquet scan
         "knn_filtered": ann.knn_filtered,
+        # int8 embedding compression (power-of-two scale = bit-exact)
+        "embedding_quantize": ann.embedding_quantize,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
@@ -806,6 +808,16 @@ def oracle_sql() -> dict[str, str]:
                    floor(sim * 1000 + 1e-9)::BIGINT AS cosine_permille
             FROM pairs WHERE sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "embedding_quantize": """
+            SELECT vec_id, u.i - 1 AS dim,
+                   GREATEST(-128, LEAST(127,
+                     CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 256)
+                          AS BIGINT))) AS q
+            FROM embeddings
+            CROSS JOIN generate_series(1, 64) u(i)
+            WHERE u.i <= len(embedding)
+            ORDER BY vec_id, dim
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -856,3 +856,69 @@ def cluster_embeddings(
         ["vec_id"],
         output_path,
     )
+
+
+def embedding_quantize(
+    sf_dir: str,
+    scale: int = 256,
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """Int8 embedding quantization — the 4x storage/bandwidth compression
+    step a 100 TB vector corpus applies before ANN serving.  Contract is
+    BIT-EXACT and oracle-checkable because ``scale`` is a power of two:
+    ``q = clamp(floor(x * scale), -128, 127)`` where x is the stored
+    float32 widened to f64 (exact) and the power-of-two multiply is
+    exact in f64, so numpy and DuckDB floor identically.
+
+    Driver-contract return is the long-form (vec_id, dim, q) table the
+    SQL oracle can unnest to; ``output_path`` streams the REAL layout —
+    one packed ``list<int8>`` row per vector — to partitioned parquet
+    (corpus-sized output, sink discipline).  Scale shape: zero-exchange
+    map; each batch is one numpy matrix clip/floor."""
+    import ray.data as rd
+
+    if scale & (scale - 1) != 0:
+        raise ValueError("scale must be a power of two (exactness contract)")
+
+    def quant_packed(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.clip(np.floor(flat * scale), -128, 127).astype(np.int8)
+        packed = pa.ListArray.from_arrays(emb.offsets, pa.array(q, pa.int8()))
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64()), "q": packed})
+
+    def quant_long(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.clip(np.floor(flat * scale), -128, 127).astype(np.int64)
+        off = emb.offsets.to_numpy()
+        lens = np.diff(off)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        dim = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            off[:-1], lens
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, lens)),
+                "dim": pa.array(dim),
+                "q": pa.array(q),
+            }
+        )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    if output_path is not None:
+        ds.map_batches(quant_packed, batch_format="pyarrow").write_parquet(
+            output_path
+        )
+        return None
+    out = (
+        ds.map_batches(quant_long, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

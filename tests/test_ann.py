@@ -217,3 +217,31 @@ def test_knn_filtered_neighbors_respect_predicate(ray_session):
             "neighbor_id"
         ].tolist()
         assert have == want, q
+
+
+def test_embedding_quantize_sink_matches_table(ray_session, tmp_path):
+    """Packed list<int8> sink layout must agree element-for-element with
+    the long-form driver table, and reject non-power-of-two scales."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import ann as am
+
+    sf = "/root/testdata/sf0.001"
+    long = am.embedding_quantize(sf)
+    out = str(tmp_path / "q8")
+    assert am.embedding_quantize(sf, output_path=out) is None
+    packed = pq.read_table(out).sort_by("vec_id")
+    ids = packed["vec_id"].to_pylist()
+    qs = packed["q"].to_pylist()
+    flat = {}
+    for i, ql in zip(ids, qs):
+        for d, v in enumerate(ql):
+            flat[(i, d)] = v
+    want = {
+        (r["vec_id"], r["dim"]): r["q"] for r in long.to_pylist()
+    }
+    assert flat == want
+    # int8 range respected
+    assert all(-128 <= v <= 127 for v in flat.values())
+    with pytest.raises(ValueError):
+        am.embedding_quantize(sf, scale=100)
