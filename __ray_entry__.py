@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": ann.knn_filtered,
         # int8 embedding compression (power-of-two scale = bit-exact)
         "embedding_quantize": ann.embedding_quantize,
+        # integer-dot serving path over the cached quantized layout
+        "knn_int8": ann.knn_int8,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
@@ -818,6 +820,34 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN generate_series(1, 64) u(i)
             WHERE u.i <= len(embedding)
             ORDER BY vec_id, dim
+        """,
+        "knn_int8": """
+            WITH qz AS (
+              SELECT vec_id, u.i AS i,
+                     GREATEST(-128, LEAST(127,
+                       CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 256)
+                            AS BIGINT))) AS q
+              FROM embeddings
+              CROSS JOIN generate_series(1, 64) u(i)
+              WHERE u.i <= len(embedding)
+            ),
+            d AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     sum(a.q * b.q)::BIGINT AS dot
+              FROM qz a JOIN qz b USING (i)
+              WHERE a.vec_id IN (0, 1, 2, 3, 4)
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     (row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, neighbor_id) - 1)
+                       AS rank
+              FROM d
+            )
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank < 10
+            ORDER BY query_id, rank
         """,
         "knn_bruteforce": """
             WITH q AS (

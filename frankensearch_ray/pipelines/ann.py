@@ -922,3 +922,108 @@ def embedding_quantize(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q8_layout(sf_dir: str, scale: int = 256) -> str:
+    """Build-or-reuse the packed int8 quantized layout for a corpus
+    (:func:`embedding_quantize`'s ``output_path`` shape) — the build-once
+    cache discipline of ``ivf_layout``/``dup_routes_layout``; atomic
+    tmp+rename, keyed on source mtime + scale."""
+    import json
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    tag = Path(sf_dir.rstrip("/")).name or "sf"
+    out_dir = os.path.join(CACHE_ROOT, tag, f"q8_s{scale}")
+    data_dir = os.path.join(out_dir, "data")
+    meta_path = os.path.join(out_dir, "meta.json")
+    want = {"source_mtime": os.path.getmtime(_emb_path(sf_dir)), "scale": scale}
+    try:
+        with open(meta_path) as f:
+            if json.load(f).get("want") == want:
+                return data_dir
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    tmp = out_dir + f".{uuid.uuid4().hex}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    embedding_quantize(sf_dir, scale=scale, output_path=os.path.join(tmp, "data"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"want": want}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    os.replace(tmp, out_dir)
+    return data_dir
+
+
+class _Int8Scorer:
+    """Partial integer-dot top-k per batch vs broadcast quantized queries.
+    Dots are exact int64 (|q| <= 128, so dim 64 dots bound at ~2^20 —
+    exactly representable in the f64 partial-top-k column)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.queries_ref = queries_ref
+        self.k = k
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._q is None:
+            self._q = (
+                ray.get(self.queries_ref)
+                if not isinstance(self.queries_ref, tuple)
+                else self.queries_ref
+            )
+        q_ids, qm = self._q
+        ids = batch["vec_id"].to_numpy()
+        col = batch["q"].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        m = flat.reshape(len(ids), -1)
+        dots = (qm @ m.T).astype(np.float64)  # exact: |dot| < 2^21
+        return _partial_topk(q_ids, ids, dots, self.k)
+
+
+def knn_int8(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    scale: int = 256,
+) -> pa.Table:
+    """(query_id, neighbor_id, rank): top-k by EXACT integer dot product
+    over the int8-quantized layout — the serving path
+    :func:`embedding_quantize` compresses for.  Integer dots make the
+    ranking bit-deterministic under any batching with no tree-sum
+    machinery, and the SQL oracle recomputes the identical quantization
+    and dot, so this entry is hash-exact end to end.
+
+    Scale shape: the quantized corpus is a build-once cached layout
+    (4x smaller reads than the f32 table); queries are a row-group-
+    pruned point read quantized on the fly; scoring is one int GEMM per
+    batch with the same tie-inclusive partial top-k merge as
+    ``knn_bruteforce``."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    layout = q8_layout(sf_dir, scale)
+    qt = pq.read_table(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(map(int, query_ids)))],
+    )
+    rows = sorted(
+        zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    qf = np.array([r[1] for r in rows], dtype=np.float64)
+    qm = np.clip(np.floor(qf * scale), -128, 127).astype(np.int64)
+    queries_ref = ray.put((q_ids, qm))
+
+    ds = rd.read_parquet(layout, columns=["vec_id", "q"])
+    partials = ds.map_batches(
+        _Int8Scorer(queries_ref, k), batch_format="pyarrow", batch_size=512
+    )
+    return _merge_topk(partials.to_pandas(), k)

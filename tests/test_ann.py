@@ -245,3 +245,32 @@ def test_embedding_quantize_sink_matches_table(ray_session, tmp_path):
     assert all(-128 <= v <= 127 for v in flat.values())
     with pytest.raises(ValueError):
         am.embedding_quantize(sf, scale=100)
+
+
+def test_knn_int8_recall_and_cache_determinism(ray_session):
+    from frankensearch_ray.pipelines import ann as am
+
+    sf = "/root/testdata/sf0.001"
+    exact = am.knn_bruteforce(sf, k=10)
+    got = am.knn_int8(sf, k=10)
+    # int8 at scale 256 keeps high agreement with exact cosine on
+    # unit-norm vectors (quantization noise ~1/512 per dim)
+    by_q_exact = {}
+    by_q_int8 = {}
+    for r in exact.to_pylist():
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in got.to_pylist():
+        by_q_int8.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q_exact.keys() == by_q_int8.keys()
+    recalls = [
+        len(by_q_exact[q] & by_q_int8[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert min(recalls) >= 0.7 and sum(recalls) / len(recalls) >= 0.8
+    # the layout is cached; a second call must be bit-identical
+    again = am.knn_int8(sf, k=10)
+    assert got.equals(again)
+    # self is always rank 0 (dot with itself is the max for unit vectors)
+    for r in got.to_pylist():
+        if r["rank"] == 0:
+            assert r["neighbor_id"] == r["query_id"]
