@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range": docsearch.numeric_range,
         # ES/Lucene sort clause: match set ordered by a numeric fast field
         "sort_search": docsearch.sort_search,
+        # ES minimum_should_match: >= m of k SHOULD terms
+        "min_should_match": docsearch.min_should_match,
         # ES histogram aggregation over a match set's numeric field
         "numeric_histogram": docsearch.numeric_histogram,
         "topk_by_tf": docsearch.topk_by_tf,
@@ -343,6 +345,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(docs.toks, 'merge')
               AND d.n_chars >= 500 AND d.n_chars < 900
             ORDER BY d.doc_id
+        """,
+        "min_should_match": f"""
+            WITH {docs}
+            SELECT doc_id,
+                   (list_contains(toks, 'hash')::BIGINT
+                    + list_contains(toks, 'merge')::BIGINT
+                    + list_contains(toks, 'window')::BIGINT
+                    + list_contains(toks, 'sort')::BIGINT) AS n_matched
+            FROM docs
+            WHERE n_matched >= 2
+            ORDER BY doc_id
         """,
         "sort_search": f"""
             WITH {docs}

@@ -690,3 +690,40 @@ def numeric_histogram(
             "n_docs": pa.array(counts.astype(np.int64)),
         }
     )
+
+
+def min_should_match(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("hash", "merge", "window", "sort"),
+    m: int = 2,
+) -> pa.Table:
+    """(doc_id, n_matched): docs matching at least ``m`` of the SHOULD
+    terms — the ES/Lucene ``minimum_should_match`` clause the plain
+    Boolean surface (AND = all, OR = any) doesn't express.
+
+    Scale shape: one postings probe per term (the same decode a SHOULD
+    union pays), then a vectorized multiplicity count over the
+    concatenated docid lists — O(sum of posting lengths), no scorer
+    changes, no corpus scan.  Per-replica in the sharded layout like
+    every match-table entry."""
+    if not (1 <= m <= len(terms)):
+        raise ValueError("need 1 <= m <= len(terms)")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    s = searcher_for(sf_dir)
+    parts = []
+    for t in terms:
+        docids, _ = s.evaluate(_content_term(t))
+        parts.append(np.asarray(docids, dtype=np.uint64))
+    allids = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    uniq, counts = np.unique(allids, return_counts=True)
+    hit = uniq[counts >= m]
+    cnt = counts[counts >= m].astype(np.int64)
+    doc_ids = np.asarray(_docids_to_doc_ids(s, hit), dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[order]),
+            "n_matched": pa.array(cnt[order]),
+        }
+    )

@@ -219,3 +219,25 @@ def test_numeric_histogram_partitions_match_set(ray_session, doc_tokens):
         want[b] = want.get(b, 0) + 1
     assert got == want
     assert sum(got.values()) == len(vals)
+
+
+def test_min_should_match_matches_bruteforce(ray_session, doc_tokens):
+    terms = ("hash", "merge", "window", "sort")
+    for m in (1, 2, 3, 4):
+        out = docsearch.min_should_match(SF, terms=terms, m=m)
+        got = dict(zip(out["doc_id"].to_pylist(), out["n_matched"].to_pylist()))
+        want = {}
+        for d, toks in doc_tokens.items():
+            s = set(toks)
+            n = sum(t in s for t in terms)
+            if n >= m:
+                want[d] = n
+        assert got == want, m
+    # m=len(terms) == boolean AND of all; m=1 == boolean OR
+    assert sorted(docsearch.min_should_match(SF, terms=("hash", "merge"), m=2)["doc_id"].to_pylist()) == sorted(
+        docsearch.boolean_and(SF, "hash", "merge")["doc_id"].to_pylist()
+    )
+    with pytest.raises(ValueError):
+        docsearch.min_should_match(SF, terms=("a", "b"), m=3)
+    with pytest.raises(ValueError):
+        docsearch.min_should_match(SF, terms=("a", "a"), m=1)
