@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_search": docsearch.sort_search,
         # ES minimum_should_match: >= m of k SHOULD terms
         "min_should_match": docsearch.min_should_match,
+        # ES match_phrase_prefix (type-ahead phrase)
+        "phrase_prefix": docsearch.phrase_prefix,
         # ES histogram aggregation over a match set's numeric field
         "numeric_histogram": docsearch.numeric_histogram,
         "topk_by_tf": docsearch.topk_by_tf,
@@ -1203,6 +1205,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT o1.doc_id FROM o1 JOIN o2 USING (doc_id)
             WHERE o2.p > o1.p AND o2.p - o1.p <= 3
+            ORDER BY doc_id
+        """,
+        "phrase_prefix": f"""
+            WITH {docs}
+            SELECT DISTINCT doc_id FROM docs
+            WHERE len([i FOR i IN range(1, len(toks))
+                       IF toks[i] = 'hash'
+                          AND starts_with(toks[i+1], 'mer')]) > 0
             ORDER BY doc_id
         """,
         "funnel_counts": """

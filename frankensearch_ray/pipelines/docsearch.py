@@ -727,3 +727,33 @@ def min_should_match(
             "n_matched": pa.array(cnt[order]),
         }
     )
+
+
+def phrase_prefix(
+    sf_dir: str, w1: str = "hash", prefix: str = "mer"
+) -> pa.Table:
+    """(doc_id): docs containing ``w1`` immediately followed by any term
+    starting with ``prefix`` — the ES ``match_phrase_prefix``
+    (type-ahead phrase) shape, composed from the engine's two existing
+    bounded surfaces: the prefix-bounded termdict expansion
+    (``regex_terms``, fuel-metered, expansion-limited like glob) and the
+    positions phrase kernel (``phrase_near`` slop-0) per expansion.
+
+    Scale shape: expansion is a bounded sidecar probe independent of
+    corpus size; each expansion's phrase check decodes only the two
+    terms' postings/positions (w1's are LRU-cached across expansions by
+    the positions-split reader), and results union by docid — no corpus
+    scan, per-replica like every match-table entry."""
+    import re
+
+    s = searcher_for(sf_dir)
+    exp = s.regex_terms(
+        FIELD_CONTENT, re.escape(prefix) + r".*", literal_prefix=prefix
+    )
+    parts = [s.phrase_near(FIELD_CONTENT, [w1, e], 0) for e in exp]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    docids = np.unique(np.concatenate(parts))
+    doc_ids = sorted(_docids_to_doc_ids(s, docids))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})

@@ -241,3 +241,22 @@ def test_min_should_match_matches_bruteforce(ray_session, doc_tokens):
         docsearch.min_should_match(SF, terms=("a", "b"), m=3)
     with pytest.raises(ValueError):
         docsearch.min_should_match(SF, terms=("a", "a"), m=1)
+
+
+def test_phrase_prefix_matches_bruteforce(ray_session, doc_tokens):
+    for w1, pre in (("hash", "mer"), ("merge", "t"), ("window", "zzz")):
+        out = docsearch.phrase_prefix(SF, w1=w1, prefix=pre)
+        got = out["doc_id"].to_pylist()
+        want = sorted(
+            d
+            for d, toks in doc_tokens.items()
+            if any(
+                a == w1 and b.startswith(pre)
+                for a, b in zip(toks, toks[1:])
+            )
+        )
+        assert got == want, (w1, pre)
+    # an exact-term prefix includes the plain phrase's matches
+    pm = set(docsearch.phrase_match(SF, "hash", "table")["doc_id"].to_pylist())
+    pp = set(docsearch.phrase_prefix(SF, w1="hash", prefix="table")["doc_id"].to_pylist())
+    assert pm <= pp
