@@ -54,6 +54,18 @@ def _write_batches(batches, out_path: str, row_group_size: int) -> int:
     return rows
 
 
+def _open_maybe_gz(path: str):
+    """Binary stream over a possibly gzip-compressed source file —
+    crawls arrive as ``.jsonl.gz`` / ``.csv.gz`` shards, and gzip
+    decompression streams, so the bounded-chunk memory contract holds
+    for compressed inputs too."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def _jsonl_batches(path: str, columns: list[str] | None):
     """Parse a JSONL file in bounded chunks, pinning the schema to the
     first chunk so later sparse chunks can't drift."""
@@ -62,7 +74,7 @@ def _jsonl_batches(path: str, columns: list[str] | None):
     import pyarrow.json as pj
 
     schema = None
-    with open(path, "rb") as f:
+    with _open_maybe_gz(path) as f:
         buf: list[bytes] = []
         size = 0
         for line in f:
@@ -99,9 +111,10 @@ def _csv_batches(path: str, columns: list[str] | None):
         if columns is not None
         else None
     )
-    with pcsv.open_csv(path, convert_options=opts) as reader:
-        for batch in reader:
-            yield batch
+    with _open_maybe_gz(path) as f:
+        with pcsv.open_csv(f, convert_options=opts) as reader:
+            for batch in reader:
+                yield batch
 
 
 def convert_file(

@@ -176,3 +176,43 @@ class TestIngestEdges:
     def test_unknown_format_rejected(self, ray_session, tmp_path):
         with pytest.raises(ValueError):
             ingest.convert_file("x", "y", "avro")
+
+
+class TestGzip:
+    def test_gz_jsonl_stages_identically(self, ray_session, jsonl_corpus, tmp_path):
+        """A .jsonl.gz shard must stage to byte-identical parquet as its
+        uncompressed twin (the crawl-shard arrival format)."""
+        import gzip
+
+        paths, _src = jsonl_corpus
+        gz_paths = []
+        for p in paths:
+            gp = str(tmp_path / (os.path.basename(p) + ".gz"))
+            with open(p, "rb") as f, gzip.open(gp, "wb") as g:
+                g.write(f.read())
+            gz_paths.append(gp)
+        plain = ingest.stage_to_parquet(
+            paths, str(tmp_path / "plain"), fmt="jsonl", columns=COLUMNS
+        )
+        gz = ingest.stage_to_parquet(
+            gz_paths, str(tmp_path / "gz"), fmt="jsonl", columns=COLUMNS
+        )
+        assert len(plain) == len(gz) == len(paths)
+        for a, b in zip(sorted(plain), sorted(gz)):
+            ta = pq.read_table(a)
+            tb = pq.read_table(b)
+            assert ta.equals(tb), (a, b)
+
+    def test_gz_csv_stages_identically(self, ray_session, tmp_path):
+        import gzip
+
+        rows = 'doc_id,text\n1,"a, quoted"\n2,plain\n'
+        p = str(tmp_path / "x.csv")
+        gp = str(tmp_path / "x.csv.gz")
+        with open(p, "w") as f:
+            f.write(rows)
+        with gzip.open(gp, "wb") as g:
+            g.write(rows.encode())
+        a = ingest.stage_to_parquet([p], str(tmp_path / "a"), fmt="csv")
+        b = ingest.stage_to_parquet([gp], str(tmp_path / "b"), fmt="csv")
+        assert pq.read_table(a[0]).equals(pq.read_table(b[0]))
