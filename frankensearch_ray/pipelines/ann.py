@@ -935,7 +935,7 @@ def q8_layout(sf_dir: str, scale: int = 256) -> str:
     from pathlib import Path
 
     tag = Path(sf_dir.rstrip("/")).name or "sf"
-    out_dir = os.path.join(CACHE_ROOT, tag, f"q8_s{scale}")
+    out_dir = os.path.join(CACHE_ROOT, tag, "q8_idx", f"s{scale}")
     data_dir = os.path.join(out_dir, "data")
     meta_path = os.path.join(out_dir, "meta.json")
     want = {"source_mtime": os.path.getmtime(_emb_path(sf_dir)), "scale": scale}

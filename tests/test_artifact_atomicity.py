@@ -47,6 +47,11 @@ from frankensearch_ray.pipelines import {mod}
             f'corpus.dup_routes_layout("{SF}")',
             "dup_idx",
         ),
+        (
+            "ann",
+            f'ann.q8_layout("{SF}")',
+            "q8_idx",
+        ),
     ],
 )
 def test_killed_artifact_build_leaves_no_valid_meta(
@@ -101,3 +106,10 @@ def test_stale_tmp_and_corrupt_meta_force_clean_rebuild(
     # param change -> separate artifact, both coexist
     d3, n3 = corpus.dup_routes_layout(SF, n=7)
     assert d3 != data_dir
+    # same discipline for the quantized-embedding layout
+    q1 = ann.q8_layout(SF)
+    with open(os.path.join(os.path.dirname(q1), "meta.json"), "w") as f:
+        f.write("{not json")
+    q2 = ann.q8_layout(SF)
+    assert q2 == q1 and os.path.isdir(q2)
+    assert ann.q8_layout(SF, scale=128) != q1
