@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": corpus.significant_terms,
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
+        # the drop step (report -> apply, like dedup_exact -> dedup_apply)
+        "decontaminate_apply": corpus.decontaminate_apply,
         "doc_keywords": corpus.doc_keywords,
         "curate_filter": corpus.curate_filter,
         "tokenize_ids": corpus.tokenize_ids,
@@ -1408,6 +1410,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
             FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "decontaminate_apply": f"""
+            WITH {docs},
+            g AS (
+              SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             FOR i IN range(1, len(toks) - 1)]) AS gram
+              FROM docs WHERE len(toks) >= 3
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 97 <> 0
+            )
+            SELECT doc_id FROM docs
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
         """,
         # integer-exact keyword extraction: per doc the lowest-df term,
         # ties by tf desc then term asc (tf-idf argmax with a rational

@@ -513,6 +513,72 @@ def decontaminate(
     )
 
 
+def decontaminate_apply(
+    sf_dir: str,
+    n: int = 3,
+    eval_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id): the SURVIVING training docs — every train doc
+    (``doc_id % eval_mod != 0``) sharing ZERO word ``n``-grams with the
+    eval slice; the drop step :func:`decontaminate` is the report for,
+    completing the same report→apply pairing as ``dedup_exact`` /
+    ``dedup_apply``.
+
+    Scale shape: identical to :func:`decontaminate` — broadcast eval
+    gram set, one embarrassingly-parallel corpus pass, NO exchange;
+    survivors stream to ``output_path`` (corpus-sized output) or return
+    as the driver's id table."""
+    import ray
+    import ray.data as rd
+
+    path = _doc_path(sf_dir)
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"gram": pa.array([], pa.string())})
+        grams, _d = _doc_ngrams(t.filter(pa.array(mask)), text_col, n)
+        if grams is None:
+            return pa.table({"gram": pa.array([], pa.string())})
+        return pa.table({"gram": pc.unique(grams)})
+
+    ev = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(eval_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    eval_set = pa.array(sorted(set(ev["gram"].tolist())), pa.string())
+    ev_ref = ray.put(eval_set)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        keep = ids % eval_mod != 0
+        sub = t.filter(pa.array(keep))
+        ids = ids[keep]
+        grams, didx = _doc_ngrams(sub, text_col, n)
+        contaminated = np.zeros(len(ids), bool)
+        if grams is not None and len(grams):
+            hit = pc.is_in(grams, value_set=ray.get(ev_ref)).to_numpy(
+                zero_copy_only=False
+            )
+            contaminated[np.unique(didx[hit])] = True
+        return pa.table({"doc_id": pa.array(ids[~contaminated])})
+
+    from ._sink import finish
+
+    return finish(
+        rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+            survivors, batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        output_path,
+    )
+
+
 # --- fused curation filter ----------------------------------------------------
 
 

@@ -418,3 +418,21 @@ def test_mix_sources_monotone_and_exact(corpus_mod):
         SF, pct_by_source={"src0": 100}, default_pct=0
     ).to_pandas()
     assert set(one["source"]) == {"src0"}
+
+
+def test_decontaminate_apply_partitions_train_set(ray_session):
+    """survivors ∪ contaminated = all train docs; survivors ∩ report = ∅."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import corpus as co
+
+    sf = "/root/testdata/sf0.001"
+    report = co.decontaminate(sf)
+    survivors = set(co.decontaminate_apply(sf)["doc_id"].to_pylist())
+    contaminated = set(report["doc_id"].to_pylist())
+    all_ids = pq.read_table(sf + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    train = {d for d in all_ids if d % 97 != 0}
+    assert survivors | contaminated == train
+    assert survivors & contaminated == set()
