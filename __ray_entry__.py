@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": corpus.top_terms_per_source,
         # ES-significant-terms: df-lift of a match slice vs the corpus
         "significant_terms": corpus.significant_terms,
+        # ES stats aggregation over a match slice, per facet value
+        "facet_stats": corpus.facet_stats,
         "repetition_stats": corpus.repetition_stats,
         "decontaminate": corpus.decontaminate,
         # the drop step (report -> apply, like dedup_exact -> dedup_apply)
@@ -1314,6 +1316,18 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (
                       ORDER BY n_sessions DESC, path) - 1)::BIGINT AS rank
             FROM c QUALIFY rank < 20 ORDER BY rank
+        """,
+        "facet_stats": f"""
+            WITH {docs}
+            SELECT d.source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(d.n_chars)::BIGINT AS sum_chars,
+                   min(d.n_chars)::BIGINT AS min_chars,
+                   max(d.n_chars)::BIGINT AS max_chars
+            FROM documents d
+            JOIN docs ON docs.doc_id = d.doc_id
+            WHERE list_contains(docs.toks, 'merge')
+            GROUP BY 1 ORDER BY 1
         """,
         "significant_terms": f"""
             WITH {docs},

@@ -1921,3 +1921,97 @@ def significant_terms(
             "rank": pa.array(np.arange(len(out), dtype=np.int64)),
         }
     )
+
+
+# --- stats aggregation over a match slice --------------------------------------
+
+
+def facet_stats(
+    sf_dir: str,
+    term: str = "merge",
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    text_col: str = "text",
+) -> pa.Table:
+    """(source, n_docs, sum_chars, min_chars, max_chars): the ES `stats`
+    aggregation over a query's match slice, grouped by a facet — "what
+    do the docs matching this term look like, per provenance".  Values
+    are the integer ``value_col``, so every statistic is int64-exact.
+
+    Scale shape: the match predicate is evaluated IN-BATCH during ONE
+    corpus pass (the ``significant_terms`` discipline — a head term's
+    match set is corpus-sized, so no index round-trip and no docid
+    join), each batch emits one (group, n, sum, min, max) partial row
+    per facet value present, and the driver merges |sources| x blocks
+    tiny rows.  Zero exchange."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_chars": pa.array([], pa.int64()),
+            "min_chars": pa.array([], pa.int64()),
+            "max_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, doc_idx, _ = _flat_tokens(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        matched = np.zeros(len(t), bool)
+        matched[np.unique(doc_idx[eq])] = True
+        if not matched.any():
+            return empty
+        grp = t[group_col].to_numpy(zero_copy_only=False)[matched]
+        val = t[value_col].to_numpy().astype(np.int64)[matched]
+        names, codes = np.unique(grp, return_inverse=True)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.zeros(len(names), np.int64)
+        np.add.at(s, codes, val)
+        mn = np.full(len(names), np.iinfo(np.int64).max)
+        np.minimum.at(mn, codes, val)
+        mx = np.full(len(names), np.iinfo(np.int64).min)
+        np.maximum.at(mx, codes, val)
+        return pa.table(
+            {
+                group_col: pa.array(list(names), pa.string()),
+                "n_docs": pa.array(n),
+                "sum_chars": pa.array(s),
+                "min_chars": pa.array(mn),
+                "max_chars": pa.array(mx),
+            }
+        )
+
+    p = (
+        rd.read_parquet(
+            _doc_path(sf_dir), columns=[group_col, value_col, text_col]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(p) == 0:
+        return empty
+    out = (
+        p.groupby(group_col, as_index=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            min_chars=("min_chars", "min"),
+            max_chars=("max_chars", "max"),
+        )
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            group_col: pa.array(out[group_col].to_numpy(), pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy().astype(np.int64)),
+            "min_chars": pa.array(out["min_chars"].to_numpy().astype(np.int64)),
+            "max_chars": pa.array(out["max_chars"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -436,3 +436,29 @@ def test_decontaminate_apply_partitions_train_set(ray_session):
     train = {d for d in all_ids if d % 97 != 0}
     assert survivors | contaminated == train
     assert survivors & contaminated == set()
+
+
+def test_facet_stats_matches_bruteforce(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import corpus as co
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text", "source", "n_chars"])
+    agg: dict[str, list] = {}
+    for r in t.to_pylist():
+        toks = [w for w in re.split(r"[^a-z0-9]+", (r["text"] or "").lower()) if w]
+        if "merge" in toks:
+            a = agg.setdefault(r["source"], [0, 0, None, None])
+            a[0] += 1
+            a[1] += r["n_chars"]
+            a[2] = r["n_chars"] if a[2] is None else min(a[2], r["n_chars"])
+            a[3] = r["n_chars"] if a[3] is None else max(a[3], r["n_chars"])
+    out = co.facet_stats(sf)
+    got = {
+        r["source"]: [r["n_docs"], r["sum_chars"], r["min_chars"], r["max_chars"]]
+        for r in out.to_pylist()
+    }
+    assert got == agg
