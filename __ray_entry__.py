@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_click_stats": events.doc_click_stats,
         # exact per-type value percentiles (histogram partials, no shuffle)
         "value_quantiles": events.value_quantiles,
+        # first-order Markov transition counts over per-user streams
+        "event_transitions": events.event_transitions,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -659,6 +661,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT
                      AS sum_value_milli
             FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE prev_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "value_quantiles": """

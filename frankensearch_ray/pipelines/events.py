@@ -1263,3 +1263,80 @@ def value_quantiles(sf_dir: str) -> pa.Table:
             "max_milli": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+# --- event-type transition counts (Markov matrix) -------------------------------
+
+
+def event_transitions(
+    sf_dir: str,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """(prev_type, next_type, n): counts of consecutive event-type pairs
+    within each user's (ts, event_id)-ordered stream — the first-order
+    Markov transition matrix behavior models and anomaly baselines are
+    built from.
+
+    Scale shape: the shared ``hash(user) % K`` bucketed exchange; inside
+    a bucket ONE lexsort orders every user's stream and adjacent-pair
+    extraction is a single shifted comparison (pairs never cross users);
+    per-bucket partials are |types|^2-bounded, so the driver merge is
+    K x types^2 tiny rows."""
+    import ray.data as rd
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        codes, names = _factorize_str(et)
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        v = len(names)
+        pair = a * v + b
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(names[(uniq // v)], pa.string()),
+                "next_type": pa.array(names[(uniq % v)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(lambda t: _user_bucket_col(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        out.groupby(["prev_type", "next_type"], as_index=False)["n"]
+        .sum()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "prev_type": pa.array(out["prev_type"].to_numpy(), pa.string()),
+            "next_type": pa.array(out["next_type"].to_numpy(), pa.string()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -301,3 +301,31 @@ def test_value_quantiles_matches_numpy(ray_session):
                 col,
             )
         assert r["max_milli"] == int(vals[-1])
+
+
+def test_event_transitions_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        sf + "/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    by_user: dict[int, list] = {}
+    for r in t.to_pylist():
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    want: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    for nb in (1, 64):
+        out = ev.event_transitions(sf, n_buckets=nb)
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"] for r in out.to_pylist()
+        }
+        assert got == want, nb
+    # conservation law: total transitions = total events - distinct users
+    n_events = t.num_rows
+    assert sum(want.values()) == n_events - len(by_user)
