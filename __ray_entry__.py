@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": events.value_quantiles,
         # first-order Markov transition counts over per-user streams
         "event_transitions": events.event_transitions,
+        # integer-exact burst/anomaly windows (n*lb > mult*trailing)
+        "window_bursts": events.window_bursts,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -662,6 +664,26 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_milli
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_bursts": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 3600000000) AS w, event_type,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tr AS (
+              SELECT a.w, a.event_type, a.n,
+                     coalesce(sum(b.n), 0)::BIGINT AS trail
+              FROM c a LEFT JOIN c b
+                ON b.event_type = a.event_type
+               AND b.w BETWEEN a.w - 6 AND a.w - 1
+              GROUP BY a.w, a.event_type, a.n
+            )
+            SELECT (w * 3600)::BIGINT AS window_start, event_type,
+                   n AS n_events, trail AS trailing_sum
+            FROM tr
+            WHERE trail >= 6 AND n * 6 > 3 * trail
+            ORDER BY 1, 2
         """,
         "event_transitions": """
             WITH s AS (

@@ -1340,3 +1340,89 @@ def event_transitions(
             "n": pa.array(out["n"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# --- burst detection over tumbling windows --------------------------------------
+
+
+def window_bursts(
+    sf_dir: str,
+    window_minutes: int = 60,
+    lookback: int = 6,
+    mult: int = 3,
+    min_trailing: int | None = None,
+) -> pa.Table:
+    """(window_start, event_type, n_events, trailing_sum): the tumbling
+    windows whose event count EXCEEDS ``mult`` times the mean of the
+    previous ``lookback`` windows (missing windows count 0) — the ops
+    burst/anomaly alert, with an integer-exact contract: burst iff
+    ``n * lookback > mult * trailing_sum`` (cross-multiplied, no float
+    mean) and ``trailing_sum >= min_trailing`` (default = ``lookback``, i.e.
+    at least one event per trailing window on average — so cold-start
+    windows with thin history never false-alert).
+
+    Scale shape: per-batch (window, type, count) combiners reduce the
+    corpus to a TIME-proportional table (windows x types — at any
+    corpus size this is clock-bounded, ~10^5 rows for years of hourly
+    windows), and the trailing sums are two ``searchsorted`` prefix-sum
+    lookups per type over that small table.  One tiny rollup, no
+    corpus-sized exchange."""
+    import ray.data as rd
+
+    if min_trailing is None:
+        min_trailing = lookback
+    win_us = window_minutes * 60 * 1_000_000
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        w = t["ts"].cast(pa.int64()).to_numpy() // win_us
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        et_codes, et_names = _factorize_str(et)
+        key = np.stack([w, et_codes], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array(uniq[:, 0]),
+                "event_type": pa.array(et_names[uniq[:, 1]]),
+                "n": pa.array(n),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type"],
+        )
+        .map_batches(count_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "w"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "w"])
+    )
+    rows = []
+    for et, g in counts.groupby("event_type", sort=True):
+        w = g["w"].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        pre = np.concatenate(([0], np.cumsum(n)))
+        lo = np.searchsorted(w, w - lookback)
+        hi = np.searchsorted(w, w)  # w' < w (strictly previous windows)
+        trail = pre[hi] - pre[lo]
+        burst = (trail >= min_trailing) & (n * lookback > mult * trail)
+        for i in np.flatnonzero(burst):
+            rows.append(
+                (
+                    int(w[i]) * (win_us // 1_000_000),
+                    str(et),
+                    int(n[i]),
+                    int(trail[i]),
+                )
+            )
+    rows.sort()
+    return pa.table(
+        {
+            "window_start": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "trailing_sum": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

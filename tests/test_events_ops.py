@@ -329,3 +329,54 @@ def test_event_transitions_matches_bruteforce(ray_session):
     # conservation law: total transitions = total events - distinct users
     n_events = t.num_rows
     assert sum(want.values()) == n_events - len(by_user)
+
+
+class TestWindowBursts:
+    def _write(self, tmp_path, rows):
+        """rows: (ts_us, event_type)."""
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_crafted_burst_and_gap_semantics(self, ray_session, tmp_path):
+        H = 3600 * 1_000_000
+        rows = []
+        # windows 0..5: 1 event/h baseline
+        for w in range(6):
+            rows.append((w * H + 1, "click"))
+        # window 6: 10 events -> 10*6 > 3*6 -> burst
+        rows += [(6 * H + i, "click") for i in range(10)]
+        # window 9 (after a 2-window GAP): 5 events; trailing = windows
+        # 3..8 = 1+1+1+10 = 13 -> 5*6=30 > 39? no -> not a burst
+        rows += [(9 * H + i, "click") for i in range(5)]
+        # first-ever window of another type: no history -> never alerts
+        rows.append((0, "error"))
+        sf = self._write(tmp_path, rows)
+        out = ev.window_bursts(sf)
+        got = [
+            (r["window_start"] // 3600, r["event_type"], r["n_events"], r["trailing_sum"])
+            for r in out.to_pylist()
+        ]
+        assert got == [(6, "click", 10, 6)]
+
+    def test_no_float_mean_boundary(self, ray_session, tmp_path):
+        """Exactly mult x trailing-mean must NOT alert (strict >)."""
+        H = 3600 * 1_000_000
+        rows = []
+        for w in range(6):
+            rows.append((w * H, "view"))  # trailing sum 6, mean 1
+        rows += [(6 * H + i, "view") for i in range(3)]  # n=3 == 3*mean
+        sf = self._write(tmp_path, rows)
+        out = ev.window_bursts(sf)
+        assert out.num_rows == 0
