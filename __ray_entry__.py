@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": events.event_transitions,
         # integer-exact burst/anomaly windows (n*lb > mult*trailing)
         "window_bursts": events.window_bursts,
+        # events-per-user skew profile (exact quantiles, histogram merge)
+        "user_activity_quantiles": events.user_activity_quantiles,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -237,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": ann.embedding_quantize,
         # integer-dot serving path over the cached quantized layout
         "knn_int8": ann.knn_int8,
+        # two-stage serving: int8 shortlist -> exact cosine rerank
+        "knn_int8_rerank": ann.knn_int8_rerank,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
@@ -665,6 +669,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "user_activity_quantiles": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS c
+              FROM events GROUP BY user_id
+            )
+            SELECT count(*)::BIGINT AS n_users,
+                   quantile_disc(c, 0.5)::BIGINT AS p50_events,
+                   quantile_disc(c, 0.9)::BIGINT AS p90_events,
+                   quantile_disc(c, 0.99)::BIGINT AS p99_events,
+                   max(c)::BIGINT AS max_events
+            FROM c
+        """,
         "window_bursts": """
             WITH c AS (
               SELECT (epoch_us(ts) // 3600000000) AS w, event_type,
@@ -900,6 +916,48 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY dot DESC, neighbor_id) - 1)
                        AS rank
               FROM d
+            )
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        "knn_int8_rerank": """
+            WITH qz AS (
+              SELECT vec_id, u.i AS i,
+                     GREATEST(-128, LEAST(127,
+                       CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 256)
+                            AS BIGINT))) AS q
+              FROM embeddings
+              CROSS JOIN generate_series(1, 64) u(i)
+              WHERE u.i <= len(embedding)
+            ),
+            d AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     sum(a.q * b.q)::BIGINT AS dot
+              FROM qz a JOIN qz b USING (i)
+              WHERE a.vec_id IN (0, 1, 2, 3, 4)
+              GROUP BY 1, 2
+            ),
+            short AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id) AS r
+              FROM d QUALIFY r <= 50
+            ),
+            re AS (
+              SELECT s.query_id, s.neighbor_id,
+                     list_cosine_similarity(
+                       qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+              FROM short s
+              JOIN embeddings qe ON qe.vec_id = s.query_id
+              JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     (row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) - 1)
+                       AS rank
+              FROM re
             )
             SELECT query_id, neighbor_id, rank::BIGINT AS rank
             FROM ranked WHERE rank < 10

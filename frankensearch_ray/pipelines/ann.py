@@ -1027,3 +1027,62 @@ def knn_int8(
         _Int8Scorer(queries_ref, k), batch_format="pyarrow", batch_size=512
     )
     return _merge_topk(partials.to_pandas(), k)
+
+
+def knn_int8_rerank(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    shortlist: int = 50,
+    scale: int = 256,
+) -> pa.Table:
+    """(query_id, neighbor_id, rank): the production two-stage ANN
+    serving pattern — a cheap integer-dot scan over the 4x-compressed
+    int8 layout selects a ``shortlist`` per query, then ONLY those
+    candidates are re-scored with exact f32→f64 cosine and cut to top-k.
+    Recall of the int8 stage, exactness of the float stage.
+
+    Determinism: the shortlist is bit-deterministic (exact int64 dots,
+    ties by neighbor asc — the SQL oracle reproduces it row for row),
+    and the rerank uses the same fixed-tree cosine as
+    ``knn_bruteforce``, so the driver hash-compares end to end.
+
+    Scale shape: stage 1 is the ``knn_int8`` scan (cached quantized
+    layout, partial top-R merge); stage 2 reads ONLY the Q x shortlist
+    candidate vectors (row-group-pruned point reads) — the rerank cost
+    is request-bounded, never corpus-bounded."""
+    import pyarrow.parquet as pq
+
+    short = knn_int8(sf_dir, query_ids=query_ids, k=shortlist, scale=scale)
+    by_q: dict[int, list[int]] = {}
+    for qid, nid in zip(
+        short["query_id"].to_pylist(), short["neighbor_id"].to_pylist()
+    ):
+        by_q.setdefault(qid, []).append(nid)
+    need = sorted({n for ns in by_q.values() for n in ns} | set(map(int, query_ids)))
+    t = pq.read_table(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", need)],
+    )
+    rows = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mn = m / _stable_norm_rows(m)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    out_q, out_n, out_r = [], [], []
+    for qid in sorted(by_q):
+        cand = np.array(by_q[qid], dtype=np.int64)
+        ci = np.array([pos[int(c)] for c in cand])
+        sims = _stable_cosine(mn[pos[qid]][None, :], mn[ci])[0]
+        order = np.lexsort((cand, -sims))[:k]
+        out_q.extend([qid] * len(order))
+        out_n.extend(cand[order].tolist())
+        out_r.extend(range(len(order)))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )

@@ -1426,3 +1426,77 @@ def window_bursts(
             "trailing_sum": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# --- per-user activity distribution ----------------------------------------------
+
+
+def user_activity_quantiles(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """(n_users, p50_events, p90_events, p99_events, max_events): exact
+    discrete quantiles of the events-per-user distribution — the skew
+    profile that tells a pipeline whether per-user co-location
+    (`n_buckets` sizing, pathological-user detection) is safe.
+
+    Scale shape: users partition by the shared ``hash(user) % K``
+    exchange, so per-bucket user counts are exact; each bucket emits a
+    (events-per-user value, n_users) VALUE-HISTOGRAM partial (bounded
+    by distinct activity levels, not by users), and the driver merges
+    histograms and walks one CDF (the ``source_quantiles`` discipline;
+    quantile index matches DuckDB ``quantile_disc``)."""
+    import math as _math
+
+    import ray.data as rd
+
+    def bucket_hist(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uid = g["user_id"].to_numpy()
+        _u, counts = np.unique(uid, return_counts=True)
+        vals, n = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(vals.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        .map_batches(lambda t: _user_bucket_col(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c", as_index=False)["n"]
+        .sum()
+        .sort_values("c")
+    )
+    vals = hist["c"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n_users = int(cum[-1]) if len(cum) else 0
+    if n_users == 0:
+        return pa.table(
+            {
+                "n_users": pa.array([0], pa.int64()),
+                "p50_events": pa.array([0], pa.int64()),
+                "p90_events": pa.array([0], pa.int64()),
+                "p99_events": pa.array([0], pa.int64()),
+                "max_events": pa.array([0], pa.int64()),
+            }
+        )
+    q = {}
+    for name, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        target = max(0, _math.ceil(frac * n_users) - 1) + 1  # 1-based rank
+        q[name] = int(vals[np.searchsorted(cum, target)])
+    return pa.table(
+        {
+            "n_users": pa.array([n_users], pa.int64()),
+            "p50_events": pa.array([q["p50"]], pa.int64()),
+            "p90_events": pa.array([q["p90"]], pa.int64()),
+            "p99_events": pa.array([q["p99"]], pa.int64()),
+            "max_events": pa.array([int(vals[-1])], pa.int64()),
+        }
+    )

@@ -274,3 +274,29 @@ def test_knn_int8_recall_and_cache_determinism(ray_session):
     for r in got.to_pylist():
         if r["rank"] == 0:
             assert r["neighbor_id"] == r["query_id"]
+
+
+def test_knn_int8_rerank_improves_on_raw_int8(ray_session):
+    """With a generous shortlist, the reranked result must equal exact
+    brute force (the shortlist contains the true top-k) — the standard
+    guarantee of the two-stage pattern; and recall can never be worse
+    than the raw int8 cut."""
+    from frankensearch_ray.pipelines import ann as am
+
+    sf = "/root/testdata/sf0.001"
+    exact = am.knn_bruteforce(sf, k=10)
+    rer = am.knn_int8_rerank(sf, k=10, shortlist=500)  # = corpus size
+    assert rer.equals(exact)
+
+    def _sets(t):
+        out = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, r, i = _sets(exact), _sets(am.knn_int8_rerank(sf, k=10)), _sets(
+        am.knn_int8(sf, k=10)
+    )
+    rec_r = sum(len(e[q] & r[q]) for q in e) / sum(len(e[q]) for q in e)
+    rec_i = sum(len(e[q] & i[q]) for q in e) / sum(len(e[q]) for q in e)
+    assert rec_r >= rec_i
