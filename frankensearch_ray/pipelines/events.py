@@ -12,12 +12,23 @@ user in the bucket at once.
   previous event of the same user exceeds ``gap_minutes``) with
   per-session aggregates — the classic training-data prep step for
   behavioral corpora.
-- ``window_aggregate``: tumbling-window rollup per (window, event_type)
-  with an EXACT distinct-user count via a two-stage shuffle (per-triple
-  partials, then per-window rollup) — never a per-window set on one task.
-- ``asof_join``: per-user as-of join (each ``purchase`` event matched to
-  the most recent ``click`` at-or-before it), vectorized across users
-  within a bucket via forward-fill over the (user, ts, event) sort.
+- ``window_aggregate`` / ``hopping_window_aggregate``: tumbling and
+  sliding rollups per (window, event_type) with EXACT distinct-user
+  counts via a two-stage shuffle (per-triple partials, then per-window
+  rollup) — never a per-window set on one task.
+- ``asof_join`` / ``range_join``: per-user as-of and time-band joins,
+  vectorized across users within a bucket.
+- the product-analytics family — ``funnel_counts`` (ordered prefixes),
+  ``cohort_retention`` (signup-week triangle), ``session_paths``
+  (journey mining), ``item_cooccurrence`` (related items),
+  ``event_transitions`` (Markov counts), ``user_activity_quantiles``
+  (skew profile) — all through the SAME user-bucket exchange, each
+  kernel vectorized across every user in a bucket at once.
+- ``doc_click_stats``: the general two-table documents⨝events hash
+  equi-join (tagged-union exchange, neither side broadcast).
+- ``value_quantiles`` / ``window_bursts``: zero-user-exchange profiles —
+  value-histogram quantiles and integer-exact burst detection over the
+  time-proportional window-count table.
 
 The partitioning assumption is that ONE BUCKET of users fits one task
 (tunable via ``n_buckets``); a single pathological user still co-locates
