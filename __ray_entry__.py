@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "distinct_sketch": textstats.distinct_terms_sketch,
+        # Misra-Gries mergeable heavy hitters — a sketch by nature
+        # (est_count undercounts by <= N/(m+1)), so no SQL twin; the
+        # bound and the superset guarantee are pytest-gated
+        "heavy_hitters": textstats.heavy_hitters,
         "media_features": textstats.media_features,
         "media_frame_sample": textstats.media_frame_sample,
         "media_resize": textstats.media_resize,

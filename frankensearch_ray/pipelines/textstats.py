@@ -742,3 +742,100 @@ def distinct_terms_sketch(
             "sketch_k": pa.array([k], pa.int64()),
         }
     )
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, m: int):
+    """Misra-Gries compression to <= m counters: subtract the (m+1)-th
+    largest count from everything, drop the non-positive.  Summaries
+    compressed this way merge by concatenate+sum+recompress, with total
+    undercount <= N / (m+1) (Agarwal et al., 'Mergeable Summaries',
+    PODS 2012)."""
+    if len(terms) <= m:
+        return terms, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    dec = int(counts[order[m]])
+    keep = order[:m]
+    t, c = terms[keep], counts[keep] - dec
+    pos = c > 0
+    return t[pos], c[pos], dec
+
+
+def heavy_hitters(
+    sf_dir: str,
+    k: int = 20,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> pa.Table:
+    """(term, est_count, rank): approximate top-k most frequent tokens
+    via MERGEABLE Misra-Gries summaries — the sketch complement to the
+    exact ``ngram_topk`` exchange.  Guarantee (capacity = m): every term
+    with true count > N/(m+1) survives, and ``est_count`` lower-bounds
+    the true count by at most N/(m+1); rank ties break term asc.
+
+    Scale shape: each batch reduces to an EXACT in-batch count table
+    (dictionary codes + bincount) compressed to <= m counters, so only
+    blocks x m tiny rows leave the map stage and the driver merge is one
+    concatenate + groupby-sum + recompress — ZERO exchange, no stage
+    ever holds the vocabulary.  This is the shape that survives a
+    vocabulary too large even for the sharded-exchange exact path."""
+    import ray.data as rd
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        lists = _tokens_of(t, text_col)
+        flat, _d, _o = _flat_tokens(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nz = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nz))
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        counts = np.bincount(codes, minlength=len(enc.dictionary)).astype(
+            np.int64
+        )
+        terms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        t2, c2, _ = _mg_compress(terms, counts, capacity)
+        return pa.table(
+            {"term": pa.array(list(t2), pa.string()), "c": pa.array(c2)}
+        )
+
+    def merge_summaries(t: pa.Table) -> pa.Table:
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        if len(term) == 0:
+            return t
+        enc = pc.dictionary_encode(term)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        c = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(c, codes, t["c"].to_numpy().astype(np.int64))
+        terms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        t2, c2, _ = _mg_compress(terms, c, capacity)
+        return pa.table(
+            {"term": pa.array(list(t2), pa.string()), "c": pa.array(c2)}
+        )
+
+    # intermediate combine level: at extreme block counts the raw
+    # blocks x m summary rows would swamp the driver, so summaries
+    # re-merge in 64k-row groups first (still zero exchange)
+    parts = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[text_col])
+        .map_batches(batch_summary, batch_format="pyarrow")
+        .map_batches(merge_summaries, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    merged = parts.groupby("term", as_index=False)["c"].sum()
+    terms = merged["term"].to_numpy()
+    counts = merged["c"].to_numpy().astype(np.int64)
+    terms, counts, _ = _mg_compress(terms, counts, capacity)
+    order = np.lexsort((terms, -counts))[:k]
+    return pa.table(
+        {
+            "term": pa.array(list(terms[order]), pa.string()),
+            "est_count": pa.array(counts[order]),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+        }
+    )

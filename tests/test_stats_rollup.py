@@ -71,3 +71,48 @@ def test_empty_partition_list(tmp_path):
     fs, posts = rollup_partition_stats(str(tmp_path), [], chunk=3)
     assert posts == 0
     assert fs["content"] == {"doc_count": 0, "total_tokens": 0}
+
+
+class TestHeavyHitters:
+    def test_mg_guarantees_vs_exact(self, ray_session):
+        """Misra-Gries contract at sf0.001: est <= true, undercount
+        <= N/(m+1), and every term with true count > N/(m+1) survives
+        into a large-k cut."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines import textstats as ts
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(sf + "/documents.parquet", columns=["text"])
+        exact: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in re.split(r"[^a-z0-9]+", (s or "").lower()):
+                if w:
+                    exact[w] = exact.get(w, 0) + 1
+        n = sum(exact.values())
+        m = 256
+        bound = n // (m + 1) + 1
+        out = ts.heavy_hitters(sf, k=m, capacity=m)
+        got = dict(zip(out["term"].to_pylist(), out["est_count"].to_pylist()))
+        assert out["rank"].to_pylist() == list(range(len(got)))
+        for term, est in got.items():
+            assert est <= exact[term], term
+            assert exact[term] - est <= bound, (term, exact[term], est)
+        heavy = {w for w, c in exact.items() if c > bound}
+        assert heavy <= set(got), heavy - set(got)
+
+    def test_mg_compress_drops_to_capacity(self):
+        import numpy as np
+
+        from frankensearch_ray.pipelines.textstats import _mg_compress
+
+        terms = np.array(list("abcdef"), dtype=object)
+        counts = np.array([10, 9, 8, 3, 2, 1], dtype=np.int64)
+        t2, c2, dec = _mg_compress(terms, counts, 3)
+        assert dec == 3 and list(t2) == ["a", "b", "c"]
+        assert list(c2) == [7, 6, 5]
+        # under capacity: identity
+        t3, c3, d3 = _mg_compress(terms[:2], counts[:2], 3)
+        assert d3 == 0 and list(t3) == ["a", "b"]
