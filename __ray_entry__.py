@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_should_match": docsearch.min_should_match,
         # ES match_phrase_prefix (type-ahead phrase)
         "phrase_prefix": docsearch.phrase_prefix,
+        # search -> ETL: export a query's slice with hydrated metadata
+        "search_export": docsearch.search_export,
         # ES histogram aggregation over a match set's numeric field
         "numeric_histogram": docsearch.numeric_histogram,
         "topk_by_tf": docsearch.topk_by_tf,
@@ -1309,6 +1311,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o1.doc_id FROM o1 JOIN o2 USING (doc_id)
             WHERE o2.p > o1.p AND o2.p - o1.p <= 3
             ORDER BY doc_id
+        """,
+        "search_export": f"""
+            WITH {docs}
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN docs ON docs.doc_id = d.doc_id
+            WHERE list_contains(docs.toks, 'hash')
+              AND list_contains(docs.toks, 'merge')
+            ORDER BY d.doc_id
         """,
         "phrase_prefix": f"""
             WITH {docs}

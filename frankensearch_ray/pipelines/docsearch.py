@@ -757,3 +757,61 @@ def phrase_prefix(
     docids = np.unique(np.concatenate(parts))
     doc_ids = sorted(_docids_to_doc_ids(s, docids))
     return pa.table({"doc_id": pa.array(doc_ids, pa.int64())})
+
+
+def search_export(
+    sf_dir: str,
+    t1: str = "hash",
+    t2: str = "merge",
+    output_path: str | None = None,
+    n_buckets: int = 64,
+) -> pa.Table | None:
+    """(doc_id, lang, source, n_chars): the full metadata rows of every
+    doc matching ``t1 AND t2`` — the search→ETL export flow ("give me
+    this slice as a dataset").  ``output_path`` streams the hydrated
+    rows to partitioned parquet; the default table return is the driver
+    contract.
+
+    Scale shape: the match set comes from the index (postings
+    intersection), and hydration is a BROADCAST SEMI-JOIN — the sorted
+    id array ships once via ``ray.put`` and every batch of the
+    column-pruned documents scan keeps its members with one
+    ``searchsorted``; no exchange, no driver-side point reads.  The
+    bound is the id list itself (8 bytes/match — the same array the
+    postings intersection already produced), which is right for the
+    selective queries exports serve; a deliberately corpus-sized slice
+    would switch to the ``doc_click_stats`` tagged-union exchange
+    instead of broadcasting."""
+    import ray.data as rd
+
+    from ..contract.query_ast import MUST, Boolean, Clause
+
+    s = searcher_for(sf_dir)
+    node = Boolean(
+        [Clause(MUST, _content_term(t1)), Clause(MUST, _content_term(t2))],
+        operator="AND",
+    )
+    docids, _ = s.evaluate(node)
+    ids = np.asarray(_docids_to_doc_ids(s, docids), dtype=np.int64)
+    K = n_buckets
+
+    import ray
+
+    ids_ref = ray.put(np.sort(ids))
+
+    def hydrate(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(want, d)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == d)
+        return t.filter(pa.array(hit))
+
+    out = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).map_batches(hydrate, batch_format="pyarrow")
+    if output_path is not None:
+        out.write_parquet(output_path)
+        return None
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)

@@ -44,3 +44,21 @@ def test_sink_matches_table_path(ray_session, tmp_path, mod, fn, sort_cols):
         .reset_index(drop=True)
     )
     assert sink.equals(table), f"{fn}: sink rows differ from table path"
+
+
+def test_search_export_sink_equals_table(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import docsearch as ds
+
+    sf = "/root/testdata/sf0.001"
+    table = ds.search_export(sf)
+    out = str(tmp_path / "slice")
+    assert ds.search_export(sf, output_path=out) is None
+    sunk = pq.read_table(out).sort_by("doc_id")
+    assert sunk.equals(table)
+    # exported slice == the boolean AND match set
+    assert (
+        table["doc_id"].to_pylist()
+        == ds.boolean_and(sf, "hash", "merge")["doc_id"].to_pylist()
+    )
