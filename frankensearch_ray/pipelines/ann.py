@@ -517,17 +517,40 @@ def lsh_layout(
     return out_dir
 
 
+def _drop_uncommitted_appends(layout_dir: str, paths: list[str]) -> list[str]:
+    """Appended part files (``part-a<token>-*``) are visible ONLY once
+    their ``appends/<token>.ok`` marker exists — the marker is written
+    last, so a crashed :func:`ivf_append` leaves data files a query
+    never reads (the same publish-last torn-commit discipline as the
+    index manifest)."""
+    adir = os.path.join(layout_dir, "appends")
+    ok = (
+        {fn[:-3] for fn in os.listdir(adir) if fn.endswith(".ok")}
+        if os.path.isdir(adir)
+        else set()
+    )
+    out = []
+    for p in paths:
+        b = os.path.basename(p)
+        if b.startswith("part-a") and b[6:38] not in ok:
+            continue
+        out.append(p)
+    return out
+
+
 def _layout_scan(layout_dir: str, wanted_dirs: list[str], layout: str) -> list[str]:
     """Resolve the probed partition dirs to files and record the pruning
     evidence in ``LAST_SCAN`` (files/bytes read vs the whole layout)."""
-    all_files = sorted(
-        _glob.glob(os.path.join(layout_dir, "*", "part-*.parquet"))
+    all_files = _drop_uncommitted_appends(
+        layout_dir,
+        sorted(_glob.glob(os.path.join(layout_dir, "*", "part-*.parquet"))),
     )
     paths = []
     for d in wanted_dirs:
         paths.extend(
             sorted(_glob.glob(os.path.join(layout_dir, d, "part-*.parquet")))
         )
+    paths = _drop_uncommitted_appends(layout_dir, paths)
     LAST_SCAN.clear()
     LAST_SCAN.update(
         {
@@ -1086,3 +1109,82 @@ def knn_int8_rerank(
             "rank": pa.array(out_r, pa.int64()),
         }
     )
+
+
+def ivf_append(
+    sf_dir: str,
+    new_vectors: "pa.Table | str",
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Incrementally append vectors to an EXISTING IVF layout — the
+    vector-side twin of the lexical delta append (a growing corpus must
+    not rebuild its ANN layout per batch).  New vectors are assigned to
+    the PINNED centroid artifact (the ``.npy`` the layout was built
+    with, so partitions stay consistent), written as per-cluster
+    ``part-a<token>-*`` files, and PUBLISHED by one atomic
+    ``appends/<token>.ok`` marker written LAST — a crashed append leaves
+    files no query ever reads (see ``_drop_uncommitted_appends``), the
+    same torn-commit discipline as the index manifest.
+
+    ``new_vectors`` is an Arrow table ``(vec_id, embedding)`` or a
+    parquet path; the path form streams through ``map_batches`` (one
+    shared token, marker after the full pass), so appends scale exactly
+    like the initial layout build.  Returns the number of vectors
+    appended.  Queries need no invalidation: the partition scan picks
+    up committed parts on the next call."""
+    import ray
+    import ray.data as rd
+
+    layout = ivf_layout(
+        sf_dir, n_clusters=n_clusters, seed=seed, id_col=id_col, emb_col=emb_col
+    )
+    cents = ann_centroids(sf_dir, n_clusters, seed, id_col, emb_col)
+    cents_ref = ray.put(cents)
+    token = uuid.uuid4().hex
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch.select([id_col, emb_col]))
+        if len(ids) == 0:
+            return pa.table({"written": pa.array([], pa.int64())})
+        c = ray.get(cents_ref)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        sub = uuid.uuid4().hex[:8]
+        for cl in np.unique(assign):
+            rows = np.flatnonzero(assign == cl)
+            part = batch.take(pa.array(rows)).append_column(
+                "cluster", pa.array(np.full(len(rows), cl, np.int64))
+            ).replace_schema_metadata(None)
+            _atomic_parquet(
+                part,
+                os.path.join(
+                    layout,
+                    f"cluster={cl:05d}",
+                    f"part-a{token}-{sub}.parquet",
+                ),
+            )
+        return pa.table({"written": pa.array([len(ids)], pa.int64())})
+
+    if isinstance(new_vectors, str):
+        n = int(
+            rd.read_parquet(new_vectors, columns=[id_col, emb_col])
+            .map_batches(write_batch, batch_format="pyarrow", batch_size=4096)
+            .sum("written")
+            or 0
+        )
+    else:
+        n = int(
+            pa.concat_tables(
+                [write_batch(new_vectors)]
+            )["written"].to_numpy().sum()
+        )
+    adir = os.path.join(layout, "appends")
+    os.makedirs(adir, exist_ok=True)
+    tmp = os.path.join(adir, f"{token}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n": n}, f)
+    os.replace(tmp, os.path.join(adir, f"{token}.ok"))
+    return n

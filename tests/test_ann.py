@@ -300,3 +300,100 @@ def test_knn_int8_rerank_improves_on_raw_int8(ray_session):
     rec_r = sum(len(e[q] & r[q]) for q in e) / sum(len(e[q]) for q in e)
     rec_i = sum(len(e[q] & i[q]) for q in e) / sum(len(e[q]) for q in e)
     assert rec_r >= rec_i
+
+
+class TestIvfAppend:
+    def _clone_table(self, sf, offset=10_000, n=50):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        t = t.slice(0, n)
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "vec_id": _pa.array(
+                    [v + offset for v in t["vec_id"].to_pylist()], _pa.int64()
+                ),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def test_append_becomes_visible_and_exact(self, ray_session, tmp_path, monkeypatch):
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        before = am.knn_ivf(sf, k=2, nprobe=16)
+        clones = self._clone_table(sf)
+        n = am.ivf_append(sf, clones)
+        assert n == 50
+        after = am.knn_ivf(sf, k=2, nprobe=16)
+        assert not after.equals(before)
+        # each query's clone (identical vector, id+10000) must now sit
+        # at rank 1, right behind the original (cos=1 tie, id asc)
+        got = {}
+        for r in after.to_pylist():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        for q, hits in got.items():
+            hits.sort()
+            assert hits[0] == (0, q)
+            assert hits[1] == (1, q + 10_000), hits
+
+    def test_append_equals_union_rebuild_at_full_probe(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """With every cluster probed, the appended layout must give
+        bit-identical results to a fresh layout built over the union
+        corpus (partitioning differences can't matter at full probe)."""
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        clones = self._clone_table(sf, offset=20_000, n=30)
+        am.ivf_append(sf, clones)
+        appended = am.knn_ivf(sf, k=10, nprobe=16)
+
+        union_dir = tmp_path / "union_sf"
+        union_dir.mkdir()
+        base = pq.read_table(sf + "/embeddings.parquet")
+        import pyarrow as _pa
+
+        clone_full = _pa.table(
+            {
+                "vec_id": clones["vec_id"],
+                "embedding": clones["embedding"],
+                "label": base["label"].slice(0, 30),
+            }
+        )
+        pq.write_table(
+            _pa.concat_tables([base, clone_full]),
+            str(union_dir / "embeddings.parquet"),
+        )
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache2"))
+        rebuilt = am.knn_ivf(str(union_dir), k=10, nprobe=16)
+        assert appended.equals(rebuilt)
+
+    def test_uncommitted_append_is_invisible(self, ray_session, tmp_path, monkeypatch):
+        import glob
+        import os
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        before = am.knn_ivf(sf, k=10, nprobe=16)
+        am.ivf_append(sf, self._clone_table(sf))
+        layout = am.ivf_layout(sf)
+        markers = glob.glob(os.path.join(layout, "appends", "*.ok"))
+        assert len(markers) == 1
+        # simulate the crash-before-publish state: data files on disk,
+        # marker missing -> queries must not see the appended vectors
+        os.remove(markers[0])
+        assert am.knn_ivf(sf, k=10, nprobe=16).equals(before)
+        # the scan accounting must also exclude the uncommitted parts
+        assert am.LAST_SCAN["files_total"] == am.LAST_SCAN["files_read"]
+        on_disk = glob.glob(os.path.join(layout, "*", "part-a*.parquet"))
+        assert on_disk, "appended data files should still be on disk"
