@@ -517,12 +517,20 @@ def lsh_layout(
     return out_dir
 
 
+_APPEND_TOKEN_RE = None  # compiled lazily (re import stays local)
+
+
 def _drop_uncommitted_appends(layout_dir: str, paths: list[str]) -> list[str]:
-    """Appended part files (``part-a<token>-*``) are visible ONLY once
+    """Appended part files (``…-a<token>-…``) are visible ONLY once
     their ``appends/<token>.ok`` marker exists — the marker is written
-    last, so a crashed :func:`ivf_append` leaves data files a query
-    never reads (the same publish-last torn-commit discipline as the
-    index manifest)."""
+    last, so a crashed :func:`ivf_append` / :func:`lsh_append` leaves
+    data files a query never reads (the same publish-last torn-commit
+    discipline as the index manifest)."""
+    import re
+
+    global _APPEND_TOKEN_RE
+    if _APPEND_TOKEN_RE is None:
+        _APPEND_TOKEN_RE = re.compile(r"-a([0-9a-f]{32})-")
     adir = os.path.join(layout_dir, "appends")
     ok = (
         {fn[:-3] for fn in os.listdir(adir) if fn.endswith(".ok")}
@@ -531,8 +539,8 @@ def _drop_uncommitted_appends(layout_dir: str, paths: list[str]) -> list[str]:
     )
     out = []
     for p in paths:
-        b = os.path.basename(p)
-        if b.startswith("part-a") and b[6:38] not in ok:
+        m = _APPEND_TOKEN_RE.search(os.path.basename(p))
+        if m is not None and m.group(1) not in ok:
             continue
         out.append(p)
     return out
@@ -677,9 +685,12 @@ def knn_lsh(
     # with one row group per bucket code, so the footer's `code` stats
     # locate the colliding buckets without reading any data pages —
     # the same exchange-through-footers discipline as the index build
+    lsh_files = _drop_uncommitted_appends(
+        layout, sorted(_glob.glob(os.path.join(layout, "t*-*.parquet")))
+    )
     specs = []
     rgs_total = bytes_total = rgs_read = bytes_read = files_read = 0
-    for path in sorted(_glob.glob(os.path.join(layout, "t*-*.parquet"))):
+    for path in lsh_files:
         t_i = int(os.path.basename(path)[1:4])
         wanted_codes = {int(c) for c in np.unique(q_codes[:, t_i])}
         pf = pq.ParquetFile(path)
@@ -709,9 +720,7 @@ def knn_lsh(
             "partitions_read": rgs_read,
             "partitions_total": rgs_total,
             "files_read": files_read,
-            "files_total": len(
-                _glob.glob(os.path.join(layout, "t*-*.parquet"))
-            ),
+            "files_total": len(lsh_files),
             "bytes_read": bytes_read,
             "bytes_total": bytes_total,
         }
@@ -1181,6 +1190,100 @@ def ivf_append(
                 [write_batch(new_vectors)]
             )["written"].to_numpy().sum()
         )
+    adir = os.path.join(layout, "appends")
+    os.makedirs(adir, exist_ok=True)
+    tmp = os.path.join(adir, f"{token}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n": n}, f)
+    os.replace(tmp, os.path.join(adir, f"{token}.ok"))
+    return n
+
+
+def lsh_append(
+    sf_dir: str,
+    new_vectors: "pa.Table | str",
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Incrementally append vectors to an EXISTING LSH layout — the
+    SRP hyperplanes derive deterministically from (seed, dim), so new
+    vectors code into the SAME buckets the layout was built with and
+    appended files are just more (task, table) code-sorted parts.
+    Same transactional discipline as :func:`ivf_append`: data files are
+    ``t###-a<token>-…`` and ONE atomic ``appends/<token>.ok`` marker
+    written LAST publishes them; a crashed append is invisible.
+
+    Because bucket codes depend only on (seed, dim), an appended layout
+    answers queries BIT-IDENTICALLY to a fresh rebuild over the union
+    corpus — the pytest gate.  Returns the number of vectors appended
+    (each stored ``n_tables`` times, the standard LSH trade)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    layout = lsh_layout(
+        sf_dir,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        emb_col=emb_col,
+    )
+    token = uuid.uuid4().hex
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch.select([id_col, emb_col]))
+        if len(ids) == 0:
+            return pa.table({"written": pa.array([], pa.int64())})
+        dim = m.shape[1]
+        pl = planes_cache.get(dim)
+        if pl is None:
+            pl = _lsh_planes(n_tables, n_bits, dim, seed)
+            planes_cache[dim] = pl
+        codes = _srp_codes(m, pl)
+        sub = uuid.uuid4().hex[:8]
+        for t_i in range(codes.shape[1]):
+            col = codes[:, t_i]
+            order = np.argsort(col, kind="stable")
+            part = (
+                batch.take(pa.array(order))
+                .append_column(
+                    "tbl", pa.array(np.full(len(ids), t_i, np.int64))
+                )
+                .append_column("code", pa.array(col[order]))
+                .replace_schema_metadata(None)
+            )
+            path = os.path.join(
+                layout, f"t{t_i:03d}-a{token}-{sub}.parquet"
+            )
+            tmp = path + ".tmp"
+            writer = pq.ParquetWriter(tmp, part.schema)
+            sc = col[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], sc[1:] != sc[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [len(sc)]))
+            for s_i, e_i in zip(bounds, ends):
+                writer.write_table(
+                    part.slice(s_i, e_i - s_i), row_group_size=int(e_i - s_i)
+                )
+            writer.close()
+            os.replace(tmp, path)
+        return pa.table({"written": pa.array([len(ids)], pa.int64())})
+
+    if isinstance(new_vectors, str):
+        n = int(
+            rd.read_parquet(new_vectors, columns=[id_col, emb_col])
+            .map_batches(write_batch, batch_format="pyarrow", batch_size=4096)
+            .sum("written")
+            or 0
+        )
+    else:
+        n = int(write_batch(new_vectors)["written"].to_numpy().sum())
     adir = os.path.join(layout, "appends")
     os.makedirs(adir, exist_ok=True)
     tmp = os.path.join(adir, f"{token}.tmp")

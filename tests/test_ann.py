@@ -397,3 +397,77 @@ class TestIvfAppend:
         assert am.LAST_SCAN["files_total"] == am.LAST_SCAN["files_read"]
         on_disk = glob.glob(os.path.join(layout, "*", "part-a*.parquet"))
         assert on_disk, "appended data files should still be on disk"
+
+
+class TestLshAppend:
+    def _clone_table(self, sf, offset=10_000, n=50):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        t = t.slice(0, n)
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "vec_id": _pa.array(
+                    [v + offset for v in t["vec_id"].to_pylist()], _pa.int64()
+                ),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def test_append_equals_union_rebuild(self, ray_session, tmp_path, monkeypatch):
+        """LSH codes depend only on (seed, dim), so an appended layout
+        must answer BIT-IDENTICALLY to a rebuild over the union corpus —
+        at the default probe set, not just exhaustively."""
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        before = am.knn_lsh(sf, k=10)
+        clones = self._clone_table(sf, offset=30_000, n=40)
+        n = am.lsh_append(sf, clones, n_tables=24)
+        assert n == 40
+        appended = am.knn_lsh(sf, k=10)
+        assert not appended.equals(before)
+
+        union_dir = tmp_path / "union_sf"
+        union_dir.mkdir()
+        base = pq.read_table(sf + "/embeddings.parquet")
+        import pyarrow as _pa
+
+        clone_full = _pa.table(
+            {
+                "vec_id": clones["vec_id"],
+                "embedding": clones["embedding"],
+                "label": base["label"].slice(0, 40),
+            }
+        )
+        pq.write_table(
+            _pa.concat_tables([base, clone_full]),
+            str(union_dir / "embeddings.parquet"),
+        )
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache2"))
+        rebuilt = am.knn_lsh(str(union_dir), k=10)
+        assert appended.equals(rebuilt)
+
+    def test_uncommitted_lsh_append_is_invisible(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import glob
+        import os
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        before = am.knn_lsh(sf, k=10)
+        am.lsh_append(sf, self._clone_table(sf), n_tables=24)
+        layout = am.lsh_layout(sf, n_tables=24)
+        markers = glob.glob(os.path.join(layout, "appends", "*.ok"))
+        assert len(markers) == 1
+        os.remove(markers[0])
+        assert am.knn_lsh(sf, k=10).equals(before)
+        assert glob.glob(os.path.join(layout, "t*-a*.parquet"))
