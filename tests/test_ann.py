@@ -471,3 +471,35 @@ class TestLshAppend:
         os.remove(markers[0])
         assert am.knn_lsh(sf, k=10).equals(before)
         assert glob.glob(os.path.join(layout, "t*-a*.parquet"))
+
+
+class TestAppendSnapshotRace:
+    """Concurrent append+query all-or-nothing: the committed-token
+    snapshot is taken BEFORE the data-file glob, so a marker that lands
+    in between can never admit a partial append (ADVICE r04 #1)."""
+
+    def test_pre_glob_snapshot_rejects_late_marker(self, tmp_path):
+        import os
+
+        from frankensearch_ray.pipelines import ann as am
+
+        layout = str(tmp_path / "layout")
+        os.makedirs(os.path.join(layout, "appends"))
+        tok = "ab" * 16
+        # simulate the race: the glob ran while the append was mid-write
+        # (it caught one of the append's two part files), THEN the
+        # marker landed.  A snapshot taken before the glob is empty.
+        snap = am._committed_append_tokens(layout)
+        assert snap == set()
+        caught = [os.path.join(layout, "c0", f"part-a{tok}-0.parquet")]
+        with open(os.path.join(layout, "appends", tok + ".ok"), "w"):
+            pass
+        # pre-glob snapshot -> the partially-seen append stays invisible
+        assert am._drop_uncommitted_appends(layout, caught, snap) == []
+        # a snapshot taken after the marker (fresh query) admits it
+        assert am._drop_uncommitted_appends(
+            layout, caught, am._committed_append_tokens(layout)
+        ) == caught
+        # base-layout files (no append token) always pass
+        base = [os.path.join(layout, "c0", "part-0.parquet")]
+        assert am._drop_uncommitted_appends(layout, base, snap) == base

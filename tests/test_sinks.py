@@ -62,3 +62,21 @@ def test_search_export_sink_equals_table(ray_session, tmp_path):
         table["doc_id"].to_pylist()
         == ds.boolean_and(sf, "hash", "merge")["doc_id"].to_pylist()
     )
+
+
+def test_term_df_sink_equals_table_and_is_post_filter(ray_session, tmp_path):
+    """VERDICT r04 #1: the min_df cut runs distributed (after the
+    groupby, before any driver collect) and the sink path streams the
+    same rows the table path returns."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import docsearch as ds
+
+    table = ds.term_df(SF, min_df=5)
+    # every row the driver receives already satisfies the cut
+    assert table.num_rows > 0
+    assert min(table["df"].to_pylist()) >= 5
+    out = str(tmp_path / "term_df")
+    assert ds.term_df(SF, min_df=5, output_path=out) is None
+    sunk = pq.read_table(out).sort_by("term")
+    assert sunk.select(["term", "df"]).equals(table.select(["term", "df"]))
