@@ -755,13 +755,30 @@ def phrase_prefix(
     corpus size; each expansion's phrase check decodes only the two
     terms' postings/positions (w1's are LRU-cached across expansions by
     the positions-split reader), and results union by docid — no corpus
-    scan, per-replica like every match-table entry."""
+    scan, per-replica like every match-table entry.
+
+    BOUND (ADVICE r04 #4): the prefix expands to at most
+    ``LocalSearcher.GLOB_EXPANSION_LIMIT`` terms (16,384 — the same
+    cap as glob queries; ES's ``max_expansions`` analogue).  On a
+    vocabulary where the prefix exceeds that, the result is the subset
+    reached by the bounded termdict scan; this function WARNS when the
+    cap is hit so the divergence from an unbounded SQL enumeration is
+    visible rather than silent."""
     import re
+    import warnings
 
     s = searcher_for(sf_dir)
     exp = s.regex_terms(
         FIELD_CONTENT, re.escape(prefix) + r".*", literal_prefix=prefix
     )
+    if len(exp) >= s.GLOB_EXPANSION_LIMIT:
+        warnings.warn(
+            f"phrase_prefix({prefix!r}) hit GLOB_EXPANSION_LIMIT="
+            f"{s.GLOB_EXPANSION_LIMIT}; result covers the first "
+            "expansions only (matches glob-query truncation semantics)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     parts = [s.phrase_near(FIELD_CONTENT, [w1, e], 0) for e in exp]
     parts = [p for p in parts if len(p)]
     if not parts:

@@ -445,7 +445,12 @@ def _funnel_bucket(g: pa.Table, steps: list[str]) -> pa.Table:
     start, taking each next occurrence as early as possible minimizes
     every later timestamp).  One searchsorted per step over composite
     ``ucode * B + (ts - off)`` keys chains EVERY user in the bucket at
-    once; B = bucket time span + 2, so the composite stays exact int64."""
+    once; B = bucket time span + 2.  The composite is exact int64 only
+    while ``n_users_in_bucket * B < 2^63`` — e.g. microsecond stamps
+    over a 10-year span cap a bucket at ~29k users — so the kernel
+    CHECKS the product and raises instead of silently wrapping
+    (ADVICE r04 #2); callers raise ``n_buckets`` to shrink per-bucket
+    user counts when they hit it."""
     empty = pa.table(
         {
             "step": pa.array([], pa.int64()),
@@ -460,6 +465,12 @@ def _funnel_bucket(g: pa.Table, steps: list[str]) -> pa.Table:
     _uniq, ucode = np.unique(uid, return_inverse=True)
     off = int(ts.min())
     b = np.int64(int(ts.max()) - off + 2)
+    if len(_uniq) * int(b) >= 2**63:  # exact Python-int product
+        raise OverflowError(
+            f"funnel composite key would overflow int64: "
+            f"{len(_uniq)} users x {int(b)} us span in one bucket; "
+            "raise n_buckets so each bucket holds fewer users"
+        )
     per_step = []
     for s in steps:
         m = et == s

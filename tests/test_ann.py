@@ -111,6 +111,16 @@ class TestClusterEmbeddings:
         # with the induced centroids for (nearly) every vector
         assert agree >= 0.98, f"self-consistency {agree:.3f}"
 
+    def test_streaming_path_bit_identical_to_pinned(self, ray_session, sf_dir):
+        """VERDICT r04 #2: above pin_threshold_bytes the input is never
+        materialized — each Lloyd iteration re-scans the lazy plan —
+        and the result is bit-identical to the pinned path."""
+        from frankensearch_ray.pipelines.ann import cluster_embeddings
+
+        pinned = cluster_embeddings(sf_dir)  # default: table fits, pins
+        streamed = cluster_embeddings(sf_dir, pin_threshold_bytes=0)
+        assert streamed.equals(pinned)
+
     def test_sink_matches_table(self, ray_session, sf_dir, tmp_path):
         import pyarrow.parquet as pq
 
@@ -503,3 +513,71 @@ class TestAppendSnapshotRace:
         # base-layout files (no append token) always pass
         base = [os.path.join(layout, "c0", "part-0.parquet")]
         assert am._drop_uncommitted_appends(layout, base, snap) == base
+
+
+class TestAppendSchemaProjection:
+    """ADVICE r04 #3: an append fed a table with extra / reordered
+    columns writes parts schema-identical to the build-time layout —
+    nothing the caller carried leaks into the layout files."""
+
+    def _messy_clones(self, sf, offset=20_000, n=20):
+        import pyarrow as _pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            sf + "/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, n)
+        # reordered + an extra column the layout must not absorb
+        return _pa.table(
+            {
+                "junk": _pa.array(["x"] * n),
+                "embedding": t["embedding"],
+                "vec_id": _pa.array(
+                    [v + offset for v in t["vec_id"].to_pylist()], _pa.int64()
+                ),
+            }
+        )
+
+    def test_ivf_append_projects_schema(self, ray_session, tmp_path, monkeypatch):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        layout = am.ivf_layout(sf)
+        base = sorted(glob.glob(os.path.join(layout, "*", "part-*.parquet")))
+        base_schema = pq.read_schema(base[0])
+        am.ivf_append(sf, self._messy_clones(sf))
+        appended = [
+            p
+            for p in glob.glob(os.path.join(layout, "*", "part-a*.parquet"))
+        ]
+        assert appended
+        for p in appended:
+            assert pq.read_schema(p).equals(base_schema), p
+        # and the layout still answers queries
+        assert am.knn_ivf(sf, k=2, nprobe=16).num_rows > 0
+
+    def test_lsh_append_projects_schema(self, ray_session, tmp_path, monkeypatch):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from frankensearch_ray.pipelines import ann as am
+
+        monkeypatch.setattr(am, "CACHE_ROOT", str(tmp_path / "cache"))
+        sf = "/root/testdata/sf0.001"
+        layout = am.lsh_layout(sf, n_tables=8)
+        base = sorted(glob.glob(os.path.join(layout, "t*-*.parquet")))
+        base_schema = pq.read_schema(base[0])
+        am.lsh_append(sf, self._messy_clones(sf), n_tables=8)
+        appended = glob.glob(os.path.join(layout, "t*-a*.parquet"))
+        assert appended
+        for p in appended:
+            assert pq.read_schema(p).equals(base_schema), p
+        assert am.knn_lsh(sf, k=2, n_tables=8).num_rows > 0

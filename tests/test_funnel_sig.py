@@ -148,3 +148,22 @@ def test_significant_terms_shard_invariance(ray_session):
 def test_significant_terms_no_match_is_empty(ray_session):
     got = corpus.significant_terms(SF, "zzzzqqq", "merge")
     assert got.num_rows == 0
+
+
+def test_funnel_bucket_overflow_guard():
+    """ADVICE r04 #2: the composite key raises instead of silently
+    wrapping when n_users * bucket_span would exceed int64."""
+    import pyarrow as pa
+    import pytest
+
+    from frankensearch_ray.pipelines.events import _funnel_bucket
+
+    g = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 2**62, 2**62], pa.int64()),
+            "event_type": pa.array(["view", "view", "click"]),
+        }
+    )
+    with pytest.raises(OverflowError, match="n_buckets"):
+        _funnel_bucket(g, ["view", "click"])

@@ -260,3 +260,20 @@ def test_phrase_prefix_matches_bruteforce(ray_session, doc_tokens):
     pm = set(docsearch.phrase_match(SF, "hash", "table")["doc_id"].to_pylist())
     pp = set(docsearch.phrase_prefix(SF, w1="hash", prefix="table")["doc_id"].to_pylist())
     assert pm <= pp
+
+
+def test_phrase_prefix_warns_on_expansion_cap(ray_session, monkeypatch):
+    """ADVICE r04 #4: hitting the glob expansion cap is surfaced, not a
+    silent subset."""
+    import warnings
+
+    from frankensearch_ray.pipelines import docsearch as dsx
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    sf = "/root/testdata/sf0.001"
+    # force the cap below the fixture vocabulary's expansion count
+    monkeypatch.setattr(LocalSearcher, "GLOB_EXPANSION_LIMIT", 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dsx.phrase_prefix(sf, w1="hash", prefix="m")
+    assert any("GLOB_EXPANSION_LIMIT" in str(x.message) for x in w)
