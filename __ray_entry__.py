@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         dedup,
         docsearch,
+        embed,
         events,
         ingestio,
         textstats,
@@ -245,6 +246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_rerank": ann.knn_int8_rerank,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
+        # batched model inference: actor pool loads the (stub) encoder
+        # once per actor in __init__, emits a deterministic
+        # hashing-trick embedding per doc (value-hash oracled)
+        "embed_texts": embed.embed_texts,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
         # check; the deterministic/self-consistency contract is pinned
         # in tests/test_ann.py
@@ -888,6 +893,36 @@ def oracle_sql() -> dict[str, str]:
                    floor(sim * 1000 + 1e-9)::BIGINT AS cosine_permille
             FROM pairs WHERE sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # stub-model inference: signed hashing-trick bag-of-tokens with
+        # md5-upper-8 token hashes (md5_number_upper) over the same
+        # whitespace tokenization the simhash oracle pins — bucket
+        # h % dim, sign from bit 32, zero rows kept for every (doc, dim)
+        "embed_texts": """
+            WITH nb AS (
+              SELECT doc_id, coalesce(trim(text), '') AS tx FROM documents
+            ),
+            t AS (
+              SELECT doc_id, u.tok
+              FROM nb, LATERAL (
+                SELECT unnest(string_split_regex(tx, '\\s+')) AS tok
+              ) u
+              WHERE tx <> ''
+            ),
+            contrib AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(tok) % 16 AS BIGINT) AS dim,
+                     SUM(CASE WHEN ((md5_number_upper(tok) >> 32) & 1) = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM t GROUP BY doc_id, dim
+            ),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
+            SELECT d.doc_id, dm.dim,
+                   CAST(COALESCE(c.v, 0) AS BIGINT) AS value
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN dims dm
+            LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.dim = dm.dim
+            ORDER BY d.doc_id, dm.dim
         """,
         "embedding_quantize": """
             SELECT vec_id, u.i - 1 AS dim,
