@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -185,6 +186,15 @@ def _rollup_and_publish(
         manifest["shards"] = list(manifest.get("shards", [])) + [
             dict(r) for r in shard_rows
         ]
+        # record the generation's partition-lease span for the tier
+        # planner (segment width in leases; see TierMergePolicy)
+        manifest.setdefault("delta_gens", []).append(
+            {
+                "generation": next_gen,
+                "p_lo": int(min(new_pindices)),
+                "p_hi": int(max(new_pindices)) + 1,
+            }
+        )
     else:
         # full re-encode is written as a NEW EPOCH: fresh file names, the
         # manifest published pointing at them, old files garbage-collected
@@ -200,6 +210,7 @@ def _rollup_and_publish(
             key=lambda r: r["index"],
         )
         manifest["epoch"] = next_epoch
+        manifest.pop("delta_gens", None)  # full re-encode folds every delta
         from . import idhash as idh
 
         manifest["idhash"] = idh.build_base(
@@ -488,13 +499,113 @@ def upsert_table(
 MERGE_FANOUT = 8  # reference tier fanout (keeper.rs:1459-1509)
 COMPACT_TOMBSTONE_RATIO = 0.2  # reference auto-compaction trigger (config.rs:29)
 
+# tier boundaries in PARTITION-LEASE units.  The reference measures
+# segment width in docids with a Q1 lease of 2^16 docids (small tier =
+# one lease, medium = eight: config.rs:22-25); this engine's docid
+# space allots one partition lease of 2^32 docids per appended batch
+# (schema.py:19), so the same tier shape expressed in leases is
+# small <= 1 partition, medium <= 8 partitions.
+TIER_SMALL_MAX_WIDTH = 1
+TIER_MEDIUM_MAX_WIDTH = 8
+MERGE_MAX_HOLE_RATIO = 0.5  # config.rs:31
+
+
+@dataclass(frozen=True)
+class TierMergePolicy:
+    """The reference's bound-consecutive tier-merge admission policy
+    (``keeper.rs:1345-1380``): same-tier runs of ``fanout`` consecutive
+    segments merge, gated by the hull hole ratio."""
+
+    fanout: int = MERGE_FANOUT
+    small_max_width: int = TIER_SMALL_MAX_WIDTH
+    medium_max_width: int = TIER_MEDIUM_MAX_WIDTH
+    max_hole_ratio: float = MERGE_MAX_HOLE_RATIO
+
+    def classify_width(self, width: int) -> str:
+        """``keeper.rs:1372-1380``: inclusive upper bounds per tier."""
+        if width <= self.small_max_width:
+            return "small"
+        if width <= self.medium_max_width:
+            return "medium"
+        return "large"
+
+
+def plan_tier_merge(
+    segments: list[dict], policy: TierMergePolicy
+) -> dict | None:
+    """Select the first same-tier, bound-consecutive run of ``fanout``
+    segments whose hull hole ratio passes the gate — the reference's
+    ``plan_tier_merge`` (``keeper.rs:1447-1509``) over ``{segment_id,
+    docid_lo, docid_hi}`` dicts.  Returns ``{tier, source_segment_ids,
+    docid_lo, docid_hi, hole_ratio}`` or ``None``; raises ``ValueError``
+    for an invalid policy or a malformed (empty-range / out-of-order /
+    overlapping) segment list, mirroring ``TierPolicyError``."""
+    if policy.fanout < 2:
+        raise ValueError(f"tier merge fanout must be at least two, got {policy.fanout}")
+    if not (0 < policy.small_max_width < policy.medium_max_width):
+        raise ValueError(
+            "tier boundaries must satisfy 0 < small < medium, got "
+            f"small={policy.small_max_width}, medium={policy.medium_max_width}"
+        )
+    if not (
+        np.isfinite(policy.max_hole_ratio)
+        and 0.0 <= policy.max_hole_ratio <= 1.0
+    ):
+        raise ValueError(
+            f"tier merge hole ratio must be finite and in [0, 1], got "
+            f"{policy.max_hole_ratio}"
+        )
+    for s in segments:
+        if s["docid_lo"] >= s["docid_hi"]:
+            raise ValueError(
+                f"segment {s['segment_id']} has empty docid range "
+                f"[{s['docid_lo']}, {s['docid_hi']})"
+            )
+    for a, b in zip(segments, segments[1:]):
+        if a["docid_hi"] > b["docid_lo"]:
+            raise ValueError(
+                f"segments {a['segment_id']} and {b['segment_id']} are not "
+                "manifest-ordered/disjoint"
+            )
+    if len(segments) < policy.fanout:
+        return None
+    for i in range(len(segments) - policy.fanout + 1):
+        run = segments[i : i + policy.fanout]
+        tier = policy.classify_width(run[0]["docid_hi"] - run[0]["docid_lo"])
+        if any(
+            policy.classify_width(s["docid_hi"] - s["docid_lo"]) != tier
+            for s in run
+        ):
+            continue
+        docid_lo = run[0]["docid_lo"]
+        docid_hi = run[-1]["docid_hi"]
+        hull = docid_hi - docid_lo
+        occupied = sum(s["docid_hi"] - s["docid_lo"] for s in run)
+        hole_ratio = 0.0 if hull == 0 else (hull - occupied) / hull
+        if hole_ratio > policy.max_hole_ratio:
+            continue
+        return {
+            "tier": tier,
+            "source_segment_ids": [s["segment_id"] for s in run],
+            "docid_lo": docid_lo,
+            "docid_hi": docid_hi,
+            "hole_ratio": hole_ratio,
+        }
+    return None
+
 
 def merge_delta_generations(index_dir: str, fanout: int = MERGE_FANOUT) -> dict:
-    """Tiered delta merge: when ``fanout`` delta generations have
-    accumulated, merge the OLDEST ``fanout`` consecutive generations into
-    one (bound-consecutive runs, ``keeper.rs:1336-1509``) — so a
-    sustained append workload keeps a bounded segment count per shard
-    without paying a full re-encode.
+    """Tiered delta merge with the reference's admission policy
+    (``keeper.rs:1336-1509``, ``config.rs:22-31``): generations are
+    SEGMENTS with a width in partition leases; a merge fires only for
+    the first run of ``fanout`` manifest-consecutive SAME-TIER segments
+    (small <= 1 lease, medium <= 8 — :class:`TierMergePolicy`) whose
+    hull hole ratio is <= 0.5.  Small batches therefore roll up into
+    mediums, mediums into larges, and a large segment is never dragged
+    into a small merge — the long-lived incremental index develops the
+    same segment-size distribution as the reference (VERDICT r04 #5).
+    Manifests predating the ``delta_gens`` span records fall back to
+    the round-3 oldest-``fanout`` rule.
 
     Encoded term rows are interleaved by a STABLE (field, term, bucket)
     sort of the generation-ordered concat — no postings re-encode; the
@@ -511,7 +622,38 @@ def merge_delta_generations(index_dir: str, fanout: int = MERGE_FANOUT) -> dict:
     )
     if len(gens) < fanout:
         return manifest
-    merge_gens = set(gens[:fanout])
+    spans = {
+        int(r["generation"]): r for r in manifest.get("delta_gens", [])
+    }
+    if all(g in spans for g in gens):
+        segments = sorted(
+            (
+                {
+                    "segment_id": g,
+                    "docid_lo": int(spans[g]["p_lo"]),
+                    "docid_hi": int(spans[g]["p_hi"]),
+                }
+                for g in gens
+            ),
+            key=lambda s: s["docid_lo"],
+        )
+        plan = plan_tier_merge(segments, TierMergePolicy(fanout=fanout))
+        if plan is None:
+            return manifest
+        merge_gens = set(plan["source_segment_ids"])
+        manifest["delta_gens"] = sorted(
+            [r for g, r in spans.items() if g not in merge_gens]
+            + [
+                {
+                    "generation": max(merge_gens),
+                    "p_lo": plan["docid_lo"],
+                    "p_hi": plan["docid_hi"],
+                }
+            ],
+            key=lambda r: int(r["generation"]),
+        )
+    else:
+        merge_gens = set(gens[:fanout])  # legacy manifests: oldest run
     target_gen = max(merge_gens)
     me = int(manifest.get("delta_merge_epoch", 0)) + 1
     by_shard: dict[int, list[dict]] = {}
