@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the parser path still raises the reference's UnsupportedQuery)
         "phrase_near": docsearch.phrase_near,
         "search_snippets": docsearch.search_snippets,
+        # the SQL-checkable snippet contract: winners derived by the
+        # BM25 oracle; fragment-substring / highlight / mark-is-term
+        # facts computed Ray-side against the hydrated sources
+        "search_snippets_contract": docsearch.search_snippets_contract,
         "chunk_documents": chunks.chunk_documents,
         # FSFS 8-field chunk schema index (schema.rs:300-377)
         "chunk_search": chunksearch.chunk_search,
@@ -413,6 +417,53 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM tf WHERE tf > 0
             ORDER BY rank LIMIT 20
+        """,
+        # the snippet contract entry shares bm25_topk's winner
+        # derivation; the three contract facts are asserted constants
+        # over that independently-derived winner set (the Ray side
+        # computes them for real against the engine's fragments)
+        "search_snippets_contract": f"""
+            WITH {docs},
+            {_fieldnorm_values_sql()},
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total
+              FROM docs
+            ),
+            dl AS (
+              SELECT doc_id, len(toks) AS raw_dl,
+                     (SELECT max(v) FROM fnt WHERE v <= len(toks)) AS qdl
+              FROM docs
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              WHERE term IN ('hash', 'merge', 'window')
+              GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+                              / (df.df + 0.5)) * 2.2
+                       * tf.tf
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.qdl / ((SELECT total FROM stats)
+                                             / (SELECT n FROM stats))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY score DESC, doc_id) - 1)::BIGINT
+                     AS rank,
+                   1::BIGINT AS has_highlight,
+                   1::BIGINT AS is_substring,
+                   1::BIGINT AS marks_are_terms
+            FROM scores
+            ORDER BY rank LIMIT 10
         """,
         "bm25_topk": f"""
             WITH {docs},

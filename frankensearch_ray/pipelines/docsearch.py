@@ -264,6 +264,88 @@ def search_snippets(
     )
 
 
+def search_snippets_contract(
+    sf_dir: str, query: str = "hash merge window", k: int = 10
+) -> pa.Table:
+    """(doc_id, rank, has_highlight, is_substring, marks_are_terms):
+    the SQL-checkable half of :func:`search_snippets` (VERDICT r04 #7).
+    The snippet TEXT itself is not SQL-derivable (fragment selection is
+    engine-internal), but its CONTRACT is: for every BM25 winner the
+    generated fragment, tags stripped, must be a substring of the
+    stripped source document; it must carry at least one ``<b>``
+    highlight; and every highlighted span must analyze to a query term.
+    This entry computes those three facts Ray-side by REALLY checking
+    the engine's snippets against the hydrated source rows, while the
+    DuckDB oracle derives the winner set independently (the full BM25
+    recomputation shared with ``bm25_topk``) and asserts the contract
+    booleans — so a fragment outside its document, a missing highlight,
+    a non-term mark, or a drifted winner list all hash-mismatch.
+
+    Scale shape: k rows; hydration is a doc_id-filtered column-pruned
+    parquet read (predicate pushed into the scan), no corpus pass."""
+    import re
+
+    import ray.data as rd
+
+    from ..contract.analyzer import analyze_default_scalar
+
+    s = searcher_for(sf_dir)
+    res = s.search(query, limit=k, snippets=True)
+    hits = res["hits"]
+    doc_ids = [int(h["id"]) for h in hits]
+    texts: dict[int, str] = {}
+    if doc_ids:
+        import pyarrow.dataset as pads
+
+        t = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(doc_ids),
+        ).to_pandas()
+        texts = dict(zip(t["doc_id"].astype(int), t["text"]))
+    qterms = {tok for tok, _p, _a, _b in analyze_default_scalar(query)}
+    mark_re = re.compile(r"<b>(.*?)</b>", re.DOTALL)
+
+    def unescape(text: str) -> str:
+        # invert snippet.py's _ESCAPES exactly (&amp; last)
+        for ent, ch in (
+            ("&quot;", '"'),
+            ("&#x27;", "'"),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&amp;", "&"),
+        ):
+            text = text.replace(ent, ch)
+        return text
+
+    has_hl, is_sub, marks_ok = [], [], []
+    for h in hits:
+        snip = h["snippet"] or ""
+        src = (texts.get(int(h["id"])) or "").strip()
+        marks = [unescape(m) for m in mark_re.findall(snip)]
+        has_hl.append(int(bool(marks)))
+        plain = unescape(snip.replace("<b>", "").replace("</b>", ""))
+        is_sub.append(int(plain in src))
+        marks_ok.append(
+            int(
+                all(
+                    {tok for tok, _p, _a, _b in analyze_default_scalar(m)}
+                    <= qterms
+                    for m in marks
+                )
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "rank": pa.array([h["rank"] for h in hits], pa.int64()),
+            "has_highlight": pa.array(has_hl, pa.int64()),
+            "is_substring": pa.array(is_sub, pa.int64()),
+            "marks_are_terms": pa.array(marks_ok, pa.int64()),
+        }
+    )
+
+
 def bm25_topk(sf_dir: str, query: str = "hash merge window", k: int = 10) -> pa.Table:
     """BM25 top-k through the engine (f32 contract scoring).  Returned
     without scores; ordering is checked in pytest against the exhaustive

@@ -136,3 +136,31 @@ class TestSearcherIntegration:
         for h in res["hits"]:
             if h["snippet"]:
                 assert len(h["snippet"].encode()) < 600  # bounded fragments
+
+
+def test_snippets_contract_entry_detects_violations(ray_session, monkeypatch):
+    """VERDICT r04 #7: the contract booleans are computed for real —
+    all 1 on the honest engine, 0 when a snippet violates the contract
+    (so the driver's value-hash would catch a regression)."""
+    from frankensearch_ray.pipelines import docsearch as dsx
+
+    sf = "/root/testdata/sf0.001"
+    good = dsx.search_snippets_contract(sf)
+    assert good.num_rows > 0
+    for col in ("has_highlight", "is_substring", "marks_are_terms"):
+        assert set(good[col].to_pylist()) == {1}, col
+
+    s = dsx.searcher_for(sf)
+    orig = s.search
+
+    def doctored(query, **kw):
+        res = orig(query, **kw)
+        if kw.get("snippets"):
+            for h in res["hits"]:
+                h["snippet"] = "<b>zzz</b> text not present in any doc"
+        return res
+
+    monkeypatch.setattr(s, "search", doctored)
+    bad = dsx.search_snippets_contract(sf)
+    assert set(bad["is_substring"].to_pylist()) == {0}
+    assert set(bad["marks_are_terms"].to_pylist()) == {0}
