@@ -1,24 +1,31 @@
-"""Pure-NumPy image codec for the multimodal stages — a REAL decoder
+"""Pure-NumPy image codecs for the multimodal stages — REAL decoders
 behind the media plumbing (VERDICT r04 #3).
 
-The container ships no media libraries, so the one format implemented
-here is the simplest fully-public one: uncompressed 24-bit BI_RGB
-Windows BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding).
+The container ships no media libraries, so the formats implemented here
+are the two fully-public ones a stdlib-only build can do losslessly:
+
+- uncompressed 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER, bottom-up
+  rows, 4-byte row padding), and
+- PNG (RFC 2083): 8-bit greyscale / RGB / RGBA truecolor, non-interlaced,
+  all five scanline filters on decode, stdlib ``zlib`` for the DEFLATE
+  stream.
+
 That is enough to make ``media_resize`` an honest end-to-end pixel
-pipeline: decode → nearest-neighbour resample → re-encode, all exact
-integer arithmetic, pixel-exact testable with in-test synthesized
-images.  Payloads that are not BMP fall back to the declared
+pipeline on real web-image containers: decode → nearest-neighbour
+resample → re-encode, pixel-exact testable with in-test synthesized
+images.  Payloads that are neither fall back to the declared
 length-arithmetic stub in :class:`~.textstats.MediaResizer` — a
 deployment swaps this module for PIL/ffmpeg and keeps the Ray plumbing.
 
 Everything here is per-image by nature (images are opaque rows); the
 batch-level vectorization lives in the caller, which routes only
-actual-BMP rows through this codec.
+actual-image rows through this codec.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -103,5 +110,141 @@ def resize_bmp(data: bytes, num: int, den: int) -> bytes:
     img = decode_bmp(data)
     h, w = img.shape[:2]
     return encode_bmp(
+        resize_nearest(img, max(1, (h * num) // den), max(1, (w * num) // den))
+    )
+
+
+# --- PNG (RFC 2083; 8-bit grey/RGB/RGBA, non-interlaced) --------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels, for the 8-bit profiles we decode
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def is_png(data: bytes) -> bool:
+    return len(data) >= len(PNG_SIG) + 25 and data[: len(PNG_SIG)] == PNG_SIG
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the PNG scanline filters.  ``raw`` is the decompressed
+    stream reshaped to ``(h, 1 + w*ch)`` (leading filter byte per row).
+    Filters 0/1/2 are vectorized per row (sub is an exact mod-256 cumsum
+    along x per byte lane); 3 (average) and 4 (paeth) depend on the
+    previous pixel's *reconstructed* value so they walk x — fine for the
+    per-image granularity this codec serves."""
+    out = np.zeros((h, w * ch), np.uint8)
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: rec[x] = line[x] + rec[x-ch]
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(-1) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            rec[:ch] = (line[:ch] + prev[:ch] // 2) & 0xFF
+            for x in range(ch, w * ch):
+                rec[x] = (line[x] + (rec[x - ch] + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            rec[:ch] = (line[:ch] + prev[:ch]) & 0xFF  # left=ul=0 -> pred=up
+            for x in range(ch, w * ch):
+                a, b, c = int(rec[x - ch]), int(prev[x]), int(prev[x - ch])
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8, C in {1, 3, 4}.
+
+    Supported profile: bit depth 8, color type 0/2/6, compression 0,
+    filter method 0, non-interlaced.  Raises ``ValueError`` outside it
+    (paletted, 16-bit, Adam7, truncated) — the caller treats that as
+    not-an-image and falls back to the stub path."""
+    if not is_png(data):
+        raise ValueError("not a PNG payload")
+    pos, n = len(PNG_SIG), len(data)
+    w = h = ch = -1
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if body_off + length + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", data, body_off
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError("unsupported PNG profile (need 8-bit grey/RGB/RGBA)")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(data[body_off : body_off + length])
+        elif ctype == b"IEND":
+            break
+        pos = body_off + length + 4  # skip crc
+    if w <= 0 or h <= 0 or ch < 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt DEFLATE -> not-an-image
+        raise ValueError(f"bad PNG zlib stream: {e}") from e
+    stride = 1 + w * ch
+    if len(stream) != stride * h:
+        raise ValueError("PNG pixel stream length mismatch")
+    raw = np.frombuffer(stream, np.uint8).reshape(h, stride)
+    return _unfilter(raw, h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, C) uint8 (C in {1, 3, 4}) -> PNG bytes (filter 0 rows,
+    stdlib-zlib level 6 — deterministic for a given CPython zlib)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.dtype != np.uint8 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_png expects (H, W, {1,3,4}) uint8")
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    rows = np.zeros((h, 1 + w * ch), np.uint8)  # filter byte 0 per row
+    rows[:, 1:] = arr.reshape(h, w * ch)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(data: bytes, num: int, den: int) -> bytes:
+    """Decode a PNG, rescale both axes by the rational ``num/den``
+    (floor, min 1 px) with the exact nearest-neighbour map, re-encode."""
+    img = decode_png(data)
+    h, w = img.shape[:2]
+    return encode_png(
         resize_nearest(img, max(1, (h * num) // den), max(1, (w * num) // den))
     )

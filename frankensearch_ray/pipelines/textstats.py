@@ -530,17 +530,18 @@ def media_frame_sample(
 
 
 class MediaResizer:
-    """Actor-pool resize with a REAL codec path (VERDICT r04 #3): a
-    payload that parses as an uncompressed 24-bit BMP goes through the
-    pure-NumPy decode → nearest-neighbour resample (both axes floor-
-    scaled by ``num/den``, min 1 px) → re-encode pipeline in
+    """Actor-pool resize with REAL codec paths (VERDICT r04 #3): a
+    payload that parses as an uncompressed 24-bit BMP or an 8-bit
+    grey/RGB/RGBA non-interlaced PNG goes through the pure-NumPy
+    decode → nearest-neighbour resample (both axes floor-scaled by
+    ``num/den``, min 1 px) → re-encode pipeline in
     :mod:`.media_codec` — actual pixels, pixel-exact testable.  Any
     other payload falls back to the declared length-arithmetic stub
     (each 256-byte frame rescales to ``(256*num)//den`` bytes, the
     partial tail to ``(tail*num)//den``), so opaque/unknown formats
     still flow and a deployment swaps the codec module for PIL/ffmpeg
-    without touching the Ray plumbing.  BMP detection is a vectorized
-    2-byte-prefix check; only actual images take the per-image loop
+    without touching the Ray plumbing.  Image detection is a vectorized
+    magic-prefix check; only actual images take the per-image loop
     (images are opaque rows — per-image work is inherent there)."""
 
     FRAME_BYTES = 256
@@ -563,21 +564,34 @@ class MediaResizer:
         out_frame = (fb * self.num) // self.den
         out_bytes = full * out_frame + (tail * self.num) // self.den
         n_frames = -(-n_bytes // fb)
-        # vectorized routing: rows whose payload leads with the BMP magic
-        # try the real codec; everything else stays on the stub math
-        maybe_bmp = np.flatnonzero(
-            pc.equal(
-                pc.binary_slice(payload, 0, 2), pa.scalar(b"BM", pa.binary())
-            ).to_numpy(zero_copy_only=False)
+        # vectorized routing: rows whose payload leads with the BMP or
+        # PNG magic try the real codecs; everything else stays on the
+        # stub math
+        prefix2 = pc.binary_slice(payload, 0, 2)
+        maybe_bmp = pc.equal(prefix2, pa.scalar(b"BM", pa.binary()))
+        maybe_png = pc.equal(
+            pc.binary_slice(payload, 0, 8),
+            pa.scalar(self.codec.PNG_SIG, pa.binary()),
         )
         resized: dict[int, bytes] = {}
-        for i in map(int, maybe_bmp):
-            try:
-                resized[i] = self.codec.resize_bmp(
-                    payload[i].as_py(), self.num, self.den
+        for i in map(
+            int,
+            np.flatnonzero(
+                pc.or_kleene(maybe_bmp, maybe_png).to_numpy(
+                    zero_copy_only=False
                 )
+            ),
+        ):
+            blob = payload[i].as_py()
+            fn = (
+                self.codec.resize_bmp
+                if blob[:2] == b"BM"
+                else self.codec.resize_png
+            )
+            try:
+                resized[i] = fn(blob, self.num, self.den)
             except ValueError:
-                continue  # BM prefix but not our profile -> stub path
+                continue  # magic prefix but not our profile -> stub path
         for i, blob in resized.items():
             out_bytes[i] = len(blob)
             n_frames[i] = 1  # one decoded image

@@ -107,6 +107,149 @@ def test_media_resizer_real_codec_pixel_exact(textstats_mod):
     assert out["payload"][1].as_py() == txt[: full * 128 + tail // 2]
 
 
+def test_png_roundtrip_pixel_exact():
+    """encode_png -> decode_png is the identity for grey/RGB/RGBA at
+    assorted shapes (filter-0 rows through a real zlib stream)."""
+    import numpy as np
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    rng = np.random.default_rng(7)
+    for h, w, ch in [(1, 1, 1), (7, 5, 3), (4, 4, 4), (3, 9, 3), (16, 2, 1)]:
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = mc.decode_png(mc.encode_png(img))
+        assert np.array_equal(got, img)
+    # 2-D greyscale input is accepted and comes back as (H, W, 1)
+    grey = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(grey))[:, :, 0], grey)
+
+
+def _png_filter_forward(img, ftypes):
+    """Reference forward filterer (per the PNG spec) to exercise the
+    decoder's unfilter paths 1-4 — builds the raw scanline stream."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    out = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = ftypes[y % len(ftypes)]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) & 0xFF
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) & 0xFF
+        else:  # paeth
+            p = left + prev - ul
+            pa_, pb, pc_ = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            filt = (cur - pred) & 0xFF
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def test_png_decode_all_filter_types():
+    """A PNG whose rows cycle through filters 0-4 decodes pixel-exactly
+    (the encoder only emits filter 0, so build the stream by hand)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    rng = np.random.default_rng(11)
+    for ch, color in [(1, 0), (3, 2), (4, 6)]:
+        img = rng.integers(0, 256, size=(10, 7, ch), dtype=np.uint8)
+        stream = _png_filter_forward(img, ftypes=[0, 1, 2, 3, 4])
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        data = (
+            mc.PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 10, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.decode_png(data), img)
+
+
+def test_png_out_of_profile_rejected():
+    """Paletted / 16-bit / interlaced / truncated payloads raise
+    ValueError (the resizer's fall-back-to-stub contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    good = mc.encode_png(np.zeros((4, 4, 3), np.uint8))
+    with _pytest.raises(ValueError):
+        mc.decode_png(good[:-20])  # truncated inside the IDAT chunk
+    with _pytest.raises(ValueError):
+        mc.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)  # no IHDR
+
+    def with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        body = (
+            struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return mc.PNG_SIG + body + good[len(mc.PNG_SIG) + 25 :]
+
+    for depth, color, il in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with _pytest.raises(ValueError):
+            mc.decode_png(with_ihdr(depth, color, il))
+
+
+def test_media_resizer_png_path_pixel_exact(textstats_mod):
+    """A PNG payload routes through the real codec: decoded output
+    pixels equal the independent floor-map resample; a BMP and a text
+    row in the same batch keep their own paths."""
+    import numpy as np
+    import pyarrow as pa
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    img = _gradient_image(8, 6)
+    png = mc.encode_png(img)
+    bmp = mc.encode_bmp(img)
+    txt = b"plain text " * 30
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([png, bmp, txt], pa.binary()),
+        }
+    )
+    out = textstats_mod.MediaResizer(num=1, den=2, emit_payload=True)(batch)
+    want = img[(np.arange(4) * 8) // 4][:, (np.arange(3) * 6) // 3]
+    assert np.array_equal(mc.decode_png(out["payload"][0].as_py()), want)
+    assert np.array_equal(mc.decode_bmp(out["payload"][1].as_py()), want)
+    assert out["n_frames"][0].as_py() == 1
+    n = len(txt)
+    assert out["out_bytes"][2].as_py() == (n // 256) * 128 + (n % 256) // 2
+
+
 def test_media_resizer_bm_prefix_text_falls_back(textstats_mod):
     """A payload that merely STARTS with b'BM' but is not a valid BMP
     must fall back to the stub, not crash."""
