@@ -250,6 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_rerank": ann.knn_int8_rerank,
         "knn_ivf": partial(ann.knn_ivf, nprobe=15),
         "knn_lsh": ann.knn_lsh,
+        # transactional incremental appends, driver-checked: a layout
+        # built on 2/3 of the corpus + an atomic-marker append of the
+        # remaining third answers exact-recall queries identically to
+        # exact cosine over the WHOLE corpus (append ≡ union)
+        "knn_ivf_append": ann.knn_ivf_append,
+        "knn_lsh_append": ann.knn_lsh_append,
         # batched model inference: actor pool loads the (stub) encoder
         # once per actor in __init__, emits a deterministic
         # hashing-trick embedding per doc (value-hash oracled)
@@ -1941,6 +1947,12 @@ def oracle_sql() -> dict[str, str]:
     # exact cosine top-k, so they share the bruteforce oracle.
     sqls["knn_ivf"] = sqls["knn_bruteforce"]
     sqls["knn_lsh"] = sqls["knn_bruteforce"]
+    # append ≡ union: the appended layouts must reproduce the exact
+    # cosine top-k over the whole corpus for base-subset query ids
+    sqls["knn_ivf_append"] = sqls["knn_bruteforce"].replace(
+        "IN (0, 1, 2, 3, 4)", "IN (1, 2, 4, 5, 7)"
+    )
+    sqls["knn_lsh_append"] = sqls["knn_ivf_append"]
     # dedup_minhash verifies candidates with EXACT word-3-shingle Jaccard,
     # and the fmix64 permutation family makes a banding miss at J >= 0.8
     # astronomically unlikely ((1-0.8^4)^16 ~ 2e-4 per pair at worst; the

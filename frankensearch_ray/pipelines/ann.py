@@ -1337,3 +1337,136 @@ def lsh_append(
         json.dump({"n": n}, f)
     os.replace(tmp, os.path.join(adir, f"{token}.ok"))
     return n
+
+
+# --- driver entries for the append path (append ≡ union, value-hashed) ------
+
+
+def _append_demo_dir(sf_dir: str) -> str:
+    """Build-or-reuse the split corpus the append driver entries run on:
+    an sf-shaped directory whose ``embeddings.parquet`` holds the BASE
+    two-thirds (``vec_id % 3 != 0``) and whose ``append.parquet`` holds
+    the remaining third.  The split is a streamed row-group walk (two
+    ParquetWriters, never a full-table materialization) — this is a test
+    scaffold for the driver gate, not a production operator, but it
+    still respects the no-driver-materialization rule.
+
+    The directory name embeds the source sf tag so ``_ann_root`` (which
+    keys caches by basename) cannot collide across scale factors."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = _emb_path(sf_dir)
+    from pathlib import Path
+
+    out = os.path.join(_ann_root(sf_dir), f"{Path(sf_dir).name}_apdemo")
+    meta = os.path.join(out, "meta.json")
+    want = {"source_mtime": os.path.getmtime(src), "mod": 3}
+    if _meta_fresh(meta, want):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    pf = pq.ParquetFile(src)
+    base_w = rest_w = None
+    try:
+        for rb in pf.iter_batches(batch_size=8192):
+            t = pa.Table.from_batches([rb])
+            ids64 = pc.cast(t["vec_id"], pa.int64())
+            mod = pc.subtract(ids64, pc.multiply(pc.divide(ids64, 3), 3))
+            in_base = pc.not_equal(mod, 0)
+            base = t.filter(in_base)
+            rest = t.filter(pc.invert(in_base))
+            if base_w is None:
+                base_w = pq.ParquetWriter(
+                    os.path.join(out, "embeddings.parquet.tmp"), t.schema
+                )
+                rest_w = pq.ParquetWriter(
+                    os.path.join(out, "append.parquet.tmp"), t.schema
+                )
+            if base.num_rows:
+                base_w.write_table(base)
+            if rest.num_rows:
+                rest_w.write_table(rest)
+    finally:
+        if base_w is not None:
+            base_w.close()
+        if rest_w is not None:
+            rest_w.close()
+    os.replace(
+        os.path.join(out, "embeddings.parquet.tmp"),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    os.replace(
+        os.path.join(out, "append.parquet.tmp"),
+        os.path.join(out, "append.parquet"),
+    )
+    with open(meta + ".tmp", "w") as f:
+        json.dump(want, f)
+    os.replace(meta + ".tmp", meta)
+    return out
+
+
+def knn_ivf_append(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (1, 2, 4, 5, 7),
+    k: int = 10,
+    n_clusters: int = 16,
+) -> pa.Table:
+    """Driver-oracled append ≡ union gate for the IVF layout: build the
+    layout on the base two-thirds of the corpus, :func:`ivf_append` the
+    remaining third through the transactional marker path, then answer
+    exact-recall queries (nprobe = n_clusters) over the appended layout.
+    The result must VALUE-HASH-match the exact cosine top-k over the
+    WHOLE corpus — precisely the all-or-nothing visibility contract the
+    append feature advertises, now checked by the driver, not just
+    pytest.  Query ids are drawn from the base subset (ids ≢ 0 mod 3)
+    so the demo's query read stays a plain row-group-pruned scan."""
+    demo = _append_demo_dir(sf_dir)
+    layout = ivf_layout(demo, n_clusters=n_clusters)
+    if not _committed_append_tokens(layout):
+        ivf_append(
+            demo, os.path.join(demo, "append.parquet"), n_clusters=n_clusters
+        )
+    return knn_ivf(
+        demo,
+        query_ids=query_ids,
+        k=k,
+        n_clusters=n_clusters,
+        nprobe=n_clusters,
+    )
+
+
+def knn_lsh_append(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (1, 2, 4, 5, 7),
+    k: int = 10,
+    n_bits: int = 3,
+    n_tables: int = 24,
+    seed: int = 42,
+) -> pa.Table:
+    """Driver-oracled append ≡ union gate for the LSH layout (twin of
+    :func:`knn_ivf_append`): SRP codes depend only on (seed, dim), so
+    vectors appended by :func:`lsh_append` land in exactly the buckets a
+    fresh rebuild would put them in, and the appended layout must answer
+    the exact-recall configuration (3 bits x 24 tables on the
+    near-uniform synthetic corpus — 8 buckets/table collides enough for
+    recall 1.0 at every driver scale) identically to the exact cosine
+    SQL over the whole corpus."""
+    demo = _append_demo_dir(sf_dir)
+    layout = lsh_layout(demo, n_bits=n_bits, n_tables=n_tables, seed=seed)
+    if not _committed_append_tokens(layout):
+        lsh_append(
+            demo,
+            os.path.join(demo, "append.parquet"),
+            n_bits=n_bits,
+            n_tables=n_tables,
+            seed=seed,
+        )
+    return knn_lsh(
+        demo,
+        query_ids=query_ids,
+        k=k,
+        n_bits=n_bits,
+        n_tables=n_tables,
+        seed=seed,
+    )
