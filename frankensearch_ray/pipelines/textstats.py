@@ -416,16 +416,24 @@ class MediaDecoder:
     """Actor-pool 'decoder' for opaque binary payloads.
 
     The Ray plumbing (stateful actor init, Arrow binary batches, typed
-    output schema) is real; the codec itself is a deterministic stub
-    because no image/audio libraries exist in this container.  A real
-    deployment replaces ``_decode_stub`` with e.g. PIL/ffmpeg and keeps
-    everything else.
+    output schema) is real; the default feature set is the deterministic
+    length-arithmetic stub (no general media libraries exist in this
+    container).  With ``probe_images=True`` the actor additionally runs
+    the REAL pure-NumPy codecs in :mod:`.media_codec` — payloads that
+    parse as BMP or PNG emit their actual ``(format, img_h, img_w,
+    img_ch)``; everything else probes as ``format=''`` with zero dims.
+    A real deployment replaces the codec module with PIL/ffmpeg and
+    keeps everything else.
     """
 
     FRAME_BYTES = 256  # stub: one "frame" per 256 payload bytes
 
-    def __init__(self):
+    def __init__(self, probe_images: bool = False):
+        from . import media_codec
+
         self.decoded_batches = 0  # stands in for model/codec state
+        self.probe_images = probe_images
+        self.codec = media_codec  # loaded once per actor
 
     def _decode_stub(self, payload: bytes) -> dict:
         if payload is None:
@@ -435,17 +443,35 @@ class MediaDecoder:
             "n_frames": len(payload) // self.FRAME_BYTES,
         }
 
+    def _probe(self, payload: bytes) -> tuple[str, int, int, int]:
+        mc = self.codec
+        try:
+            if payload[:2] == b"BM":
+                img = mc.decode_bmp(payload)
+                return "bmp", img.shape[0], img.shape[1], img.shape[2]
+            if payload[: len(mc.PNG_SIG)] == mc.PNG_SIG:
+                img = mc.decode_png(payload)
+                return "png", img.shape[0], img.shape[1], img.shape[2]
+        except ValueError:
+            pass  # magic prefix but out of profile -> not an image
+        return "", 0, 0, 0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.decoded_batches += 1
         payloads = batch["payload"].to_pylist()
         feats = [self._decode_stub(p) for p in payloads]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
-                "n_frames": pa.array([f["n_frames"] for f in feats], pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+            "n_frames": pa.array([f["n_frames"] for f in feats], pa.int64()),
+        }
+        if self.probe_images:
+            probes = [self._probe(p or b"") for p in payloads]
+            cols["format"] = pa.array([p[0] for p in probes], pa.string())
+            cols["img_h"] = pa.array([p[1] for p in probes], pa.int64())
+            cols["img_w"] = pa.array([p[2] for p in probes], pa.int64())
+            cols["img_ch"] = pa.array([p[3] for p in probes], pa.int64())
+        return pa.table(cols)
 
 
 class MediaFrameSampler:

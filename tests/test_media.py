@@ -250,6 +250,40 @@ def test_media_resizer_png_path_pixel_exact(textstats_mod):
     assert out["out_bytes"][2].as_py() == (n // 256) * 128 + (n % 256) // 2
 
 
+def test_media_decoder_image_probe(textstats_mod):
+    """probe_images=True runs the REAL codecs: BMP and PNG payloads emit
+    their actual format/dims; text payloads (and out-of-profile magic
+    prefixes) probe as non-images; the driver schema (probe off) is
+    unchanged."""
+    import pyarrow as pa
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    img = _gradient_image(9, 4)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [
+                    mc.encode_bmp(img),
+                    mc.encode_png(img[:, :, :1]),
+                    b"just text",
+                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,  # bad PNG body
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = textstats_mod.MediaDecoder(probe_images=True)(batch)
+    assert out["format"].to_pylist() == ["bmp", "png", "", ""]
+    assert out["img_h"].to_pylist() == [9, 9, 0, 0]
+    assert out["img_w"].to_pylist() == [4, 4, 0, 0]
+    assert out["img_ch"].to_pylist() == [3, 1, 0, 0]
+    # probe off: the driver entry's 3-column schema exactly
+    off = textstats_mod.MediaDecoder()(batch)
+    assert off.column_names == ["doc_id", "n_bytes", "n_frames"]
+
+
 def test_media_resizer_bm_prefix_text_falls_back(textstats_mod):
     """A payload that merely STARTS with b'BM' but is not a valid BMP
     must fall back to the stub, not crash."""
