@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pct_by_source={f"src{i}": 100 - 5 * i for i in range(20)},
         ),
         "pack_sequences": corpus.pack_sequences,
+        # deterministic hash train/val/test split (stable under growth)
+        "split_corpus": corpus.split_corpus,
         "ngram_topk": corpus.ngram_topk,
         # grouped top-k: per-source vocabulary profile (terms sub-agg)
         "top_terms_per_source": corpus.top_terms_per_source,
@@ -1195,6 +1197,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mixture reweighting: doc survives iff knuth_hash(doc_id) % 100
         # is under its source's percentage (src{i} -> 100 - 5i)
+        "split_corpus": """
+            SELECT doc_id,
+                   CASE
+                     WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296)
+                          % 100 < 90 THEN 'train'
+                     WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296)
+                          % 100 < 95 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+            ORDER BY doc_id
+        """,
         "mix_sources": """
             SELECT doc_id, source FROM documents
             WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100

@@ -19,11 +19,17 @@ def finish(
     ds,
     sort_cols: list[str],
     output_path: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> pa.Table | None:
     """Stream ``ds`` to parquet when ``output_path`` is given, else
-    return it as a deterministically-sorted arrow table (test scale)."""
+    return it as a deterministically-sorted arrow table (test scale).
+    ``partition_cols`` hive-partitions the sink (one directory per
+    value) so downstream readers prune at the directory level."""
     if output_path is not None:
-        ds.write_parquet(output_path)
+        if partition_cols:
+            ds.write_parquet(output_path, partition_cols=list(partition_cols))
+        else:
+            ds.write_parquet(output_path)
         return None
     out = ds.to_pandas()
     # an all-empty Dataset loses its schema through to_pandas — nothing

@@ -2015,3 +2015,49 @@ def facet_stats(
             "max_chars": pa.array(out["max_chars"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def split_corpus(
+    sf_dir: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_col: str = "doc_id",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, split): deterministic train/val/test assignment — the
+    first verb of every training run.  A doc's bucket is
+    ``knuth_hash(doc_id) % 100``: ``< train_pct`` → train,
+    ``< train_pct + val_pct`` → val, else test.  Membership derives
+    from the id alone, so the split is STABLE UNDER CORPUS GROWTH
+    (appending docs never reassigns an existing one — the property that
+    keeps eval sets frozen across dataset versions) and needs no RNG
+    state or coordination.
+
+    Scale shape: zero exchange — one vectorized pass, splits stream to
+    the sink partitioned by split name so a trainer reads
+    ``split=train/`` directly."""
+    import ray.data as rd
+
+    from ._sink import finish
+
+    lo, hi = int(train_pct), int(train_pct) + int(val_pct)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        b = (_sample_hash(ids).astype(np.int64)) % 100
+        split = np.where(b < lo, "train", np.where(b < hi, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return finish(
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col]).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        output_path,
+        partition_cols=["split"],
+    )

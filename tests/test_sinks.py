@@ -80,3 +80,44 @@ def test_term_df_sink_equals_table_and_is_post_filter(ray_session, tmp_path):
     assert ds.term_df(SF, min_df=5, output_path=out) is None
     sunk = pq.read_table(out).sort_by("term")
     assert sunk.select(["term", "df"]).equals(table.select(["term", "df"]))
+
+
+def test_split_corpus_partition_stability_and_sink(ray_session, tmp_path):
+    """split_corpus: (a) the three splits partition the corpus exactly;
+    (b) assignment is id-derived, so re-running over a GROWN corpus
+    (sf0.01 ⊃ same id space) never reassigns an sf0.001 id; (c) the
+    hive-partitioned sink (split=train/...) equals the table path."""
+    from frankensearch_ray.pipelines import corpus
+
+    t = corpus.split_corpus(SF).to_pandas()
+    assert set(t["split"].unique()) <= {"train", "val", "test"}
+    assert t["doc_id"].is_unique and len(t) == 500
+    # stability under growth: the bigger corpus agrees on shared ids
+    big = (
+        corpus.split_corpus("/root/testdata/sf0.01")
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    small = t.set_index("doc_id")["split"]
+    shared = small.index.intersection(big.index)
+    assert len(shared) > 0
+    assert (small.loc[shared] == big.loc[shared]).all()
+    # hive-partitioned sink equals the table path
+    out = str(tmp_path / "splits")
+    assert corpus.split_corpus(SF, output_path=out) is None
+    sink = (
+        pq.read_table(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sink["split"] = sink["split"].astype(str)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == sorted("split=" + s for s in t["split"].unique())
+    assert (
+        sink[["doc_id", "split"]].values
+        == t.sort_values("doc_id")[["doc_id", "split"]].values
+    ).all()
