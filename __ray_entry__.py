@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_apply": corpus.decontaminate_apply,
         "doc_keywords": corpus.doc_keywords,
         "curate_filter": corpus.curate_filter,
+        # the chained end-to-end flagship: quality/lang gauntlet ->
+        # decontamination -> exact dedup as ONE lazy graph over ONE
+        # read, all zero-exchange gates BEFORE the single shuffle
+        "curate_pipeline": corpus.curate_pipeline,
         "tokenize_ids": corpus.tokenize_ids,
         # rare-token mass (Gopher-style garbage signal; scale-free
         # threshold, no vocabulary broadcast)
@@ -1703,6 +1707,57 @@ def oracle_sql() -> dict[str, str]:
         # fused curation pass: the docs surviving length window, max word
         # length, digit ratio, top-token repetition ratio, and lang-ID
         # allowlist — all integer-exact thresholds
+        "curate_pipeline": f"""
+            WITH {docs},
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+            tc AS (
+              SELECT doc_id, max(c)::BIGINT AS top_token_count
+              FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+              GROUP BY doc_id
+            ),
+            q AS (
+              SELECT d.doc_id,
+                     len(d.toks)::BIGINT AS n_tokens,
+                     coalesce(tc.top_token_count, 0) AS top_token_count,
+                     len(list_filter(d.toks,
+                         x -> regexp_full_match(x, '[0-9]+')))::BIGINT
+                       AS digit_tokens,
+                     coalesce(list_max(list_transform(d.toks,
+                         x -> length(x))), 0)::BIGINT AS max_word_len,
+                     {_lang_counts_sql().replace('toks', 'd.toks')}
+              FROM docs d LEFT JOIN tc USING (doc_id)
+            ),
+            pass AS (
+              SELECT doc_id, n_tokens FROM q
+              WHERE n_tokens BETWEEN 20 AND 100000
+                AND max_word_len <= 20
+                AND digit_tokens * 100 <= n_tokens * 10
+                AND top_token_count * 100 <= n_tokens * 20
+                AND (en > 0 AND en >= de AND en >= fr AND en >= es)
+                AND doc_id % 97 <> 0
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             FOR i IN range(1, len(toks) - 1)]) AS gram
+              FROM docs WHERE len(toks) >= 3
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 97 <> 0
+            ),
+            surv AS (
+              SELECT p.doc_id, p.n_tokens FROM pass p
+              WHERE p.doc_id NOT IN (SELECT doc_id FROM hits)
+            ),
+            ded AS (
+              SELECT min(s.doc_id) AS doc_id, min(s.n_tokens) AS n_tokens
+              FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+              GROUP BY d.text
+            )
+            SELECT doc_id, n_tokens FROM ded ORDER BY doc_id
+        """,
         "curate_filter": f"""
             WITH {docs},
             tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),

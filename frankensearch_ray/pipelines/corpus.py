@@ -582,6 +582,79 @@ def decontaminate_apply(
 # --- fused curation filter ----------------------------------------------------
 
 
+def _curate_signals(batch: pa.Table, text_col: str):
+    """Per-doc curation signals from ONE tokenization: token count,
+    longest-token length, digit-token count, top-token repetition count,
+    and the n-gram-profile language prediction.  Shared by
+    :func:`curate_filter` (the report entry) and :func:`curate_pipeline`
+    (the chained flagship), so the gates are pinned once."""
+    from .textstats import LANG_ORDER, LANG_PROFILES
+
+    lists = _tokens_of(batch, text_col)
+    n = len(lists)
+    flat, doc_idx, off = _flat_tokens(lists)
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    nonempty = lens > 0
+    n_tok = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    digit_mask = pc.match_substring_regex(flat, "^[0-9]+$").to_numpy(
+        zero_copy_only=False
+    )
+    digits = np.bincount(doc_idx[digit_mask], minlength=n).astype(np.int64)
+    max_len = (
+        np.maximum.reduceat(lens, off[:-1]).astype(np.int64)
+        if len(lens)
+        else np.zeros(n, np.int64)
+    )
+    top_tok = np.zeros(n, np.int64)
+    if nonempty.any():
+        fc = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        codes = pc.dictionary_encode(fc).indices.to_numpy()
+        di, cd = doc_idx[nonempty], codes[nonempty]
+        order = np.lexsort((cd, di))
+        di_s, cd_s = di[order], cd[order]
+        new = np.concatenate(
+            ([True], (di_s[1:] != di_s[:-1]) | (cd_s[1:] != cd_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.concatenate((starts, [len(di_s)])))
+        run_doc = di_s[starts]
+        seg = np.flatnonzero(
+            np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+        )
+        top_tok[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
+    counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(LANG_ORDER):
+        mask = pc.is_in(
+            flat, value_set=pa.array(LANG_PROFILES[lang])
+        ).to_numpy(zero_copy_only=False)
+        counts[:, li] = np.bincount(doc_idx[mask], minlength=n)
+    best = counts.argmax(axis=1)
+    best_n = counts[np.arange(n), best]
+    preds = np.where(best_n > 0, np.array(LANG_ORDER)[best], "und")
+    return n_tok, max_len, digits, top_tok, preds
+
+
+def _curate_keep(
+    signals,
+    min_tokens: int,
+    max_tokens: int,
+    max_word_len: int,
+    digit_pct_max: int,
+    top_token_pct_max: int,
+    lang_allow,
+):
+    """The integer-exact gate vector over :func:`_curate_signals`."""
+    n_tok, max_len, digits, top_tok, preds = signals
+    return (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (max_len <= max_word_len)
+        & (digits * 100 <= n_tok * digit_pct_max)
+        & (top_tok * 100 <= n_tok * top_token_pct_max)
+        & np.isin(preds, lang_allow)
+    )
+
+
 def curate_filter(
     sf_dir: str,
     min_tokens: int = 20,
@@ -611,60 +684,20 @@ def curate_filter(
     """
     import ray.data as rd
 
-    from .textstats import LANG_ORDER, LANG_PROFILES
-
     lang_allow = np.array(sorted(set(langs)))
 
     def kernel(batch: pa.Table) -> pa.Table:
-        lists = _tokens_of(batch, text_col)
-        n = len(lists)
-        flat, doc_idx, off = _flat_tokens(lists)
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        nonempty = lens > 0
-        n_tok = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
-        digit_mask = pc.match_substring_regex(flat, "^[0-9]+$").to_numpy(
-            zero_copy_only=False
+        signals = _curate_signals(batch, text_col)
+        keep = _curate_keep(
+            signals,
+            min_tokens,
+            max_tokens,
+            max_word_len,
+            digit_pct_max,
+            top_token_pct_max,
+            lang_allow,
         )
-        digits = np.bincount(doc_idx[digit_mask], minlength=n).astype(np.int64)
-        max_len = (
-            np.maximum.reduceat(lens, off[:-1]).astype(np.int64)
-            if len(lens)
-            else np.zeros(n, np.int64)
-        )
-        top_tok = np.zeros(n, np.int64)
-        if nonempty.any():
-            fc = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-            codes = pc.dictionary_encode(fc).indices.to_numpy()
-            di, cd = doc_idx[nonempty], codes[nonempty]
-            order = np.lexsort((cd, di))
-            di_s, cd_s = di[order], cd[order]
-            new = np.concatenate(
-                ([True], (di_s[1:] != di_s[:-1]) | (cd_s[1:] != cd_s[:-1]))
-            )
-            starts = np.flatnonzero(new)
-            run_len = np.diff(np.concatenate((starts, [len(di_s)])))
-            run_doc = di_s[starts]
-            seg = np.flatnonzero(
-                np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
-            )
-            top_tok[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
-        counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
-        for li, lang in enumerate(LANG_ORDER):
-            mask = pc.is_in(
-                flat, value_set=pa.array(LANG_PROFILES[lang])
-            ).to_numpy(zero_copy_only=False)
-            counts[:, li] = np.bincount(doc_idx[mask], minlength=n)
-        best = counts.argmax(axis=1)
-        best_n = counts[np.arange(n), best]
-        preds = np.where(best_n > 0, np.array(LANG_ORDER)[best], "und")
-        keep = (
-            (n_tok >= min_tokens)
-            & (n_tok <= max_tokens)
-            & (max_len <= max_word_len)
-            & (digits * 100 <= n_tok * digit_pct_max)
-            & (top_tok * 100 <= n_tok * top_token_pct_max)
-            & np.isin(preds, lang_allow)
-        )
+        n_tok, _, _, top_tok, _ = signals
         ids = batch[id_col].to_numpy().astype(np.int64)
         rows = np.flatnonzero(keep)
         return pa.table(
@@ -2061,3 +2094,119 @@ def split_corpus(
         output_path,
         partition_cols=["split"],
     )
+
+
+def curate_pipeline(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_word_len: int = 20,
+    digit_pct_max: int = 10,
+    top_token_pct_max: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    decontam_n: int = 3,
+    eval_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    output_path: str | None = None,
+) -> pa.Table | None:
+    """(doc_id, n_tokens): the chained end-to-end curation flagship —
+    quality/language gauntlet (:func:`curate_filter` gates) →
+    benchmark decontamination (:func:`decontaminate_apply` semantics)
+    → exact content dedup (min-id survivor per identical text), as ONE
+    lazy Dataset graph over ONE corpus read.
+
+    The stage ORDER is the 100-TB design decision this entry pins: every
+    zero-exchange gate (quality thresholds, language allowlist, the
+    eval-slice drop, the broadcast-gram contamination test) runs inside
+    the same ``map_batches`` pass BEFORE the pipeline's single exchange,
+    so the content-hash groupby shuffles only final-gate survivors —
+    on a real crawl that is the difference between shuffling ~100 TB
+    and shuffling the ~30-50% that survives curation.  Dedup-last also
+    makes the min-id representative deterministic over the SURVIVOR
+    set, which is what a training run actually ships.
+
+    ``output_path`` streams surviving ids to partitioned parquet; the
+    table return is the driver-oracle form."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ._sink import finish
+    from .dedup import _hash_texts
+
+    path = _doc_path(sf_dir)
+    lang_allow = np.array(sorted(set(langs)))
+
+    # broadcast eval-gram set (eval slice is id-defined on the RAW
+    # corpus — eval docs are eval regardless of quality)
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"gram": pa.array([], pa.string())})
+        grams, _d = _doc_ngrams(t.filter(pa.array(mask)), text_col, decontam_n)
+        if grams is None:
+            return pa.table({"gram": pa.array([], pa.string())})
+        return pa.table({"gram": pc.unique(grams)})
+
+    ev = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(eval_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    eval_set = pa.array(sorted(set(ev["gram"].tolist())), pa.string())
+    ev_ref = ray.put(eval_set)
+
+    def fused_gates(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        signals = _curate_signals(t, text_col)
+        keep = _curate_keep(
+            signals,
+            min_tokens,
+            max_tokens,
+            max_word_len,
+            digit_pct_max,
+            top_token_pct_max,
+            lang_allow,
+        )
+        n_tok_all = signals[0]
+        keep &= ids % eval_mod != 0  # the eval slice never trains
+        sub = t.filter(pa.array(keep))
+        sub_ids = ids[keep]
+        sub_ntok = n_tok_all[keep]
+        # contamination: any shared n-gram with the broadcast eval set
+        grams, didx = _doc_ngrams(sub, text_col, decontam_n)
+        clean = np.ones(len(sub_ids), bool)
+        if grams is not None and len(grams):
+            hit = pc.is_in(grams, value_set=ray.get(ev_ref)).to_numpy(
+                zero_copy_only=False
+            )
+            clean[np.unique(didx[hit])] = False
+        sub = sub.filter(pa.array(clean))
+        out = pa.table(
+            {
+                "doc_id": pa.array(sub_ids[clean]),
+                "n_tokens": pa.array(sub_ntok[clean]),
+                text_col: sub[text_col],
+            }
+        )
+        # hash HERE so only (id, n_tokens, hash) enter the exchange —
+        # the text itself never shuffles
+        return _hash_texts(out, text_col).select(
+            ["doc_id", "n_tokens", "content_hash"]
+        )
+
+    agg = (
+        rd.read_parquet(path, columns=[id_col, text_col])
+        .map_batches(fused_gates, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+        )
+    )
+    final = agg.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return finish(final, ["doc_id"], output_path)

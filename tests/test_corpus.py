@@ -462,3 +462,53 @@ def test_facet_stats_matches_bruteforce(ray_session):
         for r in out.to_pylist()
     }
     assert got == agg
+
+
+def test_curate_pipeline_composition_law(ray_session, tmp_path):
+    """curate_pipeline ≡ curate_filter ∩ decontaminate_apply, then
+    min-id per identical text over the survivors — the chained flagship
+    must equal the composition of its published stages; and the sink
+    path must equal the table path."""
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray.pipelines import corpus
+
+    sf = "/root/testdata/sf0.001"
+    chained = corpus.curate_pipeline(sf).to_pandas()
+
+    passed = corpus.curate_filter(sf).to_pandas().set_index("doc_id")
+    decon = set(
+        corpus.decontaminate_apply(sf).to_pandas()["doc_id"].tolist()
+    )
+    surv = sorted(set(passed.index) & decon)
+    # min-id per identical text over the survivor set
+    texts = (
+        pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    import pandas as pd
+
+    sdf = pd.DataFrame(
+        {
+            "doc_id": surv,
+            "text": texts.loc[surv].values,
+            "n_tokens": passed.loc[surv, "n_tokens"].values,
+        }
+    )
+    want = (
+        sdf.groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_tokens=("n_tokens", "min"))
+        .sort_values("doc_id")[["doc_id", "n_tokens"]]
+        .reset_index(drop=True)
+    )
+    got = chained.sort_values("doc_id").reset_index(drop=True)
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["n_tokens"].values == want["n_tokens"].values).all()
+    # the sink path streams the same rows
+    out = str(tmp_path / "curated")
+    assert corpus.curate_pipeline(sf, output_path=out) is None
+    sink = (
+        pq.read_table(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (sink["doc_id"].values == got["doc_id"].values).all()
