@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # once per actor in __init__, emits a deterministic
         # hashing-trick embedding per doc (value-hash oracled)
         "embed_texts": embed.embed_texts,
+        # chained inference -> retrieval: actor-pool encode + integer
+        # maximum-inner-product top-k (int64-exact end to end)
+        "embed_knn": embed.embed_knn,
         # iterative (Lloyd) — non-SQL-expressible: rows-only driver
         # check; the deterministic/self-consistency contract is pinned
         # in tests/test_ann.py
@@ -961,6 +964,53 @@ def oracle_sql() -> dict[str, str]:
         # md5-upper-8 token hashes (md5_number_upper) over the same
         # whitespace tokenization the simhash oracle pins — bucket
         # h % dim, sign from bit 32, zero rows kept for every (doc, dim)
+        "embed_knn": """
+            WITH nb AS (
+              SELECT doc_id, coalesce(trim(text), '') AS tx FROM documents
+            ),
+            t AS (
+              SELECT doc_id, u.tok
+              FROM nb, LATERAL (
+                SELECT unnest(string_split_regex(tx, '\\s+')) AS tok
+              ) u
+              WHERE tx <> ''
+            ),
+            contrib AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(tok) % 16 AS BIGINT) AS dim,
+                     SUM(CASE WHEN ((md5_number_upper(tok) >> 32) & 1) = 1
+                              THEN 1 ELSE -1 END)::BIGINT AS v
+              FROM t GROUP BY doc_id, dim
+            ),
+            dots AS (
+              SELECT q.doc_id AS query_id, d.doc_id,
+                     SUM(q.v * d.v)::BIGINT AS score
+              FROM contrib q JOIN contrib d USING (dim)
+              WHERE q.doc_id IN (3, 14, 42)
+              GROUP BY 1, 2
+            ),
+            -- docs sharing no populated dim with a query dot to 0, and
+            -- docs with empty text have no contrib rows at all: both
+            -- still rank (score 0), so complete the matrix explicitly
+            full_m AS (
+              SELECT qs.query_id, alld.doc_id,
+                     coalesce(dt.score, 0)::BIGINT AS score
+              FROM (SELECT DISTINCT doc_id AS query_id FROM contrib
+                    WHERE doc_id IN (3, 14, 42)) qs
+              CROSS JOIN (SELECT doc_id FROM documents) alld
+              LEFT JOIN dots dt
+                ON dt.query_id = qs.query_id AND dt.doc_id = alld.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) - 1)::BIGINT AS rank
+              FROM full_m
+            )
+            SELECT query_id, doc_id, score, rank
+            FROM ranked WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
         "embed_texts": """
             WITH nb AS (
               SELECT doc_id, coalesce(trim(text), '') AS tx FROM documents

@@ -154,3 +154,113 @@ def embed_texts(
         out.write_parquet(output_path)
         return None
     return finish(out, ["doc_id", "dim"], output_path)
+
+
+def embed_knn(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (3, 14, 42),
+    k: int = 10,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 1024,
+    concurrency: int = 2,
+) -> pa.Table:
+    """(query_id, doc_id, score, rank): the chained inference→retrieval
+    path — encode the corpus with the actor-pool stub model and rank by
+    INTEGER dot product against the broadcast query embeddings (maximum
+    inner-product search).  Everything is int64-exact end-to-end
+    (embeddings are integers by construction), so the driver value-hash
+    oracle covers the whole chain: tokenization → hashing-trick encode →
+    MIPS top-k, with zero float-tie risk.
+
+    Scale shape: queries are embedded once on the driver (a handful of
+    id-filtered rows) and broadcast via the task closure; the corpus
+    side is ONE streaming actor-pool pass (model loaded per actor, not
+    per batch) emitting tie-inclusive per-batch partial top-k — the
+    same no-shuffle pattern as ``knn_bruteforce``.  Ties rank by
+    ``score desc, doc_id asc``."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    qt = pq.read_table(
+        _doc_path(sf_dir),
+        columns=[id_col, text_col],
+        filters=[(id_col, "in", list(query_ids))],
+    )
+    # a token-less query has no embedding to search with — drop it (the
+    # oracle's contrib CTE does the same implicitly)
+    has_tok = pc.not_equal(
+        pc.utf8_trim_whitespace(pc.fill_null(qt[text_col], "")), ""
+    )
+    qt = qt.filter(has_tok)
+    model = StubEmbedModel(dim)
+    q_ids = qt[id_col].cast(pa.int64()).to_numpy()
+    q_emb = model.encode(qt[text_col])  # (Q, dim) int64
+    refs = ray.put((q_ids, q_emb))
+
+    class MipsScorer:
+        """Actor-pool body: model in __init__, integer matmul + partial
+        tie-inclusive top-k per batch."""
+
+        def __init__(self):
+            self.model = StubEmbedModel(dim)
+            self.q = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.q = ray.get(refs)
+            q_ids_, q_emb_ = self.q
+            ids = batch[id_col].cast(pa.int64()).to_numpy()
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            emb = self.model.encode(batch[text_col])  # (B, dim)
+            scores = q_emb_ @ emb.T  # (Q, B) int64-exact
+            n_b = scores.shape[1]
+            kk = min(k, n_b)
+            thr = np.partition(scores, n_b - kk, axis=1)[:, n_b - kk]
+            mask = scores >= thr[:, None]  # tie-inclusive
+            qq, bb = np.nonzero(mask)
+            return pa.table(
+                {
+                    "query_id": pa.array(q_ids_[qq].astype(np.int64)),
+                    "doc_id": pa.array(ids[bb]),
+                    "score": pa.array(scores[qq, bb].astype(np.int64)),
+                }
+            )
+
+    partials = (
+        rd.read_parquet(_doc_path(sf_dir), columns=[id_col, text_col])
+        .map_batches(
+            MipsScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount()
+    return pa.Table.from_pandas(
+        top[["query_id", "doc_id", "score", "rank"]].reset_index(drop=True),
+        preserve_index=False,
+    ).cast(
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("score", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        )
+    )
