@@ -297,3 +297,54 @@ def test_media_resizer_bm_prefix_text_falls_back(textstats_mod):
     )
     out = textstats_mod.MediaResizer(num=1, den=2, emit_payload=False)(batch)
     assert out["out_bytes"][0].as_py() == len(b"BMystery text payload") // 2
+
+
+def test_png_roundtrip_property():
+    """Hypothesis-style sweep without the fixture cost: random shapes,
+    channel counts and pixel content (including constant and extreme
+    values) must round-trip; and decode of hand-filtered streams with
+    random per-row filter types must equal the source image."""
+    import numpy as np
+
+    from frankensearch_ray.pipelines import media_codec as mc
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        ch = int(rng.choice([1, 3, 4]))
+        kind = trial % 3
+        if kind == 0:
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        elif kind == 1:
+            img = np.full((h, w, ch), int(rng.integers(0, 256)), np.uint8)
+        else:  # extremes stress the filter arithmetic's mod-256 wrap
+            img = rng.choice([0, 1, 254, 255], size=(h, w, ch)).astype(
+                np.uint8
+            )
+        assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+        # random filter-type stream through the reference forward filter
+        import struct
+        import zlib
+
+        ftypes = [int(f) for f in rng.integers(0, 5, size=h)]
+        stream = _png_filter_forward(img, ftypes=ftypes)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        data = (
+            mc.PNG_SIG
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            )
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.decode_png(data), img)
