@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_histogram": docsearch.numeric_histogram,
         "topk_by_tf": docsearch.topk_by_tf,
         "bm25_topk": docsearch.bm25_topk,
+        # the lexical append ≡ full-build gate: base build + four
+        # maintenance appends (delta generations + tier merges) must
+        # answer BM25 exactly like one full-corpus build
+        "incremental_search": docsearch.incremental_search,
         # Lucene-MoreLikeThis-flavoured similar-document search (repo addition)
         "more_like_this": docsearch.more_like_this,
         # per-hit LexicalBm25 score explanation (core/src/explanation.rs)
@@ -2064,6 +2068,9 @@ def oracle_sql() -> dict[str, str]:
     # knn_ivf (nprobe=15) and knn_lsh (4 bits x 24 tables) are exact-recall
     # configurations on the synthetic corpus: both must reproduce the
     # exact cosine top-k, so they share the bruteforce oracle.
+    # the incremental (append-path) index must score exactly like the
+    # full build, so it shares bm25_topk's f64-recompute oracle
+    sqls["incremental_search"] = sqls["bm25_topk"]
     sqls["knn_ivf"] = sqls["knn_bruteforce"]
     sqls["knn_lsh"] = sqls["knn_bruteforce"]
     # append ≡ union: the appended layouts must reproduce the exact

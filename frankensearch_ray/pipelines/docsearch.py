@@ -926,3 +926,130 @@ def search_export(
         return None
     pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def incremental_documents_index(sf_dir: str) -> str:
+    """Build-or-reuse the INCREMENTALLY-built index over
+    ``{sf_dir}/documents.parquet``: the base two-thirds (``doc_id % 3 !=
+    0``) goes through the normal distributed build, the remaining third
+    arrives through the maintenance append path in several batches —
+    enough delta generations for the width-tier merge policy to fire.
+    The lexical twin of the vector-side ``knn_*_append`` demos: queries
+    over this index must answer exactly like a full-corpus build."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from ..build import load_manifest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = Path(sf_dir).name or "sf"
+    index_dir = os.path.join(CACHE_ROOT, tag, "documents_idx_incr")
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("source_mtime") == os.path.getmtime(src) and m.get(
+                "incremental_appends_done"
+            ):
+                return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    import shutil
+
+    staging = index_dir + "_staging"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    # streamed split (row-group walk through two writers — never a
+    # full-table driver materialization)
+    base_path = os.path.join(staging, "base.parquet")
+    rest_path = os.path.join(staging, "rest.parquet")
+    pf = pq_.ParquetFile(src)
+    base_w = rest_w = None
+    try:
+        for rb in pf.iter_batches(batch_size=8192):
+            t = pa.Table.from_batches([rb])
+            ids = t["doc_id"].to_numpy()
+            in_base = pa.array((ids % 3) != 0)
+            if base_w is None:
+                base_w = pq_.ParquetWriter(base_path, t.schema)
+                rest_w = pq_.ParquetWriter(rest_path, t.schema)
+            b = t.filter(in_base)
+            r = t.filter(pc.invert(in_base))
+            if b.num_rows:
+                base_w.write_table(b)
+            if r.num_rows:
+                rest_w.write_table(r)
+    finally:
+        if base_w is not None:
+            base_w.close()
+        if rest_w is not None:
+            rest_w.close()
+
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+        numeric_cols=["n_chars"],
+    )
+    build_index([base_path], index_dir, cfg, resume=False)
+
+    from ..state import maintenance as mt
+
+    rest = pq_.read_table(rest_path)
+    # external ids are strings in the index (DocId contract) — the batch
+    # must carry them the way the engine stores them
+    rest = rest.set_column(
+        rest.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.cast(rest["doc_id"], pa.string()),
+    )
+    # several append batches -> several delta generations, so the
+    # width-tier merge policy actually runs on this index
+    step = max(1, rest.num_rows // 4)
+    for lo in range(0, rest.num_rows, step):
+        mt.append_table(
+            index_dir, rest.slice(lo, step), source_name=f"incr-{lo}"
+        )
+    manifest = load_manifest(index_dir)
+    manifest["source_mtime"] = os.path.getmtime(src)
+    manifest["incremental_appends_done"] = True
+    publish_manifest(index_dir, manifest)
+    _SEARCHERS.pop(index_dir, None)
+    shutil.rmtree(staging, ignore_errors=True)
+    return index_dir
+
+
+def incremental_search(
+    sf_dir: str, query: str = "hash merge window", k: int = 10
+) -> pa.Table:
+    """BM25 top-k over the INCREMENTALLY-built index (base build + four
+    maintenance appends + tier merges) — must value-hash-match the same
+    full-corpus f64 oracle as ``bm25_topk``: the driver-checked statement
+    that the maintenance path changes NOTHING about scoring (stats roll
+    up exactly; delta postings score like base postings).
+
+    Hits are re-ranked ``(score desc, external doc_id asc)`` before the
+    cut: the engine's internal tie-break is docid order, which on an
+    incremental index reflects append order rather than source order."""
+    index_dir = incremental_documents_index(sf_dir)
+    s = _SEARCHERS.get(index_dir)
+    if s is None:
+        s = LocalSearcher(index_dir)
+        _SEARCHERS[index_dir] = s
+    res = s.search(query, limit=k + 16)
+    hits = sorted(
+        res["hits"], key=lambda h: (-h["score"], int(h["id"]))
+    )[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["id"]) for h in hits], pa.int64()),
+            "rank": pa.array(list(range(len(hits))), pa.int64()),
+        }
+    )
