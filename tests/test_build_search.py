@@ -779,3 +779,14 @@ class TestPhraseVectorized:
         assert vec == {
             int(d): int(t) for d, t in zip(docids, tfs)
         }
+
+
+def test_incremental_index_matches_full_build(ray_session):
+    """The incremental entry's core law, pinned at sf0.001: base build +
+    four maintenance appends + tier merges answers BM25 identically
+    (same docs, same deterministic re-rank) to the full-corpus build."""
+    from frankensearch_ray.pipelines import docsearch
+
+    inc = docsearch.incremental_search("/root/testdata/sf0.001")
+    full = docsearch.bm25_topk("/root/testdata/sf0.001")
+    assert inc.equals(full)
