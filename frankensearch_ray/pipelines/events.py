@@ -165,7 +165,7 @@ def window_aggregate(
         # combine within the batch: one row per distinct triple
         et_codes, et_names = _factorize_str(et)
         key = np.stack([win, uid, et_codes], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         # int64 scatter-add: exact at ANY magnitude (float-weighted
         # bincount would silently degrade past 2^53 — ADVICE r02)
@@ -187,7 +187,7 @@ def window_aggregate(
         et = t["event_type"].to_numpy(zero_copy_only=False)
         et_codes, et_names = _factorize_str(et)
         key = np.stack([win, et_codes], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         users = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         # int64 scatter-adds keep the documented oracle-exact contract
         # at any partial-sum magnitude (ADVICE r02)
@@ -241,6 +241,42 @@ def _factorize_str(arr) -> tuple[np.ndarray, np.ndarray]:
     """Dense integer codes + name table for a string object array."""
     names, codes = np.unique(arr, return_inverse=True)
     return codes.astype(np.int64), names
+
+
+def _unique_rows(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop-in ``_unique_rows(key)`` for 2-D
+    integer keys via per-column dense codes + ONE flat int64 unique —
+    the void-view row sort behind ``axis=0`` is ~7x slower at combiner
+    batch sizes, and these combiners are the hot loop of every windowed
+    aggregate.  Group order is identical (lexicographic).  Falls back
+    to the axis-0 path if the dense-code product would overflow int64
+    (impossible for the 2-3-column batch-local keys here, but the guard
+    keeps the helper total)."""
+    n, k = key.shape
+    if n == 0:
+        return key.copy(), np.zeros(0, np.int64)
+    vals, codes, radix = [], [], []
+    for j in range(k):
+        v, i = np.unique(key[:, j], return_inverse=True)
+        vals.append(v)
+        codes.append(i.astype(np.int64))
+        radix.append(len(v))
+    prod = 1
+    for r in radix:
+        prod *= r
+        if prod >= 2**63:
+            return _unique_rows(key)
+    comp = codes[0]
+    for j in range(1, k):
+        comp = comp * radix[j] + codes[j]
+    cu, inv = np.unique(comp, return_inverse=True)
+    out = np.empty((len(cu), k), key.dtype)
+    rem = cu
+    for j in range(k - 1, 0, -1):
+        out[:, j] = vals[j][rem % radix[j]]
+        rem = rem // radix[j]
+    out[:, 0] = vals[0][rem]
+    return out, inv
 
 
 def asof_join(
@@ -604,7 +640,7 @@ def _retention_bucket(g: pa.Table, signup_type: str) -> pa.Table:
     u_of = (uk // span).astype(np.int64)
     o_of = (uk % span).astype(np.int64)
     key = np.stack([cohort[u_of], o_of], axis=1)
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    uniq, inv = _unique_rows(key)
     n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
     return pa.table(
         {
@@ -754,7 +790,8 @@ def item_cooccurrence(
         ab = np.stack(
             [pairs["a"].to_numpy(), pairs["b"].to_numpy()], axis=1
         )
-        uniq, counts = np.unique(ab, axis=0, return_counts=True)
+        uniq, inv_ = _unique_rows(ab)
+        counts = np.bincount(inv_, minlength=len(uniq))
         a, b = uniq[:, 0], uniq[:, 1]
         h = (
             a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -774,7 +811,7 @@ def item_cooccurrence(
         ab = np.stack(
             [g["item_a"].to_numpy(), g["item_b"].to_numpy()], axis=1
         )
-        uniq, inv = np.unique(ab, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(ab)
         n = np.zeros(len(uniq), np.int64)
         np.add.at(n, inv, g["n"].to_numpy().astype(np.int64))
         order = np.lexsort((uniq[:, 1], uniq[:, 0], -n))[:k]
@@ -1004,7 +1041,7 @@ def hopping_window_aggregate(
         key = np.stack(
             [win, np.repeat(uid, m), np.repeat(et_codes, m)], axis=1
         )
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, inv, np.repeat(milli, m))
@@ -1023,7 +1060,7 @@ def hopping_window_aggregate(
         et = t["event_type"].to_numpy(zero_copy_only=False)
         et_codes, et_names = _factorize_str(et)
         key = np.stack([win, et_codes], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         users = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         n = np.zeros(len(uniq), np.int64)
         np.add.at(n, inv, t["n_events"].to_numpy().astype(np.int64))
@@ -1118,7 +1155,7 @@ def doc_click_stats(
         milli = np.floor(t["value"].to_numpy()[ok] * 1000.0).astype(np.int64)
         # per-batch combine: one row per distinct (item, user)
         key = np.stack([item, uid], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, inv, milli)
@@ -1169,7 +1206,7 @@ def doc_click_stats(
         # a (doc, user) pair lives wholly in this bucket; merge its
         # per-batch partial rows before counting distinct users
         key = np.stack([e_ids, e_uid], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         n2 = np.zeros(len(uniq), np.int64)
         np.add.at(n2, inv, e_n)
         s2 = np.zeros(len(uniq), np.int64)
@@ -1400,7 +1437,7 @@ def window_bursts(
         et = t["event_type"].to_numpy(zero_copy_only=False)
         et_codes, et_names = _factorize_str(et)
         key = np.stack([w, et_codes], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(key)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         return pa.table(
             {
