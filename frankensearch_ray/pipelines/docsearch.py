@@ -1002,21 +1002,20 @@ def incremental_documents_index(sf_dir: str) -> str:
 
     from ..state import maintenance as mt
 
-    rest = pq_.read_table(rest_path)
-    # external ids are strings in the index (DocId contract) — the batch
-    # must carry them the way the engine stores them
-    rest = rest.set_column(
-        rest.schema.get_field_index("doc_id"),
-        "doc_id",
-        pc.cast(rest["doc_id"], pa.string()),
-    )
-    # several append batches -> several delta generations, so the
-    # width-tier merge policy actually runs on this index
-    step = max(1, rest.num_rows // 4)
-    for lo in range(0, rest.num_rows, step):
-        mt.append_table(
-            index_dir, rest.slice(lo, step), source_name=f"incr-{lo}"
+    # STREAM the append third batch-by-batch (never the whole slice on
+    # the driver): several append batches -> several delta generations,
+    # so the width-tier merge policy actually runs on this index.
+    # External ids are strings in the index (DocId contract).
+    rest_pf = pq_.ParquetFile(rest_path)
+    step = max(1, rest_pf.metadata.num_rows // 4)
+    for bi, rb in enumerate(rest_pf.iter_batches(batch_size=step)):
+        chunk = pa.Table.from_batches([rb])
+        chunk = chunk.set_column(
+            chunk.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.cast(chunk["doc_id"], pa.string()),
         )
+        mt.append_table(index_dir, chunk, source_name=f"incr-{bi}")
     manifest = load_manifest(index_dir)
     manifest["source_mtime"] = os.path.getmtime(src)
     manifest["incremental_appends_done"] = True
