@@ -163,3 +163,28 @@ def test_edit1_neighborhood_is_exactly_levenshtein_le_1(q, t):
     from frankensearch_ray.pipelines.docsearch import _edit1_neighborhood
 
     assert (t in set(_edit1_neighborhood(q))) == (_levenshtein(q, t) <= 1)
+
+
+def test_block_size_invariance_representatives(ray_session):
+    """Two shuffle-sensitive pipelines must be value-identical when Ray
+    splits the corpus into many tiny blocks (256 KiB target) — the
+    regression guard for the round-5 block-size invariance sweep."""
+    import ray
+
+    from frankensearch_ray.pipelines import corpus, dedup
+
+    sf = "/root/testdata/sf0.001"
+    base_m = dedup.minhash_pairs(sf).to_pandas()
+    base_p = corpus.pack_sequences(sf).to_pandas()
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256 * 1024
+        tiny_m = dedup.minhash_pairs(sf).to_pandas()
+        tiny_p = corpus.pack_sequences(sf).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base_m, tiny_m)
+    pd.testing.assert_frame_equal(base_p, tiny_p)
