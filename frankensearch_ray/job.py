@@ -151,6 +151,78 @@ def _cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_append(args: argparse.Namespace) -> int:
+    """Grow a LIVE index from the CLI: stream each source file's row
+    groups through the maintenance append path (delta generations +
+    inline tier merges), never holding more than one batch on the
+    driver.  The operational twin of `build --no-resume`-less reruns:
+    re-submitting after a crash re-appends only ids not yet live when
+    ``--skip-live`` is set (the crash-safe default)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .state import maintenance as mt
+
+    paths: list[str] = []
+    for pat in args.source:
+        hits = sorted(glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    if not paths:
+        print(json.dumps({"error": "no source files matched"}), file=sys.stderr)
+        return 2
+    _ensure_ray()
+    t0 = time.time()
+    appended = skipped = batches = 0
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=args.batch_rows):
+            t = pa.Table.from_batches([rb])
+            idx = t.schema.get_field_index(args.id_col)
+            if not pa.types.is_string(t.schema.field(idx).type):
+                t = t.set_column(
+                    idx, args.id_col, pc.cast(t[args.id_col], pa.string())
+                )
+            if args.skip_live:
+                from .state.maintenance import _probe_ids, load_manifest
+
+                live = _probe_ids(
+                    args.index_dir,
+                    load_manifest(args.index_dir),
+                    t[args.id_col].to_pylist(),
+                )
+                if live:
+                    keep = pc.invert(
+                        pc.is_in(
+                            t[args.id_col],
+                            value_set=pa.array(sorted(live), pa.string()),
+                        )
+                    )
+                    skipped += t.num_rows - int(pc.sum(keep).as_py() or 0)
+                    t = t.filter(keep)
+            if t.num_rows == 0:
+                continue
+            mt.append_table(args.index_dir, t, source_name=path)
+            appended += t.num_rows
+            batches += 1
+    el = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "command": "append",
+                "index_dir": args.index_dir,
+                "files": len(paths),
+                "batches": batches,
+                "docs_appended": appended,
+                "docs_skipped_live": skipped,
+                "elapsed_sec": round(el, 3),
+                "docs_per_sec": round(appended / el, 1) if el else None,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m frankensearch_ray.job")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -187,6 +259,20 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--target-partition-rows", type=int, default=250_000)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=_cmd_build)
+
+    a = sub.add_parser(
+        "append", help="append documents to a LIVE index (maintenance path)"
+    )
+    a.add_argument("--source", nargs="+", required=True, help="parquet paths/globs")
+    a.add_argument("--index-dir", required=True)
+    a.add_argument("--id-col", default="doc_id")
+    a.add_argument("--batch-rows", type=int, default=10_000)
+    a.add_argument(
+        "--skip-live",
+        action="store_true",
+        help="silently skip ids already live (crash-safe re-submit)",
+    )
+    a.set_defaults(fn=_cmd_append)
 
     s = sub.add_parser("search", help="run a query workload")
     s.add_argument("--index-dir", required=True)

@@ -117,3 +117,67 @@ def test_job_build_from_jsonl(ray_session, capsys, tmp_path):
     s = LocalSearcher(d)
     hits = s.search("hash merge window", limit=5)["hits"]
     assert len(hits) == 5
+
+
+def test_job_append_grows_live_index(ray_session, capsys, tmp_path):
+    """`job append` streams new docs through the maintenance path; a
+    crash-safe re-submit with --skip-live appends nothing; the grown
+    index answers like the incremental entry's full-build law."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray import job
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.pipelines.docsearch import bm25_topk
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet")
+    mask = pc.not_equal(
+        pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 3), 3)), 0
+    )
+    base_p = str(tmp_path / "base.parquet")
+    rest_p = str(tmp_path / "rest.parquet")
+    pq.write_table(t.filter(mask), base_p)
+    pq.write_table(t.filter(pc.invert(mask)), rest_p)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    build_index([base_p], idx, cfg, resume=False)
+
+    rc = job.main(
+        ["append", "--source", rest_p, "--index-dir", idx,
+         "--id-col", "doc_id", "--batch-rows", "64"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs_appended"] == t.num_rows - pc.sum(mask).as_py()
+    assert out["batches"] >= 2  # several delta generations
+
+    # crash-safe re-submit: all ids live -> nothing appended
+    rc = job.main(
+        ["append", "--source", rest_p, "--index-dir", idx,
+         "--id-col", "doc_id", "--skip-live"]
+    )
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["docs_appended"] == 0
+    assert out2["docs_skipped_live"] == out["docs_appended"]
+
+    # grown index == full-build ranking (deterministic external re-rank)
+    s = LocalSearcher(idx)
+    hits = s.search("hash merge window", limit=26)["hits"]
+    got = [
+        int(h["id"])
+        for h in sorted(hits, key=lambda h: (-h["score"], int(h["id"])))[:10]
+    ]
+    want = bm25_topk(sf)["doc_id"].to_pylist()
+    assert got == want
