@@ -223,6 +223,38 @@ def _cmd_append(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_maintain(args: argparse.Namespace) -> int:
+    """Run the maintenance policy on demand: tier-merge delta
+    generations and (optionally) compact tombstones — the verb an
+    operator schedules off-peak on a long-lived incremental index."""
+    from .state import maintenance as mt
+
+    from .build import load_manifest
+
+    def gen_count(m: dict) -> int:
+        return len(
+            {int(e.get("generation", 0) or 0) for e in m.get("shards", [])}
+            - {0}
+        )
+
+    _ensure_ray()
+    t0 = time.time()
+    before = gen_count(load_manifest(args.index_dir))
+    after = gen_count(mt.merge_delta_generations(args.index_dir))
+    out = {
+        "command": "maintain",
+        "index_dir": args.index_dir,
+        "generations_before": before,
+        "generations_after": after,
+    }
+    if args.compact:
+        mt.compact(args.index_dir, min_tombstone_ratio=args.min_tombstone_ratio)
+        out["compacted"] = True
+    out["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m frankensearch_ray.job")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -273,6 +305,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="silently skip ids already live (crash-safe re-submit)",
     )
     a.set_defaults(fn=_cmd_append)
+
+    m = sub.add_parser(
+        "maintain", help="tier-merge delta generations / compact tombstones"
+    )
+    m.add_argument("--index-dir", required=True)
+    m.add_argument("--compact", action="store_true")
+    m.add_argument("--min-tombstone-ratio", type=float, default=0.0)
+    m.set_defaults(fn=_cmd_maintain)
 
     s = sub.add_parser("search", help="run a query workload")
     s.add_argument("--index-dir", required=True)

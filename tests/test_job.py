@@ -181,3 +181,58 @@ def test_job_append_grows_live_index(ray_session, capsys, tmp_path):
     ]
     want = bm25_topk(sf)["doc_id"].to_pylist()
     assert got == want
+
+
+def test_job_maintain_merges_generations(ray_session, capsys, tmp_path):
+    """`job maintain` fires the width-tier merge once >= fanout
+    consecutive same-tier delta generations exist, and search results
+    are unchanged by the merge."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray import job
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet")
+    mask = pc.less(t["doc_id"], 300)
+    base_p = str(tmp_path / "base.parquet")
+    rest_p = str(tmp_path / "rest.parquet")
+    pq.write_table(t.filter(mask), base_p)
+    pq.write_table(t.filter(pc.invert(mask)), rest_p)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    build_index([base_p], idx, cfg, resume=False)
+    # 200 docs in batches of 20 -> 10 small generations (auto_maintain
+    # may roll some up inline; maintain must leave <= the tier bound)
+    rc = job.main(
+        ["append", "--source", rest_p, "--index-dir", idx,
+         "--id-col", "doc_id", "--batch-rows", "20"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    s_before = LocalSearcher(idx)
+    hits_before = [
+        (h["id"], h["score_bits"])
+        for h in s_before.search("hash merge window", limit=10)["hits"]
+    ]
+    rc = job.main(["maintain", "--index-dir", idx])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generations_after"] <= out["generations_before"]
+    s_after = LocalSearcher(idx)
+    hits_after = [
+        (h["id"], h["score_bits"])
+        for h in s_after.search("hash merge window", limit=10)["hits"]
+    ]
+    assert hits_after == hits_before
