@@ -183,6 +183,11 @@ def _cmd_append(args: argparse.Namespace) -> int:
                 t = t.set_column(
                     idx, args.id_col, pc.cast(t[args.id_col], pa.string())
                 )
+            if args.upsert:
+                mt.upsert_table(args.index_dir, t)
+                appended += t.num_rows
+                batches += 1
+                continue
             if args.skip_live:
                 from .state.maintenance import _probe_ids, load_manifest
 
@@ -303,6 +308,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--skip-live",
         action="store_true",
         help="silently skip ids already live (crash-safe re-submit)",
+    )
+    a.add_argument(
+        "--upsert",
+        action="store_true",
+        help="replace already-live ids instead of rejecting them "
+        "(content-hash no-op detection applies)",
     )
     a.set_defaults(fn=_cmd_append)
 
