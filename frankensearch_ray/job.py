@@ -315,6 +315,37 @@ def _cmd_watch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_delete(args: argparse.Namespace) -> int:
+    """Tombstone external ids from the CLI (idempotent, like the
+    reference delete): ids come one-per-line from ``--ids-file`` (or
+    ``-`` for stdin).  With the default auto-maintain policy, crossing
+    20% tombstone density fires compaction inline."""
+    from .state import maintenance as mt
+
+    if args.ids_file == "-":
+        ids = [ln.strip() for ln in sys.stdin if ln.strip()]
+    else:
+        with open(args.ids_file) as f:
+            ids = [ln.strip() for ln in f if ln.strip()]
+    _ensure_ray()
+    t0 = time.time()
+    before = len(mt.load_manifest(args.index_dir).get("tombstones", []))
+    manifest = mt.delete_documents(args.index_dir, ids)
+    after = len(manifest.get("tombstones", []))
+    print(
+        json.dumps(
+            {
+                "command": "delete",
+                "index_dir": args.index_dir,
+                "ids_submitted": len(ids),
+                "tombstones_added": max(0, after - before),
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m frankensearch_ray.job")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -395,6 +426,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit after this many seconds (default: run forever)",
     )
     w.set_defaults(fn=_cmd_watch)
+
+    dl = sub.add_parser("delete", help="tombstone external ids")
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument(
+        "--ids-file", required=True, help="file of ids (one per line), or -"
+    )
+    dl.set_defaults(fn=_cmd_delete)
 
     s = sub.add_parser("search", help="run a query workload")
     s.add_argument("--index-dir", required=True)

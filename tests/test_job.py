@@ -289,3 +289,41 @@ def test_job_watch_applies_live_changes(ray_session, capsys, tmp_path):
     # every doc searchable afterwards: external-id probe of a late doc
     s = LocalSearcher(idx)
     assert len(s.search("hash merge window", limit=10)["hits"]) == 10
+
+
+def test_job_delete_tombstones_and_is_idempotent(ray_session, capsys, tmp_path):
+    """`job delete` removes the listed ids from results; a re-delete of
+    the same ids adds zero tombstones (reference idempotence)."""
+    from frankensearch_ray import job
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.search.searcher import LocalSearcher
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    build_index([sf + "/documents.parquet"], idx, cfg, resume=False)
+    s = LocalSearcher(idx)
+    top = [h["id"] for h in s.search("hash merge window", limit=3)["hits"]]
+    ids_file = str(tmp_path / "ids.txt")
+    with open(ids_file, "w") as f:
+        f.write("\n".join(top) + "\n")
+    assert job.main(["delete", "--index-dir", idx, "--ids-file", ids_file]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tombstones_added"] == 3
+    after = [
+        h["id"]
+        for h in LocalSearcher(idx).search("hash merge window", limit=3)["hits"]
+    ]
+    assert not set(top) & set(after)
+    assert job.main(["delete", "--index-dir", idx, "--ids-file", ids_file]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["tombstones_added"] == 0
