@@ -63,6 +63,8 @@ class SearcherPool:
     """N query replicas over one index dir; dynamic chunked routing."""
 
     def __init__(self, index_dir: str, size: int = 4, segment_threads: int = 0):
+        self.index_dir = index_dir
+        self.segment_threads = segment_threads
         cls = _make_actor_cls()
         self.actors = [
             cls.remote(index_dir, segment_threads) for _ in range(size)
@@ -70,6 +72,28 @@ class SearcherPool:
         import ray
 
         ray.get([a.warm.remote() for a in self.actors])
+
+    def _respawn(self, ai: int) -> None:
+        """Replace a dead replica in place (same index snapshot)."""
+        import ray
+
+        cls = _make_actor_cls()
+        self.actors[ai] = cls.remote(self.index_dir, self.segment_threads)
+        ray.get(self.actors[ai].warm.remote())
+
+    def _repair_replicas(self) -> int:
+        """Ping every replica; respawn the dead ones.  Returns how many
+        were respawned."""
+        import ray
+
+        respawned = 0
+        for ai, a in enumerate(self.actors):
+            try:
+                ray.get(a.search_many.remote([], 1), timeout=30)
+            except Exception:
+                self._respawn(ai)
+                respawned += 1
+        return respawned
 
     def warm_all(self, queries: list[str], limit: int = 10) -> None:
         """Bring EVERY replica to serving steady state: each replica
@@ -173,10 +197,36 @@ class SearcherPool:
                 finished.append((f, s))
                 submit(ai)
         out: list[dict | None] = [None] * len(queries)
-        chunks = ray.get([f for f, _ in finished])
-        for (_, s), rs in zip(finished, chunks):
+        try:
+            # fast path: one batched fetch, no per-chunk deserialization
+            # on the critical path (the common, all-replicas-alive case)
+            chunks = ray.get([f for f, _ in finished])
+            for (_, s), rs in zip(finished, chunks):
+                for i, r in enumerate(rs):
+                    out[s + i] = r
+            return out  # type: ignore[return-value]
+        except ray.exceptions.RayActorError:
+            pass
+        # repair path: a replica died mid-workload.  Collect what landed,
+        # respawn dead replicas, and re-run ONLY the lost chunks — the
+        # caller sees a complete, order-correct result either way (every
+        # replica evaluates the same pinned kernel, so a re-run chunk is
+        # value-identical to what the dead replica would have returned).
+        for f, s in finished:
+            try:
+                rs = ray.get(f)
+            except ray.exceptions.RayActorError:
+                continue  # length recovered below via the out[] holes
             for i, r in enumerate(rs):
                 out[s + i] = r
+        self._repair_replicas()
+        holes = [i for i, r in enumerate(out) if r is None]
+        if holes:
+            redo = self.search_many(
+                [queries[i] for i in holes], limit, offset, chunk_size
+            )
+            for i, r in zip(holes, redo):
+                out[i] = r
         return out  # type: ignore[return-value]
 
     def shutdown(self) -> None:

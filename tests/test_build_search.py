@@ -790,3 +790,52 @@ def test_incremental_index_matches_full_build(ray_session):
     inc = docsearch.incremental_search("/root/testdata/sf0.001")
     full = docsearch.bm25_topk("/root/testdata/sf0.001")
     assert inc.equals(full)
+
+
+def test_pool_recovers_from_replica_death(ray_session, tmp_path):
+    """Killing a replica mid-workload must not lose queries: the pool
+    collects what landed, respawns the dead replica, re-runs only the
+    lost chunks, and the merged result is bit-identical to a healthy
+    pass.  The pool serves normally afterwards."""
+    import threading
+    import time as _time
+
+    import ray
+
+    from frankensearch_ray.build import BuildConfig, build_index
+    from frankensearch_ray.search.pool import SearcherPool
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        id_col="doc_id",
+        content_col="text",
+        html_col=None,
+        verify_text_col=None,
+        num_shards=4,
+        salt_threshold=200,
+        salt_buckets=4,
+        target_partition_rows=2_000,
+    )
+    build_index([sf + "/documents.parquet"], idx, cfg, resume=False)
+    pool = SearcherPool(idx, size=3)
+    try:
+        queries = [f"hash merge window {i % 5}" for i in range(300)]
+        base = pool.search_many(queries, limit=10)
+
+        def killer():
+            _time.sleep(0.05)
+            ray.kill(pool.actors[1], no_restart=True)
+
+        th = threading.Thread(target=killer)
+        th.start()
+        got = pool.search_many(queries, limit=10)
+        th.join()
+        assert len(got) == len(queries) and all(r is not None for r in got)
+        for a, b in zip(base, got):
+            assert [(h["id"], h["score_bits"]) for h in a["hits"]] == [
+                (h["id"], h["score_bits"]) for h in b["hits"]
+            ]
+        assert len(pool.search_many(queries[:40], limit=10)) == 40
+    finally:
+        pool.shutdown()
