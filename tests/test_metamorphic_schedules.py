@@ -181,7 +181,7 @@ def _observe(idx: str) -> list:
 N = 24  # corpus size: small enough to walk many seeds, >= 2 batches
 
 
-@pytest.mark.parametrize("seed", [1, 7, 42])
+@pytest.mark.parametrize("seed", [1, 7, 42, 1337])
 def test_merge_schedule_law(ray_session, tmp_path, seed):
     corpus = _corpus(N)
     steps = merge_schedule(seed, N)
@@ -196,7 +196,7 @@ def test_merge_schedule_law(ray_session, tmp_path, seed):
     assert _observe(perturbed) == _observe(control)
 
 
-@pytest.mark.parametrize("seed", [1, 7, 42])
+@pytest.mark.parametrize("seed", [1, 7, 42, 1337])
 def test_reopen_recovery_schedule_law(ray_session, tmp_path, seed):
     corpus = _corpus(N)
     steps = reopen_recovery_schedule(seed, N)
@@ -210,7 +210,7 @@ def test_reopen_recovery_schedule_law(ray_session, tmp_path, seed):
     assert _observe(perturbed) == _observe(control)
 
 
-@pytest.mark.parametrize("seed", [1, 7, 42])
+@pytest.mark.parametrize("seed", [1, 7, 42, 1337])
 def test_tombstone_compaction_schedule_law(ray_session, tmp_path, seed):
     corpus = _corpus(N)
     steps = tombstone_compaction_schedule(seed, N)
