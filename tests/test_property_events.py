@@ -112,3 +112,46 @@ def test_session_paths_kernel_matches_bruteforce(rows, max_len, gap_us):
             p = ">".join(s[:max_len])
             want[p] = want.get(p, 0) + 1
     assert got_counts == want
+
+
+class TestUniqueRows:
+    """_unique_rows must be a bit-exact drop-in for
+    np.unique(axis=0, return_inverse=True) — group VALUES, group ORDER,
+    and the inverse mapping — including negatives and the int64
+    overflow fallback."""
+
+    @given(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2**32),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_axis0_unique(self, n, k, seed):
+        import numpy as np
+
+        from frankensearch_ray.pipelines.events import _unique_rows
+
+        rng = np.random.default_rng(seed)
+        key = rng.integers(-5, 6, size=(n, k)).astype(np.int64)
+        want_u, want_inv = np.unique(key, axis=0, return_inverse=True)
+        got_u, got_inv = _unique_rows(key)
+        assert np.array_equal(got_u, want_u)
+        assert np.array_equal(
+            np.asarray(got_inv).reshape(-1), np.asarray(want_inv).reshape(-1)
+        )
+
+    def test_overflow_fallback(self):
+        import numpy as np
+
+        from frankensearch_ray.pipelines.events import _unique_rows
+
+        rng = np.random.default_rng(3)
+        # 4 columns of full-range 64-bit values: radix product overflows
+        # int64, forcing the axis-0 fallback path
+        key = rng.integers(-(2**62), 2**62, size=(50, 4)).astype(np.int64)
+        want_u, want_inv = np.unique(key, axis=0, return_inverse=True)
+        got_u, got_inv = _unique_rows(key)
+        assert np.array_equal(got_u, want_u)
+        assert np.array_equal(
+            np.asarray(got_inv).reshape(-1), np.asarray(want_inv).reshape(-1)
+        )
