@@ -19,6 +19,9 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # comma-separated skip list for oracles that are O(n^2) SQL at the
+    # larger scales (e.g. dedup_embedding,dedup_simhash at sf0.1)
+    skip = set((sys.argv[3] if len(sys.argv) > 3 else "").split(",")) - {""}
 
     import ray
 
@@ -55,6 +58,9 @@ def main() -> int:
     qs, sqls = em.queries(), em.oracle_sql()
     bad: list[str] = []
     for name in sorted(sqls):
+        if name in skip:
+            print(f"SKIP {name}", flush=True)
+            continue
         try:
             t0 = time.time()
             got = qs[name](sf)
