@@ -298,8 +298,14 @@ def _cmd_watch(args: argparse.Namespace) -> int:
                 continue  # racing delete
             if seen.get(path) == mtime:
                 continue
+            try:
+                t = pq.read_table(path)
+            except Exception:
+                # a producer is still writing this file (torn footer):
+                # leave it UNMARKED so the next poll retries once the
+                # write completes and the mtime settles
+                continue
             seen[path] = mtime
-            t = pq.read_table(path)
             idx = t.schema.get_field_index(id_col)
             if idx >= 0 and not pa.types.is_string(t.schema.field(idx).type):
                 t = t.set_column(
@@ -329,16 +335,20 @@ def _cmd_delete(args: argparse.Namespace) -> int:
             ids = [ln.strip() for ln in f if ln.strip()]
     _ensure_ray()
     t0 = time.time()
-    before = len(mt.load_manifest(args.index_dir).get("tombstones", []))
-    manifest = mt.delete_documents(args.index_dir, ids)
-    after = len(manifest.get("tombstones", []))
+    # count the ids that are actually LIVE before deleting: the manifest
+    # tombstone list is not a stable counter (the delete itself can
+    # cross the 20% density threshold and compact inline, clearing it)
+    live = mt._probe_ids(
+        args.index_dir, mt.load_manifest(args.index_dir), ids
+    )
+    mt.delete_documents(args.index_dir, ids)
     print(
         json.dumps(
             {
                 "command": "delete",
                 "index_dir": args.index_dir,
                 "ids_submitted": len(ids),
-                "tombstones_added": max(0, after - before),
+                "docs_deleted": len(live),
                 "elapsed_sec": round(time.time() - t0, 3),
             }
         )

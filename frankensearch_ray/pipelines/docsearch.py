@@ -1036,16 +1036,27 @@ def incremental_search(
 
     Hits are re-ranked ``(score desc, external doc_id asc)`` before the
     cut: the engine's internal tie-break is docid order, which on an
-    incremental index reflects append order rather than source order."""
+    incremental index reflects append order rather than source order.
+    The fetch window grows until the k-th kept score sits STRICTLY above
+    the fetch horizon (or the result set is exhausted) — a fixed
+    over-fetch could drop a tie-mate whose external id out-ranks a
+    fetched one when a tie group spans the window boundary."""
     index_dir = incremental_documents_index(sf_dir)
     s = _SEARCHERS.get(index_dir)
     if s is None:
         s = LocalSearcher(index_dir)
         _SEARCHERS[index_dir] = s
-    res = s.search(query, limit=k + 16)
-    hits = sorted(
-        res["hits"], key=lambda h: (-h["score"], int(h["id"]))
-    )[:k]
+    fetch = k + 16
+    while True:
+        res = s.search(query, limit=fetch)
+        got = res["hits"]
+        hits = sorted(got, key=lambda h: (-h["score"], int(h["id"])))[:k]
+        if len(got) < fetch or len(hits) < k:
+            break  # exhausted: nothing unfetched can rank
+        horizon = min(h["score_bits"] for h in got)
+        if hits[-1]["score_bits"] > horizon:
+            break  # the whole boundary tie group is inside the window
+        fetch *= 2
     return pa.table(
         {
             "doc_id": pa.array([int(h["id"]) for h in hits], pa.int64()),

@@ -130,8 +130,8 @@ def embed_texts(
     """(doc_id, dim, value): deterministic stub-model embedding of every
     document — the batched-inference operator pattern.  The driver table
     is long-form (SQL-unnestable, value-hash-oracled); ``output_path``
-    streams packed ``(doc_id, embedding list<int64>)`` rows to
-    partitioned parquet — corpus-sized output, sink discipline."""
+    streams packed ``(doc_id, embedding list<int64>)`` rows to the
+    parquet sink — corpus-sized output, sink discipline."""
     import ray.data as rd
 
     from ._sink import finish
@@ -150,9 +150,6 @@ def embed_texts(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    if output_path is not None:
-        out.write_parquet(output_path)
-        return None
     return finish(out, ["doc_id", "dim"], output_path)
 
 

@@ -243,8 +243,13 @@ def _factorize_str(arr) -> tuple[np.ndarray, np.ndarray]:
     return codes.astype(np.int64), names
 
 
+#: dense-code radix product above this falls back to axis-0 unique
+#: (module constant so the fallback path is testable)
+_RADIX_OVERFLOW = 2**63
+
+
 def _unique_rows(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Drop-in ``_unique_rows(key)`` for 2-D
+    """Drop-in ``np.unique(key, axis=0, return_inverse=True)`` for 2-D
     integer keys via per-column dense codes + ONE flat int64 unique —
     the void-view row sort behind ``axis=0`` is ~7x slower at combiner
     batch sizes, and these combiners are the hot loop of every windowed
@@ -264,8 +269,8 @@ def _unique_rows(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     prod = 1
     for r in radix:
         prod *= r
-        if prod >= 2**63:
-            return _unique_rows(key)
+        if prod >= _RADIX_OVERFLOW:
+            return np.unique(key, axis=0, return_inverse=True)
     comp = codes[0]
     for j in range(1, k):
         comp = comp * radix[j] + codes[j]

@@ -47,6 +47,11 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
     px_off = _FILE_HDR.size + _INFO_HDR.size
     body = rows.tobytes()
+    if px_off + len(body) >= 2**32:
+        # the BMP header's file-size field is u32; raise the codec's
+        # contracted error type so callers fall back to the stub path
+        # instead of dying on struct.error
+        raise ValueError("image too large for the BMP container")
     return (
         _FILE_HDR.pack(b"BM", px_off + len(body), 0, 0, px_off)
         + _INFO_HDR.pack(_INFO_HDR.size, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)

@@ -163,12 +163,17 @@ class SearcherPool:
                 (s0, min(chunk_size, len(queries) - s0))
                 for s0 in range(0, len(queries), chunk_size)
             ]
+        import time as _time
+
         next_chunk = 0
-        pending: dict = {}  # future -> (actor_idx, chunk_start)
+        pending: dict = {}  # future -> (actor_idx, start, size, t_submit)
         finished: list = []  # (future, chunk_start), gather at the end
+        dead: set[int] = set()
 
         def submit(ai: int) -> bool:
             nonlocal next_chunk
+            if ai in dead:
+                return False
             if next_chunk >= len(schedule):
                 return False
             s, size = schedule[next_chunk]
@@ -176,7 +181,7 @@ class SearcherPool:
             f = self.actors[ai].search_many.remote(
                 queries[s : s + size], limit, offset
             )
-            pending[f] = (ai, s)
+            pending[f] = (ai, s, size, _time.monotonic())
             return True
 
         for ai in range(n):
@@ -193,7 +198,22 @@ class SearcherPool:
                 )
                 done = list(dict.fromkeys(done + more))
             for f in done:
-                ai, s = pending.pop(f)
+                ai, s, size, t0 = pending.pop(f)
+                # a dead actor's futures error back near-instantly; left
+                # unchecked it out-completes every live replica and
+                # drains the schedule into guaranteed re-runs (the chunk
+                # sink).  An instant completion is suspicious enough to
+                # pay one eager get: on RayActorError the chunk is
+                # requeued and the actor stops receiving work.
+                if ai not in dead and _time.monotonic() - t0 < 0.005:
+                    try:
+                        ray.get(f)
+                    except ray.exceptions.RayActorError:
+                        dead.add(ai)
+                        schedule.append((s, size))
+                        continue
+                    except Exception:
+                        pass  # non-actor errors surface at the gather
                 finished.append((f, s))
                 submit(ai)
         out: list[dict | None] = [None] * len(queries)
@@ -204,22 +224,26 @@ class SearcherPool:
             for (_, s), rs in zip(finished, chunks):
                 for i, r in enumerate(rs):
                     out[s + i] = r
-            return out  # type: ignore[return-value]
+            if not dead and all(r is not None for r in out):
+                return out  # type: ignore[return-value]
         except ray.exceptions.RayActorError:
-            pass
-        # repair path: a replica died mid-workload.  Collect what landed,
-        # respawn dead replicas, and re-run ONLY the lost chunks — the
-        # caller sees a complete, order-correct result either way (every
-        # replica evaluates the same pinned kernel, so a re-run chunk is
-        # value-identical to what the dead replica would have returned).
-        for f, s in finished:
-            try:
-                rs = ray.get(f)
-            except ray.exceptions.RayActorError:
-                continue  # length recovered below via the out[] holes
-            for i, r in enumerate(rs):
-                out[s + i] = r
+            # a death slipped past the instant-completion heuristic (the
+            # actor died mid-chunk, after real work started).  Collect
+            # what landed; the holes are re-run below.
+            for f, s in finished:
+                try:
+                    rs = ray.get(f)
+                except ray.exceptions.RayActorError:
+                    continue  # length recovered below via the out[] holes
+                for i, r in enumerate(rs):
+                    out[s + i] = r
+        # repair path: respawn dead replicas and re-run ONLY the lost
+        # chunks — the caller sees a complete, order-correct result
+        # either way (every replica evaluates the same pinned kernel, so
+        # a re-run chunk is value-identical to what the dead replica
+        # would have returned).
         self._repair_replicas()
+        dead.clear()
         holes = [i for i, r in enumerate(out) if r is None]
         if holes:
             redo = self.search_many(

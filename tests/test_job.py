@@ -318,7 +318,7 @@ def test_job_delete_tombstones_and_is_idempotent(ray_session, capsys, tmp_path):
         f.write("\n".join(top) + "\n")
     assert job.main(["delete", "--index-dir", idx, "--ids-file", ids_file]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["tombstones_added"] == 3
+    assert out["docs_deleted"] == 3
     after = [
         h["id"]
         for h in LocalSearcher(idx).search("hash merge window", limit=3)["hits"]
@@ -326,4 +326,4 @@ def test_job_delete_tombstones_and_is_idempotent(ray_session, capsys, tmp_path):
     assert not set(top) & set(after)
     assert job.main(["delete", "--index-dir", idx, "--ids-file", ids_file]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out2["tombstones_added"] == 0
+    assert out2["docs_deleted"] == 0

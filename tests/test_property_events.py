@@ -140,17 +140,19 @@ class TestUniqueRows:
             np.asarray(got_inv).reshape(-1), np.asarray(want_inv).reshape(-1)
         )
 
-    def test_overflow_fallback(self):
+    def test_overflow_fallback(self, monkeypatch):
         import numpy as np
 
-        from frankensearch_ray.pipelines.events import _unique_rows
+        from frankensearch_ray.pipelines import events as ev
 
+        # radix is the per-column DISTINCT count, so triggering the real
+        # 2**63 guard needs ~2^16 distinct values per column; shrink the
+        # threshold instead so the fallback branch actually executes
+        monkeypatch.setattr(ev, "_RADIX_OVERFLOW", 4)
         rng = np.random.default_rng(3)
-        # 4 columns of full-range 64-bit values: radix product overflows
-        # int64, forcing the axis-0 fallback path
-        key = rng.integers(-(2**62), 2**62, size=(50, 4)).astype(np.int64)
+        key = rng.integers(-5, 6, size=(50, 3)).astype(np.int64)
         want_u, want_inv = np.unique(key, axis=0, return_inverse=True)
-        got_u, got_inv = _unique_rows(key)
+        got_u, got_inv = ev._unique_rows(key)
         assert np.array_equal(got_u, want_u)
         assert np.array_equal(
             np.asarray(got_inv).reshape(-1), np.asarray(want_inv).reshape(-1)
