@@ -99,6 +99,12 @@ class _Norms:
         if got is not None:
             return got
         got = self._cache.get(p)
+        if got is not None:
+            # move-to-end: the eviction below pops insertion order, so a
+            # hot partition probed on every query must refresh recency
+            # (pop with default — clause threads may race the refresh)
+            self._cache.pop(p, None)
+            self._cache[p] = got
         if got is None:
             t = pq.read_table(self.dir / f"part-{p:05d}.parquet")
             got = (
@@ -269,6 +275,9 @@ class _ShardCache:
     def _row_group(self, entry: dict, g: int) -> pa.Table:
         key = (entry["path"], g)
         t = self._rg_cache.get(key)
+        if t is not None:
+            self._rg_cache.pop(key, None)  # move-to-end on hit
+            self._rg_cache[key] = t
         if t is None:
             t = entry["pf"].read_row_group(g, columns=self._CORE_COLUMNS)
             if len(self._rg_cache) >= self._RG_CACHE_MAX:
@@ -279,6 +288,9 @@ class _ShardCache:
     def _pos_column(self, entry: dict, g: int) -> pa.Array:
         key = (entry["path"], g)
         a = self._pos_rg_cache.get(key)
+        if a is not None:
+            self._pos_rg_cache.pop(key, None)  # move-to-end on hit
+            self._pos_rg_cache[key] = a
         if a is None:
             a = (
                 entry["pf"]
@@ -370,6 +382,9 @@ class _ShardCache:
         must never pull postings blobs."""
         key = (entry["path"], g)
         t = self._kv_cache.get(key)
+        if t is not None:
+            self._kv_cache.pop(key, None)  # move-to-end on hit
+            self._kv_cache[key] = t
         if t is None:
             t = entry["pf"].read_row_group(g, columns=["field", "term"])
             if len(self._kv_cache) >= self._RG_CACHE_MAX:
@@ -504,6 +519,11 @@ class LocalSearcher:
         import threading
 
         self._fuel_lock = threading.Lock()
+        # _pos_entry mutates the byte-bounded position cache (insert,
+        # move-to-end, evict, byte accounting) — clause-thread fan-out
+        # means two phrase clauses can race it (KeyError on the pop +
+        # permanently inflated _pos_cache_bytes without this)
+        self._pos_lock = threading.Lock()
         self._idmap_cache: dict[int, pa.Table] = {}
         self._stored_cache: dict[int, pa.Table] = {}
         self._idmap_paths = {
@@ -599,13 +619,21 @@ class LocalSearcher:
             buckets = range(self.max_bucket + 1)
         else:
             buckets = (0,)
-        rows: list[tuple[int, dict]] = []
+        # group wanted buckets by destination shard and probe each shard
+        # ONCE: a 32-bucket salted head term hashing onto 8 shards would
+        # otherwise scan + materialize every shard's candidate rows 4x
+        # (the .as_py() blob copies are the probe's dominant cost)
+        by_shard: dict[int, set[int]] = {}
         for b in buckets:
-            sid = shard_for(field, term, b, self.num_shards)
+            by_shard.setdefault(
+                shard_for(field, term, b, self.num_shards), set()
+            ).add(b)
+        rows: list[tuple[int, dict]] = []
+        for sid, wanted in by_shard.items():
             for bucket, row in self.shards.rows(
                 sid, field, term, with_positions=with_positions
             ):
-                if bucket == b:
+                if bucket in wanted:
                     rows.append((bucket, row))
         rows.sort(key=lambda x: x[0])
         return rows
@@ -966,11 +994,14 @@ class LocalSearcher:
         from ..codecs import varint_decode
 
         key = (field, term)
-        got = self._pos_cache.get(key)
-        if got is not None:
-            self._pos_cache.pop(key)  # move-to-end: true LRU on hits
-            self._pos_cache[key] = got
-            return got[0]
+        with self._pos_lock:
+            got = self._pos_cache.get(key)
+            if got is not None:
+                # move-to-end: true LRU on hits (pop(key, None): another
+                # clause thread may have evicted it between get and pop)
+                self._pos_cache.pop(key, None)
+                self._pos_cache[key] = got
+                return got[0]
         rows = self.term_rows(field, term, with_positions=True)
         cdoc, ctf, _df, _ = self.postings(field, term)
         e = []
@@ -1007,15 +1038,17 @@ class LocalSearcher:
             raise ValueError(
                 f"row df sum {off} != sealed postings {sealed} for {term!r}"
             )
-        self._pos_cache_bytes += nbytes
-        self._pos_cache[key] = (e, nbytes)
-        while (
-            self._pos_cache_bytes > self._pos_cache_cap
-            and len(self._pos_cache) > 1
-        ):
-            oldest = next(iter(self._pos_cache))
-            _old, old_b = self._pos_cache.pop(oldest)
-            self._pos_cache_bytes -= old_b
+        with self._pos_lock:
+            if key not in self._pos_cache:  # a racing thread may have won
+                self._pos_cache_bytes += nbytes
+                self._pos_cache[key] = (e, nbytes)
+            while (
+                self._pos_cache_bytes > self._pos_cache_cap
+                and len(self._pos_cache) > 1
+            ):
+                oldest = next(iter(self._pos_cache))
+                _old, old_b = self._pos_cache.pop(oldest)
+                self._pos_cache_bytes -= old_b
         return e
 
     def positions_for(
@@ -1231,12 +1264,15 @@ class LocalSearcher:
         import re
 
         prog = re.compile(pattern)
-        out = []
+        # the limit is a DISTINCT-term bound: iter_terms_range re-yields
+        # a term once per salt bucket / delta generation, and counting
+        # raw yields would shrink the effective expansion by that factor
+        out: set[str] = set()
         for term in self._terms_matching_pred(field, prog, literal_prefix):
-            out.append(term)
+            out.add(term)
             if len(out) >= self.GLOB_EXPANSION_LIMIT:
                 break
-        return sorted(set(out))
+        return sorted(out)
 
     def _eval_range_set(self, node, boost: float):
         """RangeStr/SetStr: keyword id via idmap; text fields via termdict
@@ -1448,13 +1484,13 @@ class LocalSearcher:
 
         _, core = parse_wildcard(node.pattern)
         literal_prefix = core.split("*", 1)[0] if info["class"] == "Complex" else ""
-        matched: list[str] = []
+        matched: set[str] = set()
         for fname in node.fields:
             ford = FIELD_ORDS.get(fname)
             if ford is None:
                 continue
             for term in self._terms_matching_pred(ford, prog, literal_prefix):
-                matched.append(term)
+                matched.add(term)  # distinct-term expansion bound
                 if len(matched) >= self.GLOB_EXPANSION_LIMIT:
                     break
         docs = np.zeros(0, np.uint64)
@@ -1462,7 +1498,7 @@ class LocalSearcher:
             ford = FIELD_ORDS.get(fname)
             if ford is None:
                 continue
-            for term in sorted(set(matched)):
+            for term in sorted(matched):
                 d, _, _, _ = self.postings(ford, term)
                 if len(d):
                     docs = np.union1d(docs, d) if len(docs) else d
@@ -1483,12 +1519,19 @@ class LocalSearcher:
             if ord(last) < 0x10FFFF:  # exclusive prefix-successor bound
                 upper = literal_prefix[:-1] + chr(ord(last) + 1)
                 upper_inc = False
+        # fuel is charged INSIDE the loop (every 4096 scanned terms):
+        # a per-shard post-hoc charge would let an unbounded vocabulary
+        # scan finish a whole shard before the budget could stop it
+        _CHARGE_EVERY = 4096
         for sid in range(self.num_shards):
             scanned = 0
             for term in self.shards.iter_terms_range(
                 sid, ford, lower, upper, True, upper_inc
             ):
                 scanned += 1
+                if scanned >= _CHARGE_EVERY:
+                    self._charge(scanned)
+                    scanned = 0
                 if prog.fullmatch(term):
                     yield term
             self._charge(scanned)
@@ -1498,6 +1541,9 @@ class LocalSearcher:
                 if literal_prefix and not term.startswith(literal_prefix):
                     continue
                 scanned += 1
+                if scanned >= _CHARGE_EVERY:
+                    self._charge(scanned)
+                    scanned = 0
                 if prog.fullmatch(term):
                     yield term
             self._charge(scanned)
@@ -1711,6 +1757,25 @@ class LocalSearcher:
             raw_query=query,
         )
 
+    def _build_hits(
+        self, docids: np.ndarray, scores: np.ndarray, take: np.ndarray
+    ) -> list[dict]:
+        """The one hit-dict shape, shared by the pruned and exhaustive
+        paths (a field added here lands in both or neither)."""
+        hits = []
+        win_ids = self.ids_for(docids[take])
+        for rank, (i, ext_id) in enumerate(zip(take, win_ids)):
+            hits.append(
+                {
+                    "id": ext_id,
+                    "docid": int(docids[i]),
+                    "score": float(scores[i]),
+                    "score_bits": int(np.float32(scores[i]).view(np.uint32)),
+                    "rank": rank,
+                }
+            )
+        return hits
+
     def run_parsed(
         self,
         parsed,
@@ -1733,20 +1798,7 @@ class LocalSearcher:
             if pruned is not None:
                 docids, scores = pruned
                 take = np.arange(offset, min(len(docids), offset + limit))
-                hits = []
-                win_ids = self.ids_for(docids[take])
-                for rank, (i, ext_id) in enumerate(zip(take, win_ids)):
-                    hits.append(
-                        {
-                            "id": ext_id,
-                            "docid": int(docids[i]),
-                            "score": float(scores[i]),
-                            "score_bits": int(
-                                np.float32(scores[i]).view(np.uint32)
-                            ),
-                            "rank": rank,
-                        }
-                    )
+                hits = self._build_hits(docids, scores, take)
                 if snippets:
                     for h, s in zip(hits, self.snippets_for(query, hits)):
                         h["snippet"] = s
@@ -1759,19 +1811,7 @@ class LocalSearcher:
         if len(docids) and limit > 0:
             order = np.lexsort((docids, -scores.astype(np.float64)))
             take = order[offset : offset + limit]
-            win_ids = self.ids_for(docids[take])
-            for rank, (i, ext_id) in enumerate(zip(take, win_ids)):
-                hits.append(
-                    {
-                        "id": ext_id,
-                        "docid": int(docids[i]),
-                        "score": float(scores[i]),
-                        "score_bits": int(
-                            np.float32(scores[i]).view(np.uint32)
-                        ),
-                        "rank": rank,
-                    }
-                )
+            hits = self._build_hits(docids, scores, take)
         if snippets:
             for h, s in zip(hits, self.snippets_for(query, hits)):
                 h["snippet"] = s

@@ -367,6 +367,17 @@ def _append_rows(
     src_dir = os.path.join(index_dir, "appended")
     src_path = os.path.join(src_dir, f"part-{pindex:05d}.parquet")
     _atomic_write_table(table, src_path)
+    # a crashed UNPUBLISHED append may have left this pindex's checkpoint
+    # done-marker behind; the tokenizer's fingerprint is source-shape
+    # only ([path, rg range, rows]), so a retry with a corrected batch of
+    # the same shape would silently reuse the stale postings.  The old
+    # checkpoints carry no value (never published) — drop the marker so
+    # the CURRENT batch is always the one tokenized.
+    from ..build import _part_paths
+
+    stale_marker = _part_paths(index_dir, pindex)["stats"]
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
 
     part = {
         "pindex": pindex,
@@ -654,6 +665,19 @@ def merge_delta_generations(index_dir: str, fanout: int = MERGE_FANOUT) -> dict:
         )
     else:
         merge_gens = set(gens[:fanout])  # legacy manifests: oldest run
+        if spans:
+            # partial span coverage: drop any span records touching the
+            # merged run rather than leave one describing only the
+            # target's LAST constituent batch — a stale narrow span
+            # would make the tier planner classify the merged (wide)
+            # segment as small and drag it into small-tier merges, the
+            # exact churn TierMergePolicy exists to prevent.  With the
+            # records dropped, planning falls back to the legacy rule
+            # until new appends re-establish full span coverage.
+            manifest["delta_gens"] = sorted(
+                [r for g, r in spans.items() if g not in merge_gens],
+                key=lambda r: int(r["generation"]),
+            )
     target_gen = max(merge_gens)
     me = int(manifest.get("delta_merge_epoch", 0)) + 1
     by_shard: dict[int, list[dict]] = {}
@@ -741,6 +765,19 @@ def compact(index_dir: str, min_tombstone_ratio: float = 0.0) -> dict:
         # readers via the published tombstone set, and re-running compact
         # re-filters (a no-op on the rewritten files) then publishes
         _test_fail("compact_part", pidx)
+    # keep the per-partition row counts LIVE: the tombstone-density
+    # trigger divides by sum(rows), and leaving the pre-compaction
+    # counts in place makes every later density check use an inflated
+    # denominator (firing at ~29% real dead density instead of the
+    # reference's 20% after one compaction, compounding with each cycle)
+    dead_by_part: dict[int, int] = {}
+    for d in tomb:
+        pi = int(int(d) >> PARTITION_SHIFT)
+        dead_by_part[pi] = dead_by_part.get(pi, 0) + 1
+    for part in manifest["partitions"]:
+        drop = dead_by_part.get(int(part["index"]), 0)
+        if drop:
+            part["rows"] = max(0, int(part["rows"]) - drop)
     manifest["tombstones"] = []
     manifest["metrics"]["last_compaction_sec"] = time.time() - t0
     return _rollup_and_publish(index_dir, manifest, cfg)
