@@ -461,7 +461,6 @@ def decode_positions(buf: bytes | memoryview, n_postings: int) -> list[np.ndarra
     work = flat.astype(np.int64, copy=True)
     work[bounds[:-1]] = 0  # count slots contribute nothing
     csum = np.cumsum(work)
-    base = np.zeros(len(work), dtype=np.int64)
     seg_base = csum[bounds[:-1]]  # cumsum value at each count slot
     out: list[np.ndarray] = []
     for k in range(n_postings):

@@ -71,10 +71,12 @@ def encode_shard_table(group: pa.Table) -> pa.Table:
     docid = t["docid"].to_numpy()
     tf = t["tf"].to_numpy()
     norm = t["norm"].to_numpy()
-    term_col = t["term"].combine_chunks()
-    dict_arr = pc.dictionary_encode(term_col)
-    codes = dict_arr.indices.to_numpy()
-    terms = dict_arr.dictionary
+    # codes/terms are reused from the PRE-sort encode: change detection
+    # only compares codes for inequality and output terms go through
+    # pc.take(terms, codes), both invariant to code numbering — the
+    # second O(n) string-hash pass over the sorted column was redundant
+    codes = pre_codes[order]
+    terms = pre_dict.dictionary
 
     pos_col = t["positions"].combine_chunks()
     pos_values = pos_col.values.to_numpy(zero_copy_only=False).astype(np.uint32)

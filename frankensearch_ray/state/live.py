@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..schema import FIELD_NAMES, PARTITION_SHIFT
+from ..schema import FIELD_NAMES
 from . import maintenance as mnt
 
 
@@ -241,7 +241,7 @@ class LiveIndex:
             nv = num["value"].to_numpy()
             nd = num["docid"].to_numpy()
             for fname in set(nf):
-                sel = np.array([x == fname for x in nf])
+                sel = np.asarray(nf) == fname
                 self.overlay.numeric.setdefault(fname, []).append(
                     (nv[sel], nd[sel])
                 )
@@ -269,12 +269,15 @@ class LiveIndex:
                     continue  # no-op upsert: identical content
                 tombstone_docids.append(old_docid)
             keep_rows.append(i)
-        self.overlay.tombstones.update(tombstone_docids)
         applied = {"kept": len(keep_rows), "noop": len(ids) - len(keep_rows)}
+        # tokenize FIRST: tokenize_partition can raise (extraction
+        # verification, malformed columns), and applying the tombstones
+        # before it would leave the replaced docs dead in the overlay
+        # with no replacement and no log entry — live results would
+        # silently diverge from the durable state the commit replays
+        tok = new_table = pindex = None
         if keep_rows:
             new_table = table.take(pa.array(keep_rows, pa.int64()))
-            pindex = self._next_pindex
-            self._next_pindex += 1
             verify = (
                 cfg.verify_text_col
                 if cfg.verify_text_col in new_table.column_names
@@ -282,7 +285,7 @@ class LiveIndex:
             )
             tok = tokenize_partition(
                 new_table,
-                pindex,
+                self._next_pindex,
                 id_col=cfg.id_col,
                 content_col=cfg.content_col,
                 html_col=cfg.html_col,
@@ -291,6 +294,11 @@ class LiveIndex:
                 stored_cols=cfg.stored_cols or None,
                 analyzer=self._analyzer,
             )
+        # ---- no exceptions past this point: apply atomically ----
+        self.overlay.tombstones.update(tombstone_docids)
+        if tok is not None:
+            pindex = self._next_pindex
+            self._next_pindex += 1
             self._merge_tokenized(tok, new_table, pindex)
         self._log.append(("upsert", table))
         self.searcher.attach_overlay(self.overlay)

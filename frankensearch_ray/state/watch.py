@@ -98,7 +98,8 @@ class WatchRunner:
         self.clock = clock
         self.debounce_ms = self.min_debounce_ms
         self._apply_ewma_ms: float | None = None
-        # pending window: id -> ("upsert", row-table slice) | ("delete",)
+        # pending window: id -> ("upsert", row-slice, t_submit) |
+        #                   ("delete", None, t_submit)
         self._pending: dict[str, tuple] = {}
         self._pending_since: float | None = None
         self._id_col = None
@@ -119,14 +120,14 @@ class WatchRunner:
         idc = self._cfg_id_col()
         for i, ext in enumerate(table[idc].to_pylist()):
             self._pending[ext] = ("upsert", table.slice(i, 1), now)
-        if self._pending_since is None:
+        if self._pending_since is None and self._pending:
             self._pending_since = now
 
     def submit_delete(self, ids: list[str]) -> None:
         now = self.clock()
         for ext in ids:
             self._pending[ext] = ("delete", None, now)
-        if self._pending_since is None:
+        if self._pending_since is None and self._pending:
             self._pending_since = now
 
     # --- apply loop --------------------------------------------------------
@@ -147,7 +148,7 @@ class WatchRunner:
         if not self._pending:
             return None
         pending, self._pending = self._pending, {}
-        self._pending_since = None
+        since, self._pending_since = self._pending_since, None
 
         up_slices = [v[1] for v in pending.values() if v[0] == "upsert"]
         del_ids = [k for k, v in pending.items() if v[0] == "delete"]
@@ -156,22 +157,35 @@ class WatchRunner:
             self.stats.t_first = t0
         manifest = None
         n_noop = 0
-        if del_ids:
-            manifest = mnt.delete_documents(
-                self.index_dir, del_ids, auto_maintain=False
+        try:
+            if del_ids:
+                manifest = mnt.delete_documents(
+                    self.index_dir, del_ids, auto_maintain=False
+                )
+            if up_slices:
+                batch = pa.concat_tables(up_slices, promote_options="default")
+                before = mnt.load_manifest(self.index_dir)
+                n_live_before = sum(p["rows"] for p in before["partitions"])
+                manifest = mnt.upsert_table(
+                    self.index_dir, batch, auto_maintain=False
+                )
+                n_live_after = sum(p["rows"] for p in manifest["partitions"])
+                # rows that allocated no new docid were hash-identical no-ops
+                n_noop = len(batch) - (n_live_after - n_live_before)
+            if self.auto_maintain:
+                manifest = mnt.maybe_maintain(self.index_dir)
+        except BaseException:
+            # a transient apply failure (I/O, torn manifest, disk full)
+            # must NOT lose the window: restore it — newer entries that
+            # raced in keep last-write-wins priority over the restored
+            # ones — and let the caller's next pump retry
+            restored = dict(pending)
+            restored.update(self._pending)
+            self._pending = restored
+            self._pending_since = (
+                since if since is not None else self._pending_since
             )
-        if up_slices:
-            batch = pa.concat_tables(up_slices, promote_options="default")
-            before = mnt.load_manifest(self.index_dir)
-            n_live_before = sum(p["rows"] for p in before["partitions"])
-            manifest = mnt.upsert_table(
-                self.index_dir, batch, auto_maintain=False
-            )
-            n_live_after = sum(p["rows"] for p in manifest["partitions"])
-            # rows that allocated no new docid were hash-identical no-ops
-            n_noop = len(batch) - (n_live_after - n_live_before)
-        if self.auto_maintain:
-            manifest = mnt.maybe_maintain(self.index_dir)
+            raise
         t1 = self.clock()
 
         apply_ms = (t1 - t0) * 1000.0

@@ -200,3 +200,33 @@ class TestLiveEqualsCommitted:
         live = _hits(li.search("rho", limit=10))
         li.commit()
         assert _hits(LocalSearcher(idx).search("rho", limit=10)) == live
+
+
+class TestLiveFailedUpsertAtomicity:
+    def test_failed_tokenize_leaves_overlay_untouched(self, idx):
+        """A replacing upsert whose tokenize raises must change NOTHING:
+        the replaced doc stays live (no orphan tombstone), the op is not
+        logged, and commit converges to the pre-failure state."""
+        from unittest import mock
+
+        li = LiveIndex(idx)
+        before = _hits(li.searcher.search("rust ownership", limit=10))
+        assert any(h[0] == "d1" for h in before)
+        bad = _pages([("d1", "replacement content that will fail")])
+        with mock.patch(
+            "frankensearch_ray.stages.tokenize.tokenize_partition",
+            side_effect=ValueError("synthetic tokenize failure"),
+        ):
+            with pytest.raises(ValueError, match="synthetic"):
+                li.upsert(bad)
+        # d1 must still be live with its ORIGINAL content
+        after = _hits(li.searcher.search("rust ownership", limit=10))
+        assert after == before
+        assert len(li._log) == 0
+        assert len(li.overlay.tombstones) == 0
+        # and a subsequent good upsert still works end to end
+        li.upsert(_pages([("d6", "zygomorphic penguins ownership")]))
+        assert any(
+            h["id"] == "d6"
+            for h in li.searcher.search("zygomorphic", limit=10)["hits"]
+        )

@@ -127,3 +127,45 @@ class TestWatchRunner:
             max(w.min_debounce_ms, min(2.0 * w._apply_ewma_ms, w.max_debounce_ms)),
             rel=0.01,
         )
+
+
+class TestDrainFailureRecovery:
+    def test_failed_apply_restores_the_pending_window(self, idx):
+        """A transient apply failure must NOT lose the window: the
+        mutations are restored, a retry applies them, and the results
+        are visible (previously the swap-before-apply dropped them)."""
+        from unittest import mock
+
+        w = WatchRunner(idx, min_debounce_ms=0.0)
+        w.submit_upsert(_pages([("d9", "zygomorphic watch recovery")]))
+        w.submit_delete(["d1"])
+        import frankensearch_ray.state.maintenance as mnt
+
+        with mock.patch.object(
+            mnt, "delete_documents", side_effect=OSError("disk full")
+        ):
+            with pytest.raises(OSError):
+                w.drain()
+        # window restored: both mutations still pending
+        assert set(w._pending) == {"d9", "d1"}
+        assert w._pending_since is not None
+        # retry succeeds and both mutations land
+        w.drain()
+        s = LocalSearcher(idx)
+        hits = [
+            h["id"] for h in s.search("zygomorphic", limit=10)["hits"]
+        ]
+        assert "d9" in hits
+        assert not [
+            h for h in s.search("alpha", limit=10)["hits"] if h["id"] == "d1"
+        ]
+
+    def test_empty_submit_does_not_arm_the_debounce(self, idx):
+        w = WatchRunner(idx, min_debounce_ms=10_000.0)
+        w.submit_upsert(_pages([]))
+        w.submit_delete([])
+        assert w._pending_since is None
+        # a REAL submit arms the window from ITS OWN time, so the huge
+        # debounce has not elapsed and pump must hold the batch
+        w.submit_upsert(_pages([("d8", "held by debounce")]))
+        assert w.pump() is False
