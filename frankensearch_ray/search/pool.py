@@ -20,6 +20,10 @@ free (``index.rs:8027-8121``).
 from __future__ import annotations
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _make_actor_cls():
     import ray
 
@@ -82,14 +86,16 @@ class SearcherPool:
         ray.get(self.actors[ai].warm.remote())
 
     def _repair_replicas(self) -> int:
-        """Ping every replica; respawn the dead ones.  Returns how many
-        were respawned."""
+        """Ping every replica IN PARALLEL (one bounded wait, not
+        size x 30 s of serial timeouts); respawn the dead ones.
+        Returns how many were respawned."""
         import ray
 
+        pings = [a.search_many.remote([], 1) for a in self.actors]
         respawned = 0
-        for ai, a in enumerate(self.actors):
+        for ai, f in enumerate(pings):
             try:
-                ray.get(a.search_many.remote([], 1), timeout=30)
+                ray.get(f, timeout=30)
             except Exception:
                 self._respawn(ai)
                 respawned += 1
@@ -116,6 +122,7 @@ class SearcherPool:
         limit: int = 10,
         offset: int = 0,
         chunk_size: int | None = None,
+        _retry: int = 0,
     ) -> list[dict]:
         """Evaluate queries across the pool; results in input order.
 
@@ -142,8 +149,13 @@ class SearcherPool:
         import ray
 
         n = len(self.actors)
-        if not queries or n == 0:
+        if not queries:
             return []
+        if n == 0:
+            raise RuntimeError(
+                "SearcherPool has no replicas (shut down?) — cannot "
+                f"serve {len(queries)} queries"
+            )
         # guided self-scheduling: each chunk is a fraction of the
         # REMAINING work, so the workload opens with big cheap-to-route
         # chunks and closes with small ones — the classic fix for the
@@ -205,7 +217,7 @@ class SearcherPool:
                 # sink).  An instant completion is suspicious enough to
                 # pay one eager get: on RayActorError the chunk is
                 # requeued and the actor stops receiving work.
-                if ai not in dead and _time.monotonic() - t0 < 0.005:
+                if ai not in dead and _time.monotonic() - t0 < 0.002:
                     try:
                         ray.get(f)
                     except ray.exceptions.RayActorError:
@@ -243,11 +255,22 @@ class SearcherPool:
         # a re-run chunk is value-identical to what the dead replica
         # would have returned).
         self._repair_replicas()
-        dead.clear()
         holes = [i for i, r in enumerate(out) if r is None]
         if holes:
+            if _retry >= 2:
+                # a query that reliably kills its replica would otherwise
+                # respawn/re-run forever — surface it instead
+                raise RuntimeError(
+                    f"{len(holes)} queries still failing after "
+                    f"{_retry} pool repairs (first: "
+                    f"{queries[holes[0]]!r})"
+                )
             redo = self.search_many(
-                [queries[i] for i in holes], limit, offset, chunk_size
+                [queries[i] for i in holes],
+                limit,
+                offset,
+                chunk_size,
+                _retry=_retry + 1,
             )
             for i, r in zip(holes, redo):
                 out[i] = r

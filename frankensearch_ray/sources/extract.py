@@ -79,17 +79,51 @@ def extract_batch(html: pa.Array) -> tuple[pa.Array, pa.Array]:
         html = html.cast(pa.large_string() if pa.types.is_large_binary(html.type) else pa.string())
     html = pc.fill_null(html, "")
 
+    # canonicality needs all THREE markers: prefix, suffix, AND exactly
+    # one head/body mid marker — prefix+suffix alone admits rows whose
+    # missing mid marker would crash pc.list_element(inner, 1) below,
+    # and rows with an embedded extra marker would silently diverge
+    # from the scalar reference
     canonical = pc.and_(
-        pc.starts_with(html, pattern=_PREFIX), pc.ends_with(html, pattern=_SUFFIX)
+        pc.and_(
+            pc.starts_with(html, pattern=_PREFIX),
+            pc.ends_with(html, pattern=_SUFFIX),
+        ),
+        pc.equal(pc.count_substring(html, pattern=_MID), 1),
     )
     if not pc.all(canonical).as_py():
-        # mixed batch: scalar fallback keeps the spec total over any input
-        titles, texts = [], []
+        # mixed batch: run the vectorized kernel on the canonical subset
+        # and the regex scalar reference on the remainder, reassembled in
+        # row order — one malformed row must not demote the whole
+        # partition to the per-row loop
+        mask = canonical.to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        if mask.any():
+            good_idx = np.flatnonzero(mask)
+            g_title, g_text = extract_batch(html.take(pa.array(good_idx)))
+            titles: list = [None] * len(html)
+            texts: list = [None] * len(html)
+            for j, i in enumerate(good_idx):
+                titles[int(i)] = g_title[j].as_py()
+                texts[int(i)] = g_text[j].as_py()
+            for i in np.flatnonzero(~mask):
+                t, x = extract_scalar(html[int(i)].as_py())
+                titles[int(i)] = t
+                texts[int(i)] = x
+            return (
+                pa.array(titles, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+            )
+        titles2, texts2 = [], []
         for v in html.to_pylist():
             t, x = extract_scalar(v)
-            titles.append(t)
-            texts.append(x)
-        return pa.array(titles, type=pa.string()), pa.array(texts, type=pa.string())
+            titles2.append(t)
+            texts2.append(x)
+        return (
+            pa.array(titles2, type=pa.string()),
+            pa.array(texts2, type=pa.string()),
+        )
 
     # strip the fixed prefix, split head from body at the fixed mid marker
     inner = pc.split_pattern(

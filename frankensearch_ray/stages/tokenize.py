@@ -172,6 +172,19 @@ def hash64_column(texts: pa.Array, algo: str = "blake2b") -> np.ndarray:
     return np.frombuffer(bytes(hbuf), dtype="<u8").copy()
 
 
+def upsert_identity(content_arr, title_arr=None):
+    """The column whose blake2b hash IS a document's upsert identity:
+    body text alone for content-only schemas; ``title 0x1f body`` for
+    html corpora — the title is an indexed, boosted field, so a
+    title-only edit must NOT hash as a no-op (it would silently skip
+    reindexing and serve the stale title forever)."""
+    if title_arr is None:
+        return content_arr
+    return pc.binary_join_element_wise(
+        pc.fill_null(title_arr, ""), pc.fill_null(content_arr, ""), "\x1f"
+    )
+
+
 def content_hashes(texts: pa.Array) -> np.ndarray:
     """Deterministic 64-bit content hashes (identity / no-op-upsert check,
     analogous to ``index.rs:10236``; blake2b-8 instead of xxh3).
@@ -406,7 +419,10 @@ def tokenize_partition(
         {
             "docid": pa.array(docids, pa.uint64()),
             "id": ids,
-            "content_hash": pa.array(content_hashes(content_arr), pa.uint64()),
+            "content_hash": pa.array(
+                content_hashes(upsert_identity(content_arr, title_arr)),
+                pa.uint64(),
+            ),
         },
         schema=IDMAP_SCHEMA,
     )

@@ -159,9 +159,10 @@ class LiveIndex:
         cfg = self.cfg
         if cfg.html_col and cfg.html_col in table.column_names:
             from ..sources.extract import extract_batch
+            from ..stages.tokenize import upsert_identity
 
-            _titles, content = extract_batch(table[cfg.html_col])
-            return content
+            titles, content = extract_batch(table[cfg.html_col])
+            return upsert_identity(content, titles)
         content = table[cfg.content_col]
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()

@@ -472,13 +472,15 @@ def upsert_table(
 
     if cfg.html_col:
         from ..sources.extract import extract_batch
+        from ..stages.tokenize import upsert_identity
 
-        _titles, content = extract_batch(table[cfg.html_col])
+        titles, content = extract_batch(table[cfg.html_col])
+        identity = upsert_identity(content, titles)
     else:
-        content = table[cfg.content_col]
-        if isinstance(content, pa.ChunkedArray):
-            content = content.combine_chunks()
-    hashes = content_hashes(content)
+        identity = table[cfg.content_col]
+        if isinstance(identity, pa.ChunkedArray):
+            identity = identity.combine_chunks()
+    hashes = content_hashes(identity)
 
     live = _probe_ids(index_dir, manifest, ids)
     keep_rows = []

@@ -230,3 +230,36 @@ class TestLiveFailedUpsertAtomicity:
             h["id"] == "d6"
             for h in li.searcher.search("zygomorphic", limit=10)["hits"]
         )
+
+
+class TestTitleOnlyUpsert:
+    def test_title_only_change_is_not_a_noop(self, idx):
+        """The upsert identity covers the TITLE too: an html upsert that
+        changes only the title must reindex (the title is a boosted
+        indexed field — hashing body text alone served stale titles
+        forever), while a truly identical page stays a no-op."""
+        import pyarrow as pa
+
+        li = LiveIndex(idx)
+        new_html = render_page("BRANDNEWTITLE d1", BASE[0][1]).encode()
+        r = li.upsert(
+            pa.table(
+                {
+                    "url": pa.array(["d1"], pa.string()),
+                    "html": pa.array([new_html], pa.binary()),
+                }
+            )
+        )
+        assert r["kept"] == 1 and r["noop"] == 0
+        hits = li.searcher.search("brandnewtitle", limit=10)["hits"]
+        assert [h["id"] for h in hits] == ["d1"]
+        # identical html is still a no-op
+        r2 = li.upsert(
+            pa.table(
+                {
+                    "url": pa.array(["d1"], pa.string()),
+                    "html": pa.array([new_html], pa.binary()),
+                }
+            )
+        )
+        assert r2["noop"] == 1 and r2["kept"] == 0
